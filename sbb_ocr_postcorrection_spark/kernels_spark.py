@@ -1,0 +1,131 @@
+"""Arrow-batched Spark kernels wrapping the pure per-document kernel.
+
+Both stages are ``mapInPandas`` iterator kernels (SURVEY.md §2.9 M1-M8
+mapping): Spark feeds Arrow batches, we run the *same* pure functions the
+oracle uses (kernel.py), so Spark output is byte-identical to the oracle by
+construction — the per-row invariant of BASELINE.json input_hint.
+
+Scale notes:
+* html is BinaryType and KB-MB per row — callers must cap
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (pipeline.py does) and
+  prune the column as soon as stage 1 consumed it;
+* the kernels are per-document pure functions: no cross-row state, no
+  shuffle, safe under task retries and speculative execution;
+* stage 2 routes internally on the stage-1 flags (the reference's
+  detector→translator routing, mt/cli_correct.py:1160-1186) — flagged spans
+  only; no split/join of the DataFrame, so the whole extract is a single
+  narrow stage.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .kernel import correct_document, detect_document, BlockDetection
+from .detect import SpanFlag
+
+# stage-1 output schema: html is dropped, detections carried as JSON
+DETECT_SCHEMA = (
+    "url string, warc_ts timestamp, host string, lang string, "
+    "detections string, n_blocks int, n_content_blocks int, "
+    "n_spans int, n_flagged int, chars_in long"
+)
+
+# stage-2 (final) schema
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, host string, lang string, "
+    "extracted_text string, spans string, n_blocks int, "
+    "n_content_blocks int, n_spans int, n_flagged int, "
+    "chars_in long, chars_out long"
+)
+
+
+def _host_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
+
+
+def detect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 1 mapInPandas kernel: (url, warc_ts, html, lang) → detections."""
+    for pdf in batches:
+        rows = []
+        for url, ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            detections, n_blocks, chars_in = detect_document(bytes(html))
+            n_spans = sum(len(d.spans) for d in detections)
+            n_flagged = sum(1 for d in detections for s in d.spans if s.flagged)
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": ts,
+                    "host": _host_of(url),
+                    "lang": lang,
+                    "detections": json.dumps(
+                        [
+                            [d.block_index, d.text,
+                             [[s.start, s.end, s.flagged] for s in d.spans]]
+                            for d in detections
+                        ],
+                        ensure_ascii=False,
+                    ),
+                    "n_blocks": n_blocks,
+                    "n_content_blocks": len(detections),
+                    "n_spans": n_spans,
+                    "n_flagged": n_flagged,
+                    "chars_in": chars_in,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "warc_ts", "host", "lang", "detections", "n_blocks",
+                "n_content_blocks", "n_spans", "n_flagged", "chars_in",
+            ],
+        )
+
+
+def correct_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 2 mapInPandas kernel: detections → corrected extracted_text."""
+    for pdf in batches:
+        out = pdf.copy()
+        texts, spans_col, chars_out = [], [], []
+        for det_json in pdf["detections"]:
+            detections = [
+                BlockDetection(
+                    block_index=bi,
+                    text=text,
+                    spans=tuple(SpanFlag(s, e, f) for s, e, f in spans),
+                )
+                for bi, text, spans in json.loads(det_json)
+            ]
+            text, spans = correct_document(detections)
+            texts.append(text)
+            spans_col.append(json.dumps(spans))
+            chars_out.append(len(text))
+        out = out.drop(columns=["detections"])
+        out["extracted_text"] = texts
+        out["spans"] = spans_col
+        out["chars_out"] = chars_out
+        yield out[
+            [
+                "url", "warc_ts", "host", "lang", "extracted_text", "spans",
+                "n_blocks", "n_content_blocks", "n_spans", "n_flagged",
+                "chars_in", "chars_out",
+            ]
+        ]
+
+
+def extract_pages(pages_df):
+    """DataFrame-level two-stage extraction: pages → extraction table.
+
+    ``pages_df`` needs columns (url, warc_ts, html, lang); extra columns are
+    pruned (never carry html further than stage 1).
+    """
+    stage1 = pages_df.select("url", "warc_ts", "html", "lang").mapInPandas(
+        detect_stage, schema=DETECT_SCHEMA
+    )
+    return stage1.mapInPandas(correct_stage, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,201 @@
+"""End-to-end extraction job: partition layout, skew salting, resumable
+checkpoints, per-partition lineage + metrics.
+
+Iceberg note: the sandbox image has no Iceberg jars, so the Iceberg-layout
+contract (days(warc_ts) × bucket(url) partitioning, idempotent
+overwrite-by-partition, manifest-based resume) is implemented on plain
+parquet with Spark's dynamic partition overwrite + an explicit manifest
+table. The code paths are written so swapping the writer for
+``df.writeTo(...).overwritePartitions()`` is a one-line change per sink.
+
+Resume contract (north_rule): a killed job restarts, anti-joins the pending
+partition list against the manifest of completed partitions, and processes
+only the remainder; partition writes are idempotent overwrites, never blind
+appends (contrast the reference's append=True default,
+preprocessing/database.py:14-15).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .kernels_spark import extract_pages
+
+N_URL_BUCKETS = 16
+N_SALTS = 8  # host-aggregation salting fan-out
+
+
+def build_session(
+    app: str = "sbb-extract",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 256,
+) -> SparkSession:
+    """Tuned local session. ``arrow_batch`` caps Arrow batch row count so
+    html-binary batches stay memory-bounded (SURVEY.md §7.3 binary-heavy
+    rows)."""
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def with_partition_cols(pages: DataFrame) -> DataFrame:
+    """Add the Iceberg-style partition columns: dt = days(warc_ts),
+    bkt = bucket(url). Partition pruning on dt and co-location on bkt."""
+    return pages.withColumn("dt", F.to_date("warc_ts")).withColumn(
+        "bkt", F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).cast("int")
+    )
+
+
+def salted_host_agg(df: DataFrame, *aggs, host_col: str = "host") -> DataFrame:
+    """Two-phase skew-safe aggregation by host (north_rule: salt skewed
+    hosts before any shuffle). Phase 1 partial-aggregates by (host, salt) —
+    heavy hosts spread over N_SALTS reducers — phase 2 combines per host.
+
+    ``aggs`` are (colname, 'sum'|'count'|'max') specs; counts pass through a
+    sum in phase 2.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int")
+    )
+    phase1_exprs = []
+    phase2_exprs = []
+    for col, how in aggs:
+        partial = f"_{how}_{col}"
+        if how == "count":
+            phase1_exprs.append(F.count(F.lit(1)).alias(partial))
+        elif how == "sum":
+            phase1_exprs.append(F.sum(col).alias(partial))
+        elif how == "max":
+            phase1_exprs.append(F.max(col).alias(partial))
+        else:
+            raise ValueError(how)
+        final_fn = F.max if how == "max" else F.sum
+        phase2_exprs.append(final_fn(partial).alias(f"{how}_{col}" if how != "count" else "n_docs"))
+    return (
+        salted.groupBy(host_col, "_salt")
+        .agg(*phase1_exprs)
+        .groupBy(host_col)
+        .agg(*phase2_exprs)
+    )
+
+
+def _manifest_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "_manifest")
+
+
+def load_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Completed-partition manifest (dt, bkt, metrics...). Empty if absent."""
+    path = _manifest_path(output_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame(
+            [],
+            "dt date, bkt int, n_docs long, chars_in long, chars_out long, "
+            "n_flagged long, n_spans long, completed_at_epoch long",
+        )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    lang_filter: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """The flagship job: pages table → extracted table, partitioned by
+    (dt, bkt), resumable at partition granularity.
+
+    Returns a summary dict (docs processed, partitions done/skipped, secs).
+    """
+    t0 = time.time()
+    if lang_filter:
+        pages = pages.filter(F.col("lang") == lang_filter)  # P5 analog
+    pages = with_partition_cols(pages)
+
+    # pending partitions = all partitions − manifest (driver-side anti-join;
+    # the partition list is tiny even at 10^12 docs: days × buckets)
+    all_parts = pages.select("dt", "bkt").distinct()
+    done = load_manifest(spark, output_dir).select("dt", "bkt")
+    pending = all_parts.join(done, ["dt", "bkt"], "left_anti") if resume else all_parts
+    pending_rows = pending.collect()
+    n_skipped = all_parts.count() - len(pending_rows)
+    if not pending_rows:
+        return {
+            "docs": 0, "partitions_done": 0, "partitions_skipped": n_skipped,
+            "seconds": time.time() - t0,
+        }
+
+    # process only pending partitions; broadcast the (small) pending list.
+    # dt/bkt are pure functions of (url, warc_ts), so they are recomputed
+    # after the kernel rather than joined back — zero shuffles end to end.
+    pages_pending = pages.join(F.broadcast(pending), ["dt", "bkt"], "left_semi")
+    extracted = extract_pages(pages_pending)
+    extracted = extracted.withColumn("dt", F.to_date("warc_ts")).withColumn(
+        "bkt", F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).cast("int")
+    )
+
+    out_path = os.path.join(output_dir, "extractions")
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("dt", "bkt")
+        .parquet(out_path)
+    )
+
+    # per-partition lineage + metrics (A10), appended to the manifest last —
+    # a partition is "done" only after its data landed (idempotent restart)
+    metrics = (
+        spark.read.parquet(out_path)
+        .join(F.broadcast(pending), ["dt", "bkt"], "left_semi")
+        .groupBy("dt", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum("n_flagged").alias("n_flagged"),
+            F.sum("n_spans").alias("n_spans"),
+        )
+        .withColumn("completed_at_epoch", F.lit(int(time.time())))
+    )
+    metrics.write.mode("append").parquet(_manifest_path(output_dir))
+
+    n_docs = sum(
+        r["n_docs"] for r in metrics.select("n_docs").collect()
+    )
+    return {
+        "docs": int(n_docs),
+        "partitions_done": len(pending_rows),
+        "partitions_skipped": int(n_skipped),
+        "seconds": time.time() - t0,
+    }
+
+
+def job_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Aggregate job metrics from the manifest: chars in/out, detector hit
+    rate (A10 analog of the reference's corpus-level stats)."""
+    m = load_manifest(spark, output_dir)
+    return m.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("chars_in").alias("chars_in"),
+        F.sum("chars_out").alias("chars_out"),
+        (F.sum("n_flagged") / F.sum("n_spans")).alias("detector_hit_rate"),
+    )

@@ -1,0 +1,164 @@
+"""Pure string functions — the F1..F18 scalar-function surface of SURVEY.md §2.8.
+
+Everything here is deterministic, side-effect free and NumPy/stdlib only, so
+the same code runs inside the single-node oracle and inside Arrow-batched
+Spark kernels (byte-identity by construction).
+
+Reference parity notes (behavior re-derived, no code copied):
+* NFC normalization — reference normalizes before any comparison
+  (helpers.py:321-343); Spark has no NFC builtin, so it lives here.
+* max-length line splitting on separator boundaries mirrors the semantics of
+  split_iter / split_into_groups / split_with_max_len
+  (preprocessing/cli_preproc.py:29-68) including the inline assert cases at
+  cli_preproc.py:72-85 (ported verbatim to tests/test_textkit.py).
+* Levenshtein is our own DP implementation — NOT Spark's builtin — because
+  the reference uses dinglehopper's edit distance and we need one definition
+  on both the oracle and Spark sides.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterable, Iterator
+
+
+def nfc(s: str) -> str:
+    """Unicode NFC normalization (F1)."""
+    return unicodedata.normalize("NFC", s)
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def tokenize(s: str) -> list[str]:
+    """Whitespace tokenization (F2); drops empty tokens."""
+    return [t for t in _WS_RE.split(s) if t]
+
+
+_WORDPUNCT_RE = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
+
+
+def wordpunct_tokenize(s: str) -> list[str]:
+    """Word/punctuation tokenizer (F17 analog)."""
+    return _WORDPUNCT_RE.findall(s)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance, classic two-row DP (F12). Deterministic, stdlib-only."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, start=1):
+        cur = [j]
+        for i, ca in enumerate(a, start=1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def cer(ocr: str, gt: str) -> float:
+    """Character error rate = distance / len(gt) (F13 semantics)."""
+    if not gt:
+        return 0.0 if not ocr else float(len(ocr))
+    return levenshtein(ocr, gt) / len(gt)
+
+
+def char_ngrams(s: str, n: int) -> list[str]:
+    """Character n-grams of s (detector features)."""
+    if len(s) < n:
+        return [s] if s else []
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def word_shingles(tokens: list[str], n: int) -> list[str]:
+    """Word n-gram shingles (dedup features)."""
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def split_iter(s: str, sep: str = " ") -> list[str]:
+    """Separator split, empty pieces dropped — same observable output as the
+    reference's regex-generator split_iter (cli_preproc.py:29-35) on
+    non-degenerate input; its inline assert case is ported verbatim in
+    tests/test_textkit.py."""
+    return [p for p in s.split(sep) if p]
+
+
+def split_into_groups(s: str, sep: str = " ", max_len: int = 40) -> list[list[str]]:
+    """Greedy grouping of a string's tokens such that each group re-joins to
+    at most max_len chars (cli_preproc.py:38-54 semantics): a token longer
+    than max_len raises ValueError; a group is flushed when appending the
+    next token would exceed max_len."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    for t in split_iter(s, sep):
+        if len(t) > max_len:
+            raise ValueError(f"token longer than max_len={max_len}: {t!r}")
+        if len(sep.join(cur + [t])) > max_len:
+            groups.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    groups.append(cur)
+    return groups
+
+
+def split_with_max_len(s: str, sep: str = " ", max_len: int = 40) -> list[str]:
+    """Split a line at separator boundaries into chunks ≤ max_len
+    (cli_preproc.py:57-68 semantics). Inverse: ``reassemble``."""
+    return [sep.join(g) for g in split_into_groups(s, sep, max_len)]
+
+
+def reassemble(parts: Iterable[str], sep: str = " ") -> str:
+    """Inverse of split_with_max_len (cli_correct.py:34-59 analog)."""
+    return sep.join(parts)
+
+
+def sliding_windows(tokens: list[str], size: int = 4) -> Iterator[list[str]]:
+    """Token sliding windows, stride 1 (helpers.py:92-134 semantics): a
+    sequence shorter than `size` yields itself once; otherwise one window per
+    start position 0..len-size."""
+    if len(tokens) <= size:
+        if tokens:
+            yield tokens
+        return
+    for i in range(len(tokens) - size + 1):
+        yield tokens[i : i + size]
+
+
+def segment_runs(ids: list[int]) -> list[list[int]]:
+    """Gaps-and-islands segmentation of an int sequence: a gap of more than 1
+    starts a new run (helpers.py:137-223 semantics, W2)."""
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    prev: int | None = None
+    for i in ids:
+        if prev is not None and i - prev != 1:
+            runs.append(cur)
+            cur = []
+        cur.append(i)
+        prev = i
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+def char_labels(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
+    """Per-char equality labels: 1 correct, 2 error, 0 pad
+    (cli_preproc.py:405-412 semantics, F8). Both strings space-padded to the
+    longer length before comparison (F7)."""
+    n = max(len(ocr), len(gt))
+    o = ocr.ljust(n)
+    g = gt.ljust(n)
+    labels = [1 if a == b else 2 for a, b in zip(o, g)]
+    if pad_to > n:
+        labels += [0] * (pad_to - n)
+    return labels
