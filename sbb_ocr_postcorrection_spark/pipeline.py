@@ -40,6 +40,13 @@ def build_session(
     rows)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # ship this package to Python workers regardless of the driver's cwd —
+    # the local-mode analog of `spark-submit --py-files pkg.zip`
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        py_path = f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+        os.environ["PYTHONPATH"] = py_path
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -51,6 +58,7 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.executorEnv.PYTHONPATH", py_path)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -59,8 +67,13 @@ def build_session(
 
 def with_partition_cols(pages: DataFrame) -> DataFrame:
     """Add the Iceberg-style partition columns: dt = days(warc_ts),
-    bkt = bucket(url). Partition pruning on dt and co-location on bkt."""
-    return pages.withColumn("dt", F.to_date("warc_ts")).withColumn(
+    bkt = bucket(url). Partition pruning on dt and co-location on bkt.
+
+    Null warc_ts maps to the 1970-01-01 sentinel partition — a null dt would
+    silently drop rows at the resume semi-join (null keys never match)."""
+    return pages.withColumn(
+        "dt", F.coalesce(F.to_date("warc_ts"), F.lit("1970-01-01").cast("date"))
+    ).withColumn(
         "bkt", F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).cast("int")
     )
 
@@ -149,10 +162,7 @@ def run_extraction_job(
     # dt/bkt are pure functions of (url, warc_ts), so they are recomputed
     # after the kernel rather than joined back — zero shuffles end to end.
     pages_pending = pages.join(F.broadcast(pending), ["dt", "bkt"], "left_semi")
-    extracted = extract_pages(pages_pending)
-    extracted = extracted.withColumn("dt", F.to_date("warc_ts")).withColumn(
-        "bkt", F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).cast("int")
-    )
+    extracted = with_partition_cols(extract_pages(pages_pending))
 
     out_path = os.path.join(output_dir, "extractions")
     (
