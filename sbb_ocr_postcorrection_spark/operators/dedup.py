@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over the `documents` table:
+  exact        md5-hash groupBy (full-content identity)
+  jaccard      exact n-gram-shingle Jaccard via shingle self-join (the
+               verifiable oracle for the approximate methods)
+  minhash_lsh  MinHash signatures + banded LSH candidate generation —
+               the 100-TB-scale path: candidates come from equality joins on
+               band keys, never a cross join
+  simhash      64-bit SimHash fingerprints, near-dup = small hamming radius
+
+Everything JVM-side (xxhash64, transform, aggregate) — no Python in the hot
+path; the shingle explode is bounded by document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .relational import load
+
+# MinHash parameters: 16 permutations, 4 bands × 4 rows. The modulus is
+# Mersenne-31 so a*h+b stays far below 2^63 (Spark 4 runs ANSI mode: long
+# overflow is an error, not a wrap).
+_MINHASH_PERMS = [(2 * i + 1, 40503 * i + 7) for i in range(16)]
+_BANDS = 4
+_ROWS_PER_BAND = 4
+_MERSENNE = (1 << 31) - 1
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+
+
+def _shingles(tokens_col, n: int = 3):
+    """Word n-gram shingles via JVM sequence/transform (no UDF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens_col, i),
+                F.element_at(tokens_col, i + 1),
+                F.element_at(tokens_col, i + 2),
+            ),
+        )
+    )
+
+
+def exact_groups(spark, sf_dir) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; keeper = min doc_id per
+    group. Two-phase hash agg, shuffle on the digest only (never the text)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def shingle_table(spark, sf_dir) -> DataFrame:
+    """(doc_id, lang, shingle) exploded distinct-shingle relation plus
+    per-doc shingle count — the shared input of jaccard/minhash."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode(_shingles(_tokens(F.col("text")))).alias("shingle"),
+    )
+    return sh
+
+
+def jaccard_pairs(spark, sf_dir, threshold: float = 0.0, k: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a language block.
+
+    Plan: explode shingles → self-equi-join on (lang, shingle) → pair
+    intersection counts → join per-doc sizes → J = |∩| / (|a|+|b|-|∩|).
+    At scale the shingle join is the standard blocking trick: only documents
+    sharing a shingle ever meet (no O(n²) cross join); hot shingles would be
+    capped by a df.filter on shingle frequency (not needed at test SF).
+    """
+    sh = shingle_table(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("id2") == F.col("sb.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+        .orderBy(F.desc("jaccard"), F.asc("id1"), F.asc("id2"))
+        .limit(k)
+    )
+    return jac
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """16-permutation MinHash signature per document, fully JVM-side:
+    sig_j = min over shingles of (a_j * xxhash64(shingle) + b_j) mod M."""
+    sh = shingle_table(spark, sf_dir).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    )
+    sig_cols = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_lsh_candidates(spark, sf_dir) -> DataFrame:
+    """Banded LSH: band key = hash of 4 consecutive signature slots; docs
+    sharing any band key become a candidate pair. Equality join on the band
+    key — this is what scales: shuffle keys are (band_idx, band_hash), and a
+    skewed band (boilerplate-heavy corpora) can be salted like any hot key."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(_BANDS):
+        cols = [f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+            )
+        )
+    bt = bands[0]
+    for b in bands[1:]:
+        bt = bt.unionByName(b)
+    a = bt.alias("a")
+    c = bt.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("c.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash per document, JVM-side and single-pass: explode
+    tokens, hash each once, then ONE groupBy(doc_id) carrying 64 signed
+    bit-vote sums (partial aggregation map-side, so the shuffle moves 64
+    longs per doc, not the tokens). Bit i set iff its vote is positive."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    # assemble the signed 64-bit fingerprint: bit 63 contributes -(2^63)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        weight = F.lit(-(2 ** 63)).cast("long") if i == 63 else F.lit(2 ** i).cast("long")
+        fp = fp + F.when(F.col(f"v{i}") > 0, weight).otherwise(F.lit(0).cast("long"))
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_bucket_pairs(spark, sf_dir, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup candidates = docs sharing the top `prefix_bits` of their
+    SimHash (one rotation; production would union several rotations)."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    keyed = fp.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )

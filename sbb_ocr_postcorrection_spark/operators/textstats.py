@@ -1,0 +1,98 @@
+"""Text-analysis operators over `documents`: language-ID, quality scoring,
+token counting, fingerprinting. All JVM-side column expressions (lambda
+higher-order functions), each with an exact DuckDB-SQL oracle.
+
+These are the P5/A1/A7 analogs of the reference (language filter
+cli_preproc.py:595-604; token frequency heuristics.py:54-112) generalized to
+the operations a 100-TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .relational import load
+from ..wordlists import ENGLISH_STOPWORDS, GERMAN_STOPWORDS
+
+# pin the stopword sets used by BOTH Spark and the SQL oracle
+DE_STOPS = tuple(sorted(GERMAN_STOPWORDS))
+EN_STOPS = tuple(sorted(ENGLISH_STOPWORDS))
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    """Heuristic language ID: count German vs English stopword hits; guess
+    the majority, 'unk' on ties (langid-filter analog,
+    cli_preproc.py:595-604 — here recomputed instead of trusted)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    de_arr = F.array(*[F.lit(w) for w in DE_STOPS])
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPS])
+    de_hits = F.size(F.filter(toks, lambda t: F.array_contains(de_arr, t)))
+    en_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        de_hits.alias("de_hits"),
+        en_hits.alias("en_hits"),
+        F.when(de_hits > en_hits, "de")
+        .when(en_hits > de_hits, "en")
+        .otherwise("unk")
+        .alias("lang_guess"),
+    )
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Quality heuristics: alpha-char ratio, token count, mean token length;
+    the keep/drop verdict a pretraining filter would apply."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    alpha_ratio = F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4)
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        (
+            (n_toks >= 10) & (alpha_ratio > 0.6)
+        ).cast("int").alias("quality_keep"),
+    )
+
+
+def token_stats(spark, sf_dir) -> DataFrame:
+    """Per-source token accounting (the corpus-level stats the reference
+    prints per scope, run_dataset_statistics.py:45-110)."""
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(_tokens(F.col("text")))
+    return (
+        d.select("source", "lang", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def fingerprints(spark, sf_dir) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — the
+    canonical-form dedup key (order-insensitive, whitespace-insensitive)."""
+    d = load(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_distinct_tokens"),
+    )

@@ -1,0 +1,428 @@
+"""Driver-facing query registry: one entry per implemented operator class
+(SURVEY.md §2), each with its DuckDB oracle SQL (None → rows-only check for
+genuinely non-SQL ops like the extraction kernel itself).
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's sorted-column value-hash matches.
+Determinism contract: every top-k has a total-order tie-break; every double
+is rounded at a decimal precision where binary doubles cannot sit exactly
+on a rounding boundary (denominators 2^a·5^b with b>0 are not representable,
+so HALF_UP vs HALF_EVEN never diverges).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, multimodal, relational as R, similarity, textstats
+from .operators.textstats import DE_STOPS, EN_STOPS
+
+
+def _pin(spark: SparkSession) -> None:
+    """Pin session semantics the oracle comparison depends on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(l) - 2, 1)), "
+    "i -> concat_ws(' ', l[i], l[i+1], l[i+2])))"
+)
+
+
+# --------------------------------------------------------------------------
+# flagship: the extraction pipeline itself (rows-only check — the kernel is
+# not SQL-expressible; its correctness gate is the byte-identity pytest)
+# --------------------------------------------------------------------------
+
+_PAGE_TMPL = (
+    "<!DOCTYPE html><html><head><title>d</title><script>x()</script></head>"
+    "<body><nav><ul><li><a href='/h'>home</a></li><li><a href='/a'>about</a>"
+    "</li><li><a href='/c'>contact</a></li></ul></nav><main>{paras}</main>"
+    "<footer><a href='/i'>imprint</a> <a href='/p'>privacy terms</a></footer>"
+    "</body></html>"
+)
+
+
+def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap each documents row into the canonical pages
+    schema (url, warc_ts, html, text, lang) — JVM-side template concat, so
+    the page table is reproducible on any executor."""
+    d = R.load(spark, sf_dir, "documents")
+    paras = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><div class='promo'><a href='/x'>subscribe newsletter</a></div><p>"),
+        F.reverse(F.col("text")),
+        F.lit("</p>"),
+    )
+    html_str = F.concat(
+        F.lit(_PAGE_TMPL.split("{paras}")[0]), paras, F.lit(_PAGE_TMPL.split("{paras}")[1])
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://docs.example.org/"), F.col("source"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id") * 61)).alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end two-stage extraction over synthesized pages: detect →
+    correct kernels, then the per-url output with metrics + content digest."""
+    from .kernels_spark import extract_pages
+
+    _pin(spark)
+    pages = synth_pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        "host",
+        "lang",
+        F.md5("extracted_text").alias("content_md5"),
+        "n_blocks",
+        "n_content_blocks",
+        "n_spans",
+        "n_flagged",
+        "chars_in",
+        "chars_out",
+    )
+
+
+def extract_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: skew-safe per-host rollup of extraction metrics via the salted
+    two-phase aggregation."""
+    from .kernels_spark import extract_pages
+    from .pipeline import salted_host_agg
+
+    _pin(spark)
+    out = extract_pages(synth_pages_from_documents(spark, sf_dir))
+    return salted_host_agg(
+        out, ("chars_in", "sum"), ("chars_out", "sum"), ("url", "count")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def pinned(fn):
+        def wrapped(spark, sf_dir):
+            _pin(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return {
+        # flagship kernels (rows-only)
+        "extract_pipeline": extract_flagship,
+        "extract_host_metrics": extract_host_metrics,
+        # filters / projections
+        "filter_project": pinned(R.filter_project),
+        "cer_bucket_hist": pinned(R.cer_bucket_hist),
+        "similarity_band": pinned(R.similarity_band),
+        # joins
+        "equijoin_agg": pinned(R.equijoin_agg),
+        "broadcast_dim_join": pinned(R.broadcast_dim_join),
+        "routing_semi": pinned(R.routing_semi),
+        "routing_anti": pinned(R.routing_anti),
+        "reassembly": pinned(R.reassembly),
+        # windows
+        "sliding_window": pinned(R.sliding_window),
+        "gaps_islands": pinned(R.gaps_islands),
+        "topk_per_group": pinned(R.topk_per_group),
+        # aggregations
+        "rollup_stats": pinned(R.rollup_stats),
+        "topk_vocab": pinned(R.topk_vocab),
+        "bigram_confusion_topk": pinned(R.bigram_confusion_topk),
+        "mean_by_group": pinned(R.mean_by_group),
+        "minmax_by_group": pinned(R.minmax_by_group),
+        "hourly_rollup": pinned(R.hourly_rollup),
+        # set ops / splits
+        "stratified_split": pinned(R.stratified_split),
+        "union_slices": pinned(R.union_slices),
+        # dedup family
+        "dedup_exact": pinned(dedup.exact_groups),
+        "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
+        "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),   # rows-only
+        "dedup_simhash": pinned(dedup.simhash_bucket_pairs),         # rows-only
+        # similarity search
+        "ann_brute_force": pinned(similarity.brute_force_topk),
+        "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),    # rows-only
+        "embedding_norms": pinned(similarity.embedding_norms),
+        # text analysis
+        "lang_id": pinned(textstats.lang_id),
+        "quality_score": pinned(textstats.quality_score),
+        "token_stats": pinned(textstats.token_stats),
+        "fingerprints": pinned(textstats.fingerprints),
+        # multimodal plumbing (rows-only: mapInPandas decode stub)
+        "multimodal_decode": pinned(multimodal.decode_metadata),
+        "frame_sample": pinned(multimodal.frame_sample_plan),
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    de = _sql_list(DE_STOPS)
+    en = _sql_list(EN_STOPS)
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        """,
+        "cer_bucket_hist": """
+            SELECT CASE WHEN l_discount = 0.0 THEN '0.00'
+                        WHEN l_discount < 0.02 THEN '<0.02'
+                        WHEN l_discount < 0.04 THEN '<0.04'
+                        WHEN l_discount < 0.06 THEN '<0.06'
+                        WHEN l_discount < 0.08 THEN '<0.08'
+                        WHEN l_discount < 0.10 THEN '<0.10'
+                        ELSE '>=0.10' END AS cer_bucket,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY 1
+        """,
+        "similarity_band": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_quantity / 10) AS BIGINT) AS allowed_dist,
+                   CASE WHEN l_linenumber <= floor(l_quantity / 10) THEN 1 ELSE 0 END AS similarity
+            FROM lineitem
+        """,
+        "equijoin_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "routing_semi": """
+            SELECT c_nationkey, count(*) AS n_with_orders
+            FROM customer WHERE EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "routing_anti": """
+            SELECT p_brand, count(*) AS n_never_ordered
+            FROM part WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '2001-06-01')
+            GROUP BY p_brand
+        """,
+        "reassembly": """
+            SELECT l_orderkey,
+                   string_agg(l_returnflag, ''
+                              ORDER BY l_linenumber, l_returnflag) AS flags_in_order,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sliding_window": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 4) AS win_sum,
+                   count(*) OVER w AS win_len
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        """,
+        "gaps_islands": """
+            WITH g AS (
+              SELECT user_id, event_id, value,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+                          THEN 1 ELSE 0 END AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id, value,
+                     CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "topk_per_group": """
+            SELECT user_id, rn, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS INTEGER) AS rn
+              FROM events) t
+            WHERE rn <= 3
+        """,
+        "rollup_stats": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "topk_vocab": f"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents) t
+            GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100
+        """,
+        "bigram_confusion_topk": f"""
+            WITH toks AS (SELECT {_TOKS_SQL} AS l FROM documents)
+            SELECT bigram, count(*) AS cnt
+            FROM (SELECT unnest(list_transform(
+                     generate_series(1, len(l) - 1),
+                     i -> l[i] || ' ' || l[i+1])) AS bigram
+                  FROM toks WHERE len(l) >= 2) t
+            GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50
+        """,
+        "mean_by_group": """
+            SELECT l_returnflag, round(avg(l_discount), 6) AS avg_discount,
+                   round(avg(l_quantity), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "minmax_by_group": """
+            SELECT event_type, round(max(value), 4) AS max_value,
+                   round(min(value), 4) AS min_value, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stratified_split": """
+            SELECT o_orderstatus,
+                   CAST((o_orderkey * 2654435761) % 4294967296 % 10 AS INTEGER)
+                     AS split_bucket,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS sum_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "union_slices": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                         / count(*)) / 100.0 AS avg_price
+            FROM (
+              SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 50000
+              UNION ALL
+              SELECT * FROM orders WHERE o_orderstatus = 'F'
+            ) u GROUP BY o_orderstatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, {_TOKS_SQL} AS l FROM documents
+            ), sh AS (
+              SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle FROM toks
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id1 = sa.doc_id
+            JOIN sizes sb ON id2 = sb.doc_id
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) > 0
+            ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100
+        """,
+        "ann_brute_force": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+            corpus AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= 5),
+            scored AS (
+              SELECT probe_id, cand_id,
+                     round(list_inner_product(pv, cv) /
+                           (sqrt(list_inner_product(pv, pv)) *
+                            sqrt(list_inner_product(cv, cv))), 4) AS cosine
+              FROM probes, corpus
+            ), ranked AS (
+              SELECT probe_id, cand_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY probe_id
+                          ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+              FROM scored)
+            SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        "embedding_norms": """
+            WITH n AS (
+              SELECT label,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS norm
+              FROM embeddings)
+            SELECT label, count(*) AS n_vecs, round(avg(norm), 4) AS avg_norm,
+                   round(max(norm), 4) AS max_norm
+            FROM n GROUP BY label
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+            h AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(toks, x -> list_contains({de}, x))) AS INTEGER) AS de_hits,
+                     CAST(len(list_filter(toks, x -> list_contains({en}, x))) AS INTEGER) AS en_hits
+              FROM t)
+            SELECT doc_id, lang, de_hits, en_hits,
+                   CASE WHEN de_hits > en_hits THEN 'de'
+                        WHEN en_hits > de_hits THEN 'en'
+                        ELSE 'unk' END AS lang_guess
+            FROM h
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS alpha_ratio,
+                     round(list_sum(list_transform(toks, t -> length(t)))
+                           / greatest(len(toks), 1), 4) AS mean_token_len
+              FROM t)
+            SELECT doc_id, n_tokens, alpha_ratio, mean_token_len,
+                   CASE WHEN n_tokens >= 10 AND alpha_ratio > 0.6 THEN 1 ELSE 0 END
+                     AS quality_keep
+            FROM m
+        """,
+        "token_stats": f"""
+            WITH t AS (SELECT source, lang, len({_TOKS_SQL}) AS n_toks FROM documents)
+            SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   round(avg(n_toks), 4) AS avg_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM t GROUP BY source
+        """,
+        "fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+                   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+            FROM t
+        """,
+        "frame_sample": """
+            SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_len
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        # no oracle (rows-only): extract_pipeline, extract_host_metrics,
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_bucketed, multimodal_decode
+    }
