@@ -119,13 +119,58 @@ def correct_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ]
 
 
-def extract_pages(pages_df):
-    """DataFrame-level two-stage extraction: pages → extraction table.
+def fused_extract_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused detect→correct kernel: both stages inside ONE Python worker
+    pass (the reference's in-kernel detector→translator routing,
+    mt/cli_correct.py:1160-1186). Fusing matters operationally: chaining two
+    mapInPandas operators runs TWO Python workers per task (2× CPU
+    oversubscription at full parallelism) and ships the bulky intermediate
+    detections through the JVM — measured 6× slower at 32-way than fused."""
+    from .kernel import run_document
+
+    for pdf in batches:
+        rows = []
+        for url, ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            r = run_document(bytes(html))
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": ts,
+                    "host": _host_of(url),
+                    "lang": lang,
+                    "extracted_text": r.extracted_text,
+                    "spans": json.dumps([list(s) for s in r.spans]),
+                    "n_blocks": r.n_blocks,
+                    "n_content_blocks": r.n_content_blocks,
+                    "n_spans": r.n_spans,
+                    "n_flagged": r.n_flagged,
+                    "chars_in": r.chars_in,
+                    "chars_out": r.chars_out,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "warc_ts", "host", "lang", "extracted_text", "spans",
+                "n_blocks", "n_content_blocks", "n_spans", "n_flagged",
+                "chars_in", "chars_out",
+            ],
+        )
+
+
+def extract_pages(pages_df, two_stage: bool = False):
+    """DataFrame-level extraction: pages → extraction table.
 
     ``pages_df`` needs columns (url, warc_ts, html, lang); extra columns are
-    pruned (never carry html further than stage 1).
+    pruned (never carry html further than stage 1). Default is the fused
+    single-worker kernel; ``two_stage=True`` materializes the stage-1
+    detections as a DataFrame boundary (useful when a caller wants to
+    persist/inspect detections between the stages).
     """
-    stage1 = pages_df.select("url", "warc_ts", "html", "lang").mapInPandas(
-        detect_stage, schema=DETECT_SCHEMA
-    )
-    return stage1.mapInPandas(correct_stage, schema=EXTRACT_SCHEMA)
+    src = pages_df.select("url", "warc_ts", "html", "lang")
+    if two_stage:
+        stage1 = src.mapInPandas(detect_stage, schema=DETECT_SCHEMA)
+        return stage1.mapInPandas(correct_stage, schema=EXTRACT_SCHEMA)
+    return src.mapInPandas(fused_extract_stage, schema=EXTRACT_SCHEMA)

@@ -59,15 +59,24 @@ def exact_groups(spark, sf_dir) -> DataFrame:
 
 
 def shingle_table(spark, sf_dir) -> DataFrame:
-    """(doc_id, lang, shingle) exploded distinct-shingle relation plus
-    per-doc shingle count — the shared input of jaccard/minhash."""
-    d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "lang",
-        F.explode(_shingles(_tokens(F.col("text")))).alias("shingle"),
+    """(doc_id, lang, shingle) exploded distinct-shingle relation — the
+    shared input of jaccard/minhash.
+
+    Two deliberate plan choices:
+    * tokens are materialized as a column BEFORE the shingle transform —
+      inlining the tokenizer into the lambda makes Spark re-evaluate
+      split+filter for every element_at (measured 10× slowdown);
+    * the scan is repartitioned to the session's parallelism — a small
+      parquet file arrives as one partition and would run the CPU-heavy
+      explode single-threaded (at real scale the input has enough splits;
+      this keeps the toy-scale plan shaped like the real one)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return sh
+    toks = d.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    )
 
 
 def jaccard_pairs(spark, sf_dir, threshold: float = 0.0, k: int = 100) -> DataFrame:
@@ -165,7 +174,9 @@ def simhash_fingerprints(spark, sf_dir) -> DataFrame:
     tokens, hash each once, then ONE groupBy(doc_id) carrying 64 signed
     bit-vote sums (partial aggregation map-side, so the shuffle moves 64
     longs per doc, not the tokens). Bit i set iff its vote is positive."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).withColumn("h", F.xxhash64("token"))

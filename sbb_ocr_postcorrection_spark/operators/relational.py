@@ -223,7 +223,9 @@ def topk_vocab(spark, sf_dir) -> DataFrame:
     (wordpiece.py:23-51, encoding.py:140-145): explode tokens → two-phase
     hash count → TakeOrderedAndProject. Deterministic ties: (count desc,
     word asc)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.explode(
         F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     ).alias("word")
@@ -240,7 +242,9 @@ def bigram_confusion_topk(spark, sf_dir) -> DataFrame:
     """A6: confusion-pair counting (run_dataset_statistics.py:116-135) —
     here word bigrams, most_common(50). The explode happens JVM-side via
     transform(sequence(...)) — no Python in the hot path."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     d = d.select(toks.alias("toks"))
     bigrams = F.transform(

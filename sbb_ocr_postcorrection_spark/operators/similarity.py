@@ -37,7 +37,9 @@ def _as_double(col):
 def embedding_norms(spark, sf_dir) -> DataFrame:
     """Per-label stats over vector L2 norms — the A5/A8-style agg lifted to
     the embedding column."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     v = e.select("label", _as_double(F.col("embedding")).alias("v"))
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     return (
@@ -55,18 +57,27 @@ def brute_force_topk(spark, sf_dir, n_probes: int = 5, k: int = 5) -> DataFrame:
     """Exact cosine top-k: probes = vec_id < n_probes, corpus = the rest.
     Probe set is broadcast (tiny); the scan over the corpus is a single
     narrow stage; top-k per probe via row_number. Ordering key is the
-    ROUNDED similarity + vec_id so results are stable under fp jitter."""
-    e = load(spark, sf_dir, "embeddings")
+    ROUNDED similarity + vec_id so results are stable under fp jitter.
+
+    Norms are precomputed once per row (NOT per pair — higher-order array
+    exprs are interpreted, so a per-pair norm recompute cost ~3× measured);
+    the scan is repartitioned because the toy parquet is a single split."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = _as_double(F.col("embedding"))
     probes = e.filter(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        v.alias("pv"),
+        F.sqrt(_dot(v, v)).alias("pnorm"),
     )
     corpus = e.filter(F.col("vec_id") >= n_probes).select(
-        F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cv")
+        F.col("vec_id").alias("cand_id"),
+        v.alias("cv"),
+        F.sqrt(_dot(v, v)).alias("cnorm"),
     )
     sim = F.round(
-        _dot(F.col("pv"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("pv"), F.col("pv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
-        4,
+        _dot(F.col("pv"), F.col("cv")) / (F.col("pnorm") * F.col("cnorm")), 4
     ).alias("cosine")
     scored = corpus.crossJoin(F.broadcast(probes)).select("probe_id", "cand_id", sim)
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -81,7 +92,9 @@ def lsh_signatures(spark, sf_dir) -> DataFrame:
     """Random-hyperplane signature: bit p = sign of dot(v, plane_p), planes
     derived deterministically from xxhash64(p, d) — reproducible on any
     executor with no broadcast weights."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     v = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
     dim = 64  # embeddings table dimension (documents in TESTDATA are 64-d)
     sig = F.lit(0).cast("long")
@@ -109,21 +122,23 @@ def lsh_bucketed_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFrame
     """ANN: candidates share the probe's LSH bucket; cosine + top-k within.
     The join is bucket-equality — at 100 TB this shuffles on (bucket), never
     compares across buckets, and skewed buckets can be salted."""
-    sig = lsh_signatures(spark, sf_dir)
+    sig = lsh_signatures(spark, sf_dir).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     probes = sig.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("lsh_bucket").alias("pb"),
         F.col("v").alias("pv"),
+        F.col("norm").alias("pnorm"),
     )
     corpus = sig.filter(F.col("vec_id") >= n_probes).select(
         F.col("vec_id").alias("cand_id"),
         F.col("lsh_bucket").alias("cb"),
         F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
     )
     sim = F.round(
-        _dot(F.col("pv"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("pv"), F.col("pv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
-        4,
+        _dot(F.col("pv"), F.col("cv")) / (F.col("pnorm") * F.col("cnorm")), 4
     ).alias("cosine")
     scored = corpus.join(F.broadcast(probes), F.col("cb") == F.col("pb")).select(
         "probe_id", "cand_id", sim

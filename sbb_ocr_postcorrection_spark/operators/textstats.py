@@ -27,7 +27,9 @@ def lang_id(spark, sf_dir) -> DataFrame:
     """Heuristic language ID: count German vs English stopword hits; guess
     the majority, 'unk' on ties (langid-filter analog,
     cli_preproc.py:595-604 — here recomputed instead of trusted)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens(F.col("text"))
     de_arr = F.array(*[F.lit(w) for w in DE_STOPS])
     en_arr = F.array(*[F.lit(w) for w in EN_STOPS])
@@ -48,7 +50,9 @@ def lang_id(spark, sf_dir) -> DataFrame:
 def quality_score(spark, sf_dir) -> DataFrame:
     """Quality heuristics: alpha-char ratio, token count, mean token length;
     the keep/drop verdict a pretraining filter would apply."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens(F.col("text"))
     n_toks = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
@@ -72,7 +76,9 @@ def quality_score(spark, sf_dir) -> DataFrame:
 def token_stats(spark, sf_dir) -> DataFrame:
     """Per-source token accounting (the corpus-level stats the reference
     prints per scope, run_dataset_statistics.py:45-110)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     n_toks = F.size(_tokens(F.col("text")))
     return (
         d.select("source", "lang", n_toks.alias("n_toks"))
@@ -89,7 +95,9 @@ def token_stats(spark, sf_dir) -> DataFrame:
 def fingerprints(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (order-insensitive, whitespace-insensitive)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
     return d.select(
         "doc_id",

@@ -162,6 +162,14 @@ def run_extraction_job(
     # dt/bkt are pure functions of (url, warc_ts), so they are recomputed
     # after the kernel rather than joined back — zero shuffles end to end.
     pages_pending = pages.join(F.broadcast(pending), ["dt", "bkt"], "left_semi")
+    # repartition on the layout key before the kernel: parallelizes the
+    # CPU-heavy stage regardless of input split count and co-locates each
+    # output partition's rows with its writer task (one file per (dt,bkt))
+    n_tasks = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    pages_pending = pages_pending.repartition(n_tasks, "dt", "bkt")
     extracted = with_partition_cols(extract_pages(pages_pending))
 
     out_path = os.path.join(output_dir, "extractions")

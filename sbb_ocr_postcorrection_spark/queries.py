@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import dedup, multimodal, relational as R, similarity, textstats
+from .operators import dedup, lines, multimodal, relational as R, similarity, textstats
 from .operators.textstats import DE_STOPS, EN_STOPS
 
 
@@ -55,7 +55,12 @@ def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap each documents row into the canonical pages
     schema (url, warc_ts, html, text, lang) — JVM-side template concat, so
     the page table is reproducible on any executor."""
-    d = R.load(spark, sf_dir, "documents")
+    # hash-repartition on the key: the toy parquet is one split, which would
+    # pin the downstream CPU-heavy kernels to a single core (real corpora
+    # arrive with thousands of splits; this keeps the toy plan shaped the same)
+    d = R.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     paras = F.concat(
         F.lit("<p>"),
         F.col("text"),
@@ -167,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": pinned(textstats.quality_score),
         "token_stats": pinned(textstats.token_stats),
         "fingerprints": pinned(textstats.fingerprints),
+        # line split → posexplode → relational reassembly (F10/J7 pair;
+        # greedy split is kernel-side → rows-only, but the result column
+        # roundtrip_ok self-certifies: must be 1 for every doc)
+        "line_split_roundtrip": pinned(lines.split_roundtrip),
         # multimodal plumbing (rows-only: mapInPandas decode stub)
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "frame_sample": pinned(multimodal.frame_sample_plan),

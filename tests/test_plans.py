@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the plans we ship are the plans we want.
+
+These encode the scale contract (SURVEY.md §4.2): filters reach the parquet
+scan, small dims broadcast, per-document kernels stay shuffle-free, and
+column pruning keeps the binary html column out of metric-only subtrees.
+"""
+
+import pytest
+
+from sbb_ocr_postcorrection_spark.operators import relational as R
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = R.filter_project(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = R.filter_project(spark, SF_DIR)
+    plan = plan_of(df)
+    # ReadSchema must not include unused wide columns
+    assert "l_comment" not in plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1]
+
+
+def test_broadcast_join_chosen(spark):
+    plan = plan_of(R.broadcast_dim_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_are_joins_not_scans(spark):
+    semi = plan_of(R.routing_semi(spark, SF_DIR))
+    anti = plan_of(R.routing_anti(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    # the right-side date filter of the anti join must be pushed to its scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in anti
+
+
+def test_extract_kernel_no_shuffle(spark):
+    """The two-stage extract itself is shuffle-free; the only Exchange in
+    the flagship plan is the deliberate input-spread repartition below the
+    kernels (toy parquet = one split)."""
+    from sbb_ocr_postcorrection_spark.queries import extract_flagship
+
+    plan = plan_of(extract_flagship(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan
+    # no exchange above the kernels: the repartition must precede both
+    assert plan.index("Exchange") > plan.index("MapInPandas")
+
+
+def test_agg_is_two_phase(spark):
+    plan = plan_of(R.equijoin_agg(spark, SF_DIR))
+    # partial + final hash aggregation around a single exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(R.topk_vocab(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    df = R.cer_bucket_hist(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "isFinalPlan=true" in plan
