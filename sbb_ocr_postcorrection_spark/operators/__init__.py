@@ -3,4 +3,12 @@ idiomatic DataFrame/Catalyst plans over the driver's test tables, plus the
 training-data-pipeline operators (dedup, similarity search, text analysis,
 multimodal plumbing)."""
 
-from . import relational, dedup, lines, similarity, textstats, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    evaluation,
+    lines,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)

@@ -16,7 +16,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import dedup, lines, multimodal, relational as R, similarity, textstats
+from .operators import (
+    dedup,
+    evaluation,
+    lines,
+    multimodal,
+    relational as R,
+    similarity,
+    textstats,
+)
 from .operators.textstats import DE_STOPS, EN_STOPS
 
 
@@ -155,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_by_group": pinned(R.mean_by_group),
         "minmax_by_group": pinned(R.minmax_by_group),
         "hourly_rollup": pinned(R.hourly_rollup),
+        "detector_eval": pinned(evaluation.detector_eval),
         # set ops / splits
         "stratified_split": pinned(R.stratified_split),
         "union_slices": pinned(R.union_slices),
@@ -313,6 +322,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "detector_eval": """
+            WITH b AS (
+              SELECT CASE WHEN value > 15 THEN 1 ELSE 0 END AS p,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+              FROM events
+            ), c AS (
+              SELECT CAST(sum(p * t) AS BIGINT) AS tp,
+                     CAST(sum(p * (1 - t)) AS BIGINT) AS fp,
+                     CAST(sum((1 - p) * t) AS BIGINT) AS fn,
+                     CAST(sum((1 - p) * (1 - t)) AS BIGINT) AS tn
+              FROM b
+            )
+            SELECT tp, fp, fn, tn,
+                   round(tp / greatest(tp + fp, 1), 6) AS prec,
+                   round(tp / greatest(tp + fn, 1), 6) AS rec,
+                   round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+                         / greatest(tp / greatest(tp + fp, 1)
+                                    + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1,
+                   round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+            FROM c
         """,
         "stratified_split": """
             SELECT o_orderstatus,

@@ -1,0 +1,42 @@
+"""Sources/sinks: schema-pinned scan, pruned scan, partitioned sink."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+from sbb_ocr_postcorrection_spark.sources import pages_io
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("io") / "pages.parquet")
+    pq.write_table(pages_to_arrow(generate_pages(60, seed=3)), p)
+    return p
+
+
+def test_read_pages_schema(spark, pages_path):
+    df = pages_io.read_pages(spark, pages_path)
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 60
+
+
+def test_pruned_scan_drops_html(spark, pages_path):
+    df = pages_io.read_pages_pruned(spark, pages_path, need_html=False, lang="de")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # html binary must not appear in the parquet ReadSchema
+    assert "html" not in plan.split("ReadSchema")[-1]
+    assert "EqualTo(lang,de)" in plan or "lang" in plan.split("PushedFilters")[-1]
+    assert set(df.columns) == {"url", "warc_ts", "lang", "text"}
+
+
+def test_partitioned_sink_roundtrip(spark, pages_path, tmp_path):
+    from sbb_ocr_postcorrection_spark.pipeline import with_partition_cols
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+
+    pages = pages_io.read_pages(spark, pages_path)
+    out = with_partition_cols(extract_pages(pages))
+    dest = str(tmp_path / "sink")
+    pages_io.write_extractions(out, dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == 60
+    assert {"dt", "bkt"} <= set(back.columns)
