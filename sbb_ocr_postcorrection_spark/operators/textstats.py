@@ -92,6 +92,38 @@ def token_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def token_class_freq(spark, sf_dir) -> DataFrame:
+    """A7: token frequencies per dictionary class (heuristics.py:54-112):
+    classify each token as german-stopword / english-stopword / numeric /
+    other, count per (class, token), keep the top 20 per class (ties by
+    token) — the per-class frequency tables the heuristics corrector
+    consults."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    de_arr = F.array(*[F.lit(w) for w in DE_STOPS])
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPS])
+    cls = (
+        F.when(F.array_contains(de_arr, F.col("token")), "de_stop")
+        .when(F.array_contains(en_arr, F.col("token")), "en_stop")
+        .when(F.col("token").rlike("^[0-9]+$"), "numeric")
+        .otherwise("other")
+        .alias("token_class")
+    )
+    counts = tok.select("token", cls).groupBy("token_class", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("token_class").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("token_class", "rnk", "token", "cnt")
+    )
+
+
 def fingerprints(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (order-insensitive, whitespace-insensitive)."""

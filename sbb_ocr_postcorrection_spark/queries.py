@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pinned(textstats.lang_id),
         "quality_score": pinned(textstats.quality_score),
         "token_stats": pinned(textstats.token_stats),
+        "token_class_freq": pinned(textstats.token_class_freq),
         "fingerprints": pinned(textstats.fingerprints),
         # line split → posexplode → relational reassembly (F10/J7 pair;
         # greedy split is kernel-side → rows-only, but the result column
@@ -486,6 +487,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_toks), 4) AS avg_tokens,
                    count(DISTINCT lang) AS n_langs
             FROM t GROUP BY source
+        """,
+        "token_class_freq": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS_SQL}) AS token FROM documents
+            ), cls AS (
+              SELECT token,
+                     CASE WHEN list_contains({de}, token) THEN 'de_stop'
+                          WHEN list_contains({en}, token) THEN 'en_stop'
+                          WHEN regexp_matches(token, '^[0-9]+$') THEN 'numeric'
+                          ELSE 'other' END AS token_class
+              FROM tok
+            ), counts AS (
+              SELECT token_class, token, count(*) AS cnt
+              FROM cls GROUP BY token_class, token
+            )
+            SELECT token_class, rnk, token, cnt FROM (
+              SELECT token_class, token, cnt,
+                     CAST(row_number() OVER (PARTITION BY token_class
+                          ORDER BY cnt DESC, token ASC) AS INTEGER) AS rnk
+              FROM counts) t
+            WHERE rnk <= 20
         """,
         "fingerprints": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
