@@ -1,0 +1,74 @@
+"""Streaming ingest: pages arriving as parquet files → extraction →
+per-crawl-day metric windows.
+
+Design notes for the 100-TB continuous-crawl extension:
+* the fused kernel is partition-local and stateless, so it lifts to a
+  stream unchanged (`mapInPandas` works on streaming DataFrames);
+* metrics aggregate over event-time windows of ``warc_ts`` with a
+  watermark — late WARC records (re-crawls, delayed uploads) fold into
+  their window until the watermark passes;
+* the real sink would be ``foreachBatch`` doing the same idempotent
+  overwrite-by-partition as the batch job (exactly-once per partition);
+  the memory sink here is for tests/demos.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels_spark import EXTRACT_SCHEMA, fused_extract_stage
+from ..sources.pages_io import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """File-source stream over a directory of pages parquet files."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def extract_stream(pages_stream: DataFrame) -> DataFrame:
+    """The batch kernel, lifted: same schema, same bytes per url."""
+    return pages_stream.select("url", "warc_ts", "html", "lang").mapInPandas(
+        fused_extract_stage, schema=EXTRACT_SCHEMA
+    )
+
+
+def windowed_metrics(extracted: DataFrame, window: str = "1 day",
+                     watermark: str = "2 days") -> DataFrame:
+    """Event-time metric rollup with late-data handling (A10 over time):
+    docs, chars in/out and detector hit rate per warc_ts window."""
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            (F.sum("n_flagged") / F.greatest(F.sum("n_spans"), F.lit(1))).alias(
+                "detector_hit_rate"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang", "docs", "chars_in", "chars_out", "detector_hit_rate",
+        )
+    )
+
+
+def run_stream_once(spark: SparkSession, input_dir: str, query_name: str = "extract_metrics"):
+    """Drive the stream to completion over the files currently present
+    (memory sink; tests use this)."""
+    stream = read_pages_stream(spark, input_dir)
+    metrics = windowed_metrics(extract_stream(stream))
+    q = (
+        metrics.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -29,6 +29,26 @@ def test_pruned_scan_drops_html(spark, pages_path):
     assert set(df.columns) == {"url", "warc_ts", "lang", "text"}
 
 
+def test_partition_pruning_on_layout_key(spark, pages_path, tmp_path):
+    """A dt-filtered read of the partitioned output must prune partitions
+    at planning time (PartitionFilters on the scan), not scan-and-filter —
+    the property that makes day-scoped queries cheap at 10^12 docs."""
+    from pyspark.sql import functions as F
+    from sbb_ocr_postcorrection_spark.pipeline import with_partition_cols
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+
+    pages = pages_io.read_pages(spark, pages_path)
+    out = with_partition_cols(extract_pages(pages))
+    dest = str(tmp_path / "pruned")
+    pages_io.write_extractions(out, dest)
+
+    some_dt = spark.read.parquet(dest).select("dt").first()["dt"]
+    q = spark.read.parquet(dest).filter(F.col("dt") == F.lit(some_dt))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert q.count() > 0
+
+
 def test_partitioned_sink_roundtrip(spark, pages_path, tmp_path):
     from sbb_ocr_postcorrection_spark.pipeline import with_partition_cols
     from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
