@@ -142,31 +142,47 @@ def minhash_lsh_candidates(spark, sf_dir) -> DataFrame:
     key — this is what scales: shuffle keys are (band_idx, band_hash), and a
     skewed band (boilerplate-heavy corpora) can be salted like any hot key."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(_BANDS):
-        cols = [f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    # one pass: explode an array of (band, band_hash) structs rather than
+    # unioning 4 selects (a union re-evaluates the signature subtree per
+    # branch — the shingle explode and 16 min-aggs would run 4×)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh_{b * _ROWS_PER_BAND + r}")
+                        for r in range(_ROWS_PER_BAND)
+                    ]
+                ).alias("band_hash"),
             )
-        )
-    bt = bands[0]
-    for b in bands[1:]:
-        bt = bt.unionByName(b)
-    a = bt.alias("a")
-    c = bt.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.band_hash") == F.col("c.band_hash"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id1"), F.col("c.doc_id").alias("id2"))
-        .distinct()
+            for b in range(_BANDS)
+        ]
     )
+    bt = sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+    # candidate pairs per bucket WITHOUT a self-join: group to the bucket's
+    # sorted id list, expand pairs in-array. One shuffle on the band key
+    # (saltable if a boilerplate-heavy bucket goes hot), subtree evaluated
+    # once. Pair expansion is quadratic per bucket by definition of LSH —
+    # production adds a bucket-size cap; at test SF buckets are tiny.
+    groups = (
+        bt.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("id1"), F.col("p.b").alias("id2")
+    ).distinct()
 
 
 def simhash_fingerprints(spark, sf_dir) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Cross-variant operator consistency + property tests."""
+
+from hypothesis import given, settings, strategies as st
+
+from sbb_ocr_postcorrection_spark.correct import best_correction, correct_token
+from sbb_ocr_postcorrection_spark.detect import flag_spans
+from sbb_ocr_postcorrection_spark.wordlists import DICTIONARY, NOISE_SUBS
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_np_matches_jvm(spark):
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+
+    jvm = {
+        (r["probe_id"], r["rank"]): (r["cand_id"], r["cosine"])
+        for r in brute_force_topk(spark, SF).collect()
+    }
+    np_ = {
+        (r["probe_id"], r["rank"]): (r["cand_id"], r["cosine"])
+        for r in brute_force_topk_np(spark, SF).collect()
+    }
+    assert jvm == np_
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH recall property: pairs with very high exact Jaccard should be
+    found by the banded MinHash (4 bands × 4 rows → ~99% recall at J=0.9)."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    exact = {
+        (r["id1"], r["id2"])
+        for r in jaccard_pairs(spark, SF).collect()
+        if r["jaccard"] >= 0.9
+    }
+    cands = {
+        (r["id1"], r["id2"]) for r in minhash_lsh_candidates(spark, SF).collect()
+    }
+    missed = exact - cands
+    assert len(missed) <= max(1, len(exact) // 10), (len(exact), missed)
+
+
+@given(st.sampled_from(sorted(DICTIONARY)), st.integers(0, len(NOISE_SUBS) - 1))
+@settings(max_examples=200, deadline=None)
+def test_corrector_inverts_single_noise(word, sub_idx):
+    """Property: one applicable confusion substitution on a dictionary word
+    is always detected and corrected back to SOME dictionary word at edit
+    distance ≤ the injected distance (usually the original)."""
+    clean, noisy = NOISE_SUBS[sub_idx]
+    if clean not in word:
+        return
+    i = word.find(clean)
+    corrupted = word[:i] + noisy + word[i + len(clean):]
+    if corrupted in DICTIONARY:  # corruption happens to be another word
+        return
+    fixed = best_correction(corrupted)
+    assert fixed is not None, corrupted
+    assert fixed in DICTIONARY
+
+
+@given(st.text(alphabet="abcdefghij klmnop.,", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_flag_spans_cover_all_tokens(text):
+    spans = flag_spans(text)
+    # spans are disjoint, ordered, and cover exactly the non-space runs
+    rebuilt = [text[s.start:s.end] for s in spans]
+    assert rebuilt == text.split()
+
+
+@given(st.sampled_from(sorted(DICTIONARY)))
+@settings(max_examples=50, deadline=None)
+def test_correct_token_idempotent_on_clean(word):
+    assert correct_token(word) == word
+    assert correct_token(word.capitalize() + ",") == word.capitalize() + ","
