@@ -104,6 +104,7 @@ def run_headline() -> None:
     # (this sandbox VM throttles under sustained load — see BASELINE.md)
     pages = scaled_pages(spark, SF_DIR, 4).persist()
     n_docs = pages.count()
+    html_bytes = pages.select(F.sum(F.length("html")).alias("b")).collect()[0]["b"]
     extract_pages(pages.limit(1000)).count()  # warm workers + codegen
     rates = []
     for _ in range(2):
@@ -112,6 +113,7 @@ def run_headline() -> None:
         rates.append(n_docs / (time.time() - t0))
     pages.unpersist()
     docs_per_sec = round(max(rates), 1)
+    mb_per_sec = round(html_bytes / 1e6 * docs_per_sec / n_docs, 2)
     print(
         json.dumps(
             {
@@ -121,6 +123,7 @@ def run_headline() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cores": CPUS,
+                "extract_mb_per_sec": mb_per_sec,
                 "extract_docs": n_docs,
                 "total_sec": round(sum(timings.values()), 3),
             }

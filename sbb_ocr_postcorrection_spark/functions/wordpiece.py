@@ -39,17 +39,15 @@ def build_vocab_df(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     toks = F.explode(
         F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     ).alias("token")
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array (unlike DuckDB's generate_series) — the inner filter keeps only
+    # full-length n-gram pieces, which also drops the stray short pieces a
+    # token shorter than n would otherwise contribute.
     pieces_expr = F.explode(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(3)),
-                lambda n: F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length("token") - n + 1, F.lit(0))
-                    ),
-                    lambda i: F.col("token").substr(i, n),
-                ),
-            )
+        F.expr(
+            "flatten(transform(sequence(1, 3), n -> "
+            "filter(transform(sequence(1, greatest(length(token) - n + 1, 1)), "
+            "i -> substr(token, i, n)), p -> length(p) = n)))"
         )
     ).alias("piece")
     return (

@@ -161,6 +161,16 @@ def extract_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.wordpiece import build_vocab_df
+    from .operators.relational import load
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return build_vocab_df(d, "text", k=200)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -218,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": pinned(textstats.token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
         "fingerprints": pinned(textstats.fingerprints),
+        # wordpiece vocabulary build (A1/F3 surface) — distributed 1..3-gram
+        # piece counting, top-200
+        "wordpiece_vocab_topk": pinned(_wordpiece_vocab_topk),
         # line split → posexplode → relational reassembly (F10/J7 pair;
         # greedy split is kernel-side → rows-only, but the result column
         # roundtrip_ok self-certifies: must be 1 for every doc)
@@ -515,6 +528,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
                    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
             FROM t
+        """,
+        "wordpiece_vocab_topk": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS_SQL}) AS token FROM documents
+            ), pieces AS (
+              SELECT unnest(flatten(list_transform(generate_series(1, 3),
+                       n -> list_transform(
+                              generate_series(1, greatest(length(token) - n + 1, 0)),
+                              i -> substr(token, i, n))))) AS piece
+              FROM tok)
+            SELECT piece, count(*) AS cnt
+            FROM pieces WHERE piece <> ''
+            GROUP BY piece ORDER BY cnt DESC, piece ASC LIMIT 200
         """,
         "frame_sample": """
             SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_len
