@@ -133,8 +133,72 @@ def make_page(seed: int, i: int, noise_rate: float = 0.12) -> Page:
     return Page(url=url, warc_ts=warc_ts, html=html, text=clean_text, lang=lang)
 
 
-def generate_pages(n: int, seed: int = 42, noise_rate: float = 0.12) -> list[Page]:
-    return [make_page(seed, i, noise_rate) for i in range(n)]
+def make_rich_page(seed: int, i: int, noise_rate: float = 0.12) -> Page:
+    """A heavier, more adversarial layout: table-of-contents nav, section
+    titles, long paragraphs, a text-heavy but fully-link-wrapped
+    related-articles rail, and an <aside>-wrapped comments section. The
+    expected extraction is exactly: section titles + paragraphs, in order
+    (titles are ≥25 chars so they are content by the base rule, not via
+    island rescue)."""
+    # two independent streams: `rng` drives structure/content, `nrng` the
+    # noise injection — so the same (seed, i) yields identical structure at
+    # ANY noise rate (clean/noisy pairs stay comparable)
+    rng = _rng_for(seed ^ 0x5EC7, i)
+    nrng = _rng_for(seed ^ 0xA015E, i)
+    host = LONG_TAIL_HOSTS[rng.randrange(len(LONG_TAIL_HOSTS))]
+    url = f"https://{host}/a/{i:09d}"
+    warc_ts = _EPOCH + timedelta(seconds=rng.randrange(0, 14 * 86400))
+    lang = "de" if rng.random() < 0.5 else "en"
+    words = GERMAN_WORDS if lang == "de" else ENGLISH_WORDS
+
+    sections = []
+    clean_blocks: list[str] = []
+    for _ in range(rng.randrange(2, 5)):
+        title = _sentence(rng, words, rng.randrange(5, 8))[:-1]
+        while len(title) < 26:  # stay above the content-length threshold
+            title += " " + rng.choice(words)
+        paras = [
+            " ".join(
+                _sentence(rng, words, rng.randrange(12, 40)) for _ in range(rng.randrange(1, 3))
+            )
+            for _ in range(rng.randrange(1, 4))
+        ]
+        clean_blocks.append(title)
+        clean_blocks.extend(paras)
+        noisy_paras = [_noisify(nrng, p, noise_rate) for p in paras]
+        sections.append(
+            f"<h2>{_noisify(nrng, title, noise_rate)}</h2>"
+            + "".join(f"<p>{p}</p>" for p in noisy_paras)
+        )
+    clean_text = "\n".join(clean_blocks)
+
+    related = "".join(
+        f'<li><a href="/r/{k}">{_sentence(rng, words, rng.randrange(5, 9))}</a></li>'
+        for k in range(rng.randrange(4, 9))
+    )
+    comments = "".join(
+        f'<div class="c">{_sentence(rng, words, rng.randrange(4, 12))}</div>'
+        for _ in range(rng.randrange(2, 6))
+    )
+    toc = _link_list(rng, rng.randrange(5, 10))
+    html = (
+        "<!DOCTYPE html><html><head><title>r</title><style>.c{}</style></head><body>"
+        f"<nav>{toc}</nav>"
+        f"<header><h1>{_sentence(rng, words, 3)[:-1]}</h1>{_link_list(rng, 4)}</header>"
+        f"<main><article>{''.join(sections)}</article></main>"
+        f'<aside class="related"><ul>{related}</ul></aside>'
+        f'<aside class="comments">{comments}</aside>'
+        f"<footer>{_link_list(rng, 7)}<p>copyright {rng.randrange(1990, 2025)}</p></footer>"
+        "</body></html>"
+    ).encode("utf-8")
+    return Page(url=url, warc_ts=warc_ts, html=html, text=clean_text, lang=lang)
+
+
+def generate_pages(
+    n: int, seed: int = 42, noise_rate: float = 0.12, rich: bool = False
+) -> list[Page]:
+    maker = make_rich_page if rich else make_page
+    return [maker(seed, i, noise_rate) for i in range(n)]
 
 
 def pages_to_arrow(pages: list[Page]):

@@ -34,11 +34,13 @@ DETECT_SCHEMA = (
     "n_spans int, n_flagged int, chars_in long"
 )
 
-# stage-2 (final) schema
+# stage-2 (final) schema — spans is a typed struct array (FIXTURES.md §1
+# companion-table contract), not a JSON string
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, host string, lang string, "
-    "extracted_text string, spans string, n_blocks int, "
-    "n_content_blocks int, n_spans int, n_flagged int, "
+    "extracted_text string, "
+    "spans array<struct<start:int, end:int, flagged:boolean>>, "
+    "n_blocks int, n_content_blocks int, n_spans int, n_flagged int, "
     "chars_in long, chars_out long"
 )
 
@@ -55,7 +57,9 @@ def detect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
         ):
-            detections, n_blocks, chars_in = detect_document(bytes(html))
+            detections, n_blocks, chars_in = detect_document(
+                bytes(html) if html is not None else b""
+            )
             n_spans = sum(len(d.spans) for d in detections)
             n_flagged = sum(1 for d in detections for s in d.spans if s.flagged)
             rows.append(
@@ -104,7 +108,9 @@ def correct_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ]
             text, spans = correct_document(detections)
             texts.append(text)
-            spans_col.append(json.dumps(spans))
+            spans_col.append(
+                [{"start": s, "end": e, "flagged": f} for s, e, f in spans]
+            )
             chars_out.append(len(text))
         out = out.drop(columns=["detections"])
         out["extracted_text"] = texts
@@ -133,7 +139,9 @@ def fused_extract_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for url, ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
         ):
-            r = run_document(bytes(html))
+            # null html = fetch failure row: emit an empty extraction, never
+            # crash the partition (a task retry would just re-crash)
+            r = run_document(bytes(html) if html is not None else b"")
             rows.append(
                 {
                     "url": url,
@@ -141,7 +149,9 @@ def fused_extract_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     "host": _host_of(url),
                     "lang": lang,
                     "extracted_text": r.extracted_text,
-                    "spans": json.dumps([list(s) for s in r.spans]),
+                    "spans": [
+                        {"start": s, "end": e, "flagged": f} for s, e, f in r.spans
+                    ],
                     "n_blocks": r.n_blocks,
                     "n_content_blocks": r.n_content_blocks,
                     "n_spans": r.n_spans,
