@@ -79,19 +79,40 @@ def shingle_table(spark, sf_dir) -> DataFrame:
     )
 
 
-def jaccard_pairs(spark, sf_dir, threshold: float = 0.0, k: int = 100) -> DataFrame:
+def jaccard_pairs(
+    spark,
+    sf_dir,
+    threshold: float = 0.0,
+    k: int = 100,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a language block.
 
     Plan: explode shingles → self-equi-join on (lang, shingle) → pair
     intersection counts → join per-doc sizes → J = |∩| / (|a|+|b|-|∩|).
     At scale the shingle join is the standard blocking trick: only documents
-    sharing a shingle ever meet (no O(n²) cross join); hot shingles would be
-    capped by a df.filter on shingle frequency (not needed at test SF).
-    """
+    sharing a shingle ever meet (no O(n²) cross join).
+
+    ``max_shingle_df`` is the 100-TB knob: drop shingles whose document
+    frequency exceeds the cap from the INTERSECTION join (boilerplate
+    n-grams pair everything with everything — C(df,2) blows up on hot
+    shingles while carrying no near-dup signal). Sizes keep counting all
+    shingles, so capped Jaccard is a lower bound of exact Jaccard. Default
+    None = exact (the DuckDB-oracle-checked configuration)."""
     sh = shingle_table(spark, sf_dir)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     inter = (
         a.join(
             b,

@@ -70,6 +70,26 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_salted_host_agg_is_two_phase(spark):
+    """The skew-safe host aggregation must shuffle on (host, salt) first,
+    then on host — two separate hash-agg pairs with two exchanges, never a
+    single groupBy(host) (the north rule's salting contract)."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+    from sbb_ocr_postcorrection_spark.pipeline import salted_host_agg
+
+    path = os.path.join(tempfile.mkdtemp(), "p.parquet")
+    pq.write_table(pages_to_arrow(generate_pages(50, seed=2)), path)
+    df = extract_pages(spark.read.parquet(path))
+    agg = salted_host_agg(df, ("chars_out", "sum"), ("url", "count"))
+    plan = plan_of(agg)
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
 def test_whole_stage_codegen_on_relational_path(spark):
     df = R.cer_bucket_hist(spark, SF_DIR)
     df.collect()  # AQE finalizes the plan (and codegen spans) on execution
