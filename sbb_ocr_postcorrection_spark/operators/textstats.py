@@ -124,6 +124,52 @@ def token_class_freq(spark, sf_dir) -> DataFrame:
     )
 
 
+def cer_bands_kernel(spark, sf_dir, prefix: int = 60) -> DataFrame:
+    """F12/F13/P8 in one: per-document Levenshtein + CER via the textkit DP
+    kernel (Arrow-batched — the reference's dinglehopper-distance path,
+    sequence_similarity.py:61-66), then the 7-band CER bucketing. The
+    'ocr' side is a deterministic transform (reversed prefix) so DuckDB's
+    builtin levenshtein() can serve as the exact oracle for our DP."""
+    import pandas as pd
+
+    from ..textkit import cer, levenshtein
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, prefix).alias("gt"),
+        F.reverse(F.substring(F.lower("text"), 1, prefix)).alias("ocr"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lev": [levenshtein(o, g) for o, g in zip(pdf["ocr"], pdf["gt"])],
+                    "cer": [
+                        round(cer(o, g), 6) for o, g in zip(pdf["ocr"], pdf["gt"])
+                    ],
+                }
+            )
+            yield out
+
+    scored = src.mapInPandas(kernel, schema="doc_id long, lev int, cer double")
+    band = (
+        F.when(F.col("cer") == 0.0, "0.00")
+        .when(F.col("cer") < 0.02, "<0.02")
+        .when(F.col("cer") < 0.04, "<0.04")
+        .when(F.col("cer") < 0.06, "<0.06")
+        .when(F.col("cer") < 0.08, "<0.08")
+        .when(F.col("cer") < 0.10, "<0.10")
+        .otherwise(">=0.10")
+        .alias("cer_band")
+    )
+    return scored.select("doc_id", "lev", "cer", band)
+
+
 def fingerprints(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (order-insensitive, whitespace-insensitive)."""

@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": pinned(textstats.quality_score),
         "token_stats": pinned(textstats.token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
+        "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
         # wordpiece vocabulary build (A1/F3 surface) — distributed 1..3-gram
         # piece counting, top-200
@@ -521,6 +522,27 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cnt DESC, token ASC) AS INTEGER) AS rnk
               FROM counts) t
             WHERE rnk <= 20
+        """,
+        "cer_bands_kernel": """
+            WITH s AS (
+              SELECT doc_id,
+                     substr(lower(text), 1, 60) AS gt,
+                     reverse(substr(lower(text), 1, 60)) AS ocr
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(levenshtein(ocr, gt) AS INTEGER) AS lev,
+                     round(levenshtein(ocr, gt) / greatest(length(gt), 1), 6) AS cer
+              FROM s)
+            SELECT doc_id, lev, cer,
+                   CASE WHEN cer = 0.0 THEN '0.00'
+                        WHEN cer < 0.02 THEN '<0.02'
+                        WHEN cer < 0.04 THEN '<0.04'
+                        WHEN cer < 0.06 THEN '<0.06'
+                        WHEN cer < 0.08 THEN '<0.08'
+                        WHEN cer < 0.10 THEN '<0.10'
+                        ELSE '>=0.10' END AS cer_band
+            FROM m
         """,
         "fingerprints": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
