@@ -17,7 +17,6 @@ preprocessing/database.py:14-15).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

@@ -57,3 +57,19 @@ def write_extractions(df: DataFrame, path: str) -> None:
 def dump_debug_json(df: DataFrame, path: str, limit: int = 1000) -> None:
     """S5-analog: tiny JSON debug dumps only (never a pipeline boundary)."""
     df.limit(limit).coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Bucketed managed table on the join key: later url-equi-joins between
+    tables bucketed the same way are co-located — no exchange on either
+    side (the 100-TB join strategy for extraction↔enrichment joins).
+    Plain parquet paths cannot carry bucket metadata; this is the
+    `saveAsTable` flavor (Iceberg's bucket(url) transform is the cluster
+    equivalent)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table)
+    )

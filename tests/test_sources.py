@@ -49,6 +49,32 @@ def test_partition_pruning_on_layout_key(spark, pages_path, tmp_path):
     assert q.count() > 0
 
 
+def test_bucketed_join_has_no_exchange(spark, pages_path):
+    """Two tables bucketed on url join WITHOUT a shuffle on either side —
+    the co-located join strategy for extraction↔enrichment joins at scale."""
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+
+    pages = pages_io.read_pages(spark, pages_path)
+    extracted = extract_pages(pages).select("url", "chars_out", "n_flagged")
+    meta = pages.select("url", "lang")
+    pages_io.write_bucketed(extracted, "t_extr_b", n_buckets=4)
+    pages_io.write_bucketed(meta, "t_meta_b", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: at real scale neither side fits in
+        # a broadcast, which is exactly when bucketing pays off
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_extr_b").join(spark.table("t_meta_b"), "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == pages.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_extr_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
 def test_partitioned_sink_roundtrip(spark, pages_path, tmp_path):
     from sbb_ocr_postcorrection_spark.pipeline import with_partition_cols
     from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
