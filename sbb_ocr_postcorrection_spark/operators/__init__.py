@@ -4,6 +4,7 @@ training-data-pipeline operators (dedup, similarity search, text analysis,
 multimodal plumbing)."""
 
 from . import (  # noqa: F401
+    alignment,
     dedup,
     evaluation,
     lines,

@@ -161,6 +161,20 @@ def extract_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_stage(stage: str):
+    """queries() adapter for one stage of the §3.1 corpus chain."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.alignment import corpus_pipeline
+
+        _pin(spark)
+        pages = synth_pages_from_documents(spark, sf_dir)
+        return corpus_pipeline(pages, lang="en")[stage]
+
+    run.__doc__ = f"corpus-build chain stage: {stage}"
+    return run
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -188,6 +202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship kernels (rows-only)
         "extract_pipeline": extract_flagship,
         "extract_host_metrics": extract_host_metrics,
+        # the reference's §3.1 corpus-build chain over synthesized pages
+        # (NW alignment kernel → band scoring → windows → rollup → split);
+        # kernel-derived → rows-only checks
+        "corpus_alignments": _corpus_stage("alignments"),
+        "corpus_windows": _corpus_stage("windows"),
+        "corpus_stats": _corpus_stage("stats"),
+        "corpus_split": _corpus_stage("split"),
         # filters / projections
         "filter_project": pinned(R.filter_project),
         "cer_bucket_hist": pinned(R.cer_bucket_hist),
