@@ -206,6 +206,39 @@ def minhash_lsh_candidates(spark, sf_dir) -> DataFrame:
     ).distinct()
 
 
+def embedding_cosine_pairs(spark, sf_dir, k: int = 100) -> DataFrame:
+    """Embedding-cosine near-dup: top-k candidate pairs by exact cosine
+    (id1 < id2), rounded + fully tie-broken. The exact O(n²) form is the
+    correctness oracle; the scale path is LSH bucketing first
+    (similarity.lsh_bucketed_topk) and exact rescoring only within buckets.
+    Norms precomputed per row; pair scoring is one zip_with/aggregate."""
+    from .relational import load as _load
+
+    e = _load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = e.select(
+        "vec_id", v.alias("v"),
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+    )
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    cos = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
+    return (
+        pairs.select("id1", "id2", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id1"), F.asc("id2"))
+        .limit(k)
+    )
+
+
 def simhash_fingerprints(spark, sf_dir) -> DataFrame:
     """64-bit SimHash per document, JVM-side and single-pass: explode
     tokens, hash each once, then ONE groupBy(doc_id) carrying 64 signed

@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": pinned(dedup.exact_groups),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),   # rows-only
+        "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),         # rows-only
         # similarity search
         "ann_brute_force": pinned(similarity.brute_force_topk),
@@ -460,6 +461,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON id2 = sb.doc_id
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) > 0
             ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm FROM e)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_inner_product(a.v, b.v) / (a.nm * b.nm), 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            ORDER BY cosine DESC, id1 ASC, id2 ASC LIMIT 100
         """,
         "ann_brute_force": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
