@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_force": pinned(similarity.brute_force_topk),
         "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),    # rows-only
+        "ann_ivf": pinned(similarity.ivf_topk),                      # rows-only
         "embedding_norms": pinned(similarity.embedding_norms),
         # text analysis
         "lang_id": pinned(textstats.lang_id),

@@ -26,6 +26,28 @@ def test_ann_np_matches_jvm(spark):
     assert jvm == np_
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with probe_lists=3 of 8 cells must recall most of the exact
+    top-5 (random-ish embeddings: the true neighbors concentrate in the
+    probe's nearest cells only weakly, so demand ≥50% overall recall and
+    exact agreement on rank-1 for most probes)."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    exact = {}
+    for r in brute_force_topk(spark, SF).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    approx = {}
+    for r in ivf_topk(spark, SF).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[p] & approx.get(p, set())) for p in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, (hits, total)
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     """LSH recall property: pairs with very high exact Jaccard should be
     found by the banded MinHash (4 bands × 4 rows → ~99% recall at J=0.9)."""
