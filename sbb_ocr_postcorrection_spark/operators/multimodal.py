@@ -74,6 +74,62 @@ def decode_metadata(spark, sf_dir) -> DataFrame:
     return payloads.mapInPandas(decode_binary_batch, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb_width int, thumb_height int, thumb_bytes int"
+FEATURE_SCHEMA = "doc_id long, embedding array<float>"
+_FEATURE_DIM = 16
+
+
+def resize_batch(batches: Iterator[pd.DataFrame], max_side: int = 64) -> Iterator[pd.DataFrame]:
+    """Resize plumbing: aspect-preserving thumbnail geometry. Real impl:
+    PIL Image.thumbnail; the geometry math (the part a planner sees) is
+    real, the pixel work is the stubbed codec."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            w, h, c, _ = _fake_decode(b)
+            scale = min(1.0, max_side / max(w, h)) if w and h else 0.0
+            tw, th = int(w * scale), int(h * scale)
+            rows.append({"doc_id": doc_id, "width": w, "height": h,
+                         "thumb_width": tw, "thumb_height": th,
+                         "thumb_bytes": tw * th * c})
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                          "thumb_width", "thumb_height", "thumb_bytes"])
+
+
+def feature_extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction plumbing: binary payload → fixed-dim float
+    embedding. Real impl: a vision tower over decoded pixels (model loaded
+    once per worker); stub: deterministic byte-histogram features, same
+    schema/batch shape, so downstream ANN operators compose unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            if b:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
+                vec = (hist / max(len(arr), 1)).astype("float32")
+            else:
+                vec = np.zeros(_FEATURE_DIM, dtype="float32")
+            rows.append({"doc_id": doc_id, "embedding": vec.tolist()})
+        yield pd.DataFrame(rows, columns=["doc_id", "embedding"])
+
+
+def resize_metadata(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+def feature_embeddings(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(feature_extract_batch, schema=FEATURE_SCHEMA)
+
+
 def frame_sample_plan(spark, sf_dir, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: deterministic 1-in-N sample keyed on doc_id
     (the video-frame analog: sample before decode, prune early)."""

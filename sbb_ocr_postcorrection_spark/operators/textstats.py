@@ -177,8 +177,17 @@ def fingerprints(spark, sf_dir) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    # rolling polynomial hash over the raw characters (Rabin-Karp style):
+    # h = fold(chars, 7, (acc, c) -> (acc*31 + codepoint(c)) mod 2^31-1) —
+    # order-SENSITIVE, complementing the order-insensitive md5 canon form
+    rolling = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
     return d.select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),
+        rolling.alias("rolling_fp"),
         F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_distinct_tokens"),
     )

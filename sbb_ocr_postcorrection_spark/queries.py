@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_split_roundtrip": pinned(lines.split_roundtrip),
         # multimodal plumbing (rows-only: mapInPandas decode stub)
         "multimodal_decode": pinned(multimodal.decode_metadata),
+        "multimodal_resize": pinned(multimodal.resize_metadata),      # rows-only
+        "multimodal_features": pinned(multimodal.feature_embeddings),  # rows-only
         "frame_sample": pinned(multimodal.frame_sample_plan),
     }
 
@@ -576,9 +578,14 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "fingerprints": f"""
-            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+                   list_reduce(
+                     list_prepend(7::BIGINT,
+                       list_transform(generate_series(1, length(text)),
+                                      i -> unicode(substr(text, i, 1))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp,
                    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
             FROM t
         """,
