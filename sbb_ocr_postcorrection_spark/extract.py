@@ -192,15 +192,19 @@ def parse_blocks(html: bytes | str) -> list[Block]:
                 if anchor_depth:
                     link_chars += len(" ".join(data.split()))
         pos = m.end()
-        closing, tag, _self = m.group(1), m.group(2).lower(), m.group(3)
+        closing, tag, self_closing = m.group(1), m.group(2).lower(), m.group(3)
         if not closing:
             tag_count += 1
         if tag in _BLOCK_TAGS:
             flush()
-        if tag == "a":
-            anchor_depth = max(0, anchor_depth + (-1 if closing else 1))
-        if tag in _BOILER_ANCESTORS:
-            boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
+        # a self-closed <nav/> / <a/> must not leave a dangling depth: it
+        # would mark the whole rest of the document as boiler/link text
+        # (parse_blocks_std balances these via handle_startendtag)
+        if not self_closing:
+            if tag == "a":
+                anchor_depth = max(0, anchor_depth + (-1 if closing else 1))
+            if tag in _BOILER_ANCESTORS:
+                boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
     if pos < len(doc):
         data = _htmllib.unescape(doc[pos:])
         if data:

@@ -33,16 +33,16 @@ def _tokens(col):
 
 
 def _shingles(tokens_col, n: int = 3):
-    """Word n-gram shingles via JVM sequence/transform (no UDF)."""
+    """Word n-gram shingles via JVM sequence/transform (no UDF).
+
+    slice() instead of element_at: under Spark 4's default ANSI mode an
+    out-of-bounds element_at THROWS, so a 1-2-token document would crash
+    the job; slice truncates, matching the DuckDB oracle's NULL-skipping
+    concat_ws semantics (short docs yield their single short shingle)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tokens_col, i),
-                F.element_at(tokens_col, i + 1),
-                F.element_at(tokens_col, i + 2),
-            ),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
         )
     )
 

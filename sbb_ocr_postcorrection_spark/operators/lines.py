@@ -20,35 +20,58 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..textkit import split_with_max_len
 from .relational import load
 
 MAX_LEN = 40
 
 
+def _lenient_split(line: str) -> list[str]:
+    """split_with_max_len, but a token longer than MAX_LEN becomes its own
+    oversized part instead of raising (the reference raises ValueError,
+    cli_preproc.py:49 — a crash per bad row is unacceptable in a job: task
+    retries would re-crash deterministically). Oversized parts keep the
+    roundtrip exact."""
+    groups: list[list[str]] = [[]]
+    for t in line.split(" "):
+        if not t:
+            continue
+        if len(t) > MAX_LEN:
+            if groups[-1]:
+                groups.append([])
+            groups[-1].append(t)
+            groups.append([])
+        elif len(" ".join(groups[-1] + [t])) > MAX_LEN:
+            groups.append([t])
+        else:
+            groups[-1].append(t)
+    return [" ".join(g) for g in groups if g]
+
+
 def _split_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = pdf.copy()
-        out["parts"] = [
-            split_with_max_len(" ".join(str(t).split()), max_len=MAX_LEN)
-            if t is not None
-            else []
-            for t in pdf["text"]
+        norm = [
+            " ".join(str(t).split()) if t is not None else "" for t in pdf["text"]
         ]
-        yield out[["doc_id", "text", "parts"]]
+        out["text_norm"] = norm
+        out["parts"] = [_lenient_split(t) for t in norm]
+        yield out[["doc_id", "text_norm", "parts"]]
 
 
 def split_lines(spark, sf_dir) -> DataFrame:
-    """documents.text → one row per ≤40-char part with (parent, pos)."""
+    """documents.text → one row per ≤40-char part with (parent, pos);
+    text_norm carries the kernel's own whitespace normalization so the
+    roundtrip check compares against exactly what was split (Python
+    str.split and Java \\s+ disagree on unicode whitespace)."""
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     parts = d.select("doc_id", "text").mapInPandas(
-        _split_kernel, schema="doc_id long, text string, parts array<string>"
+        _split_kernel, schema="doc_id long, text_norm string, parts array<string>"
     )
     return parts.select(
         F.col("doc_id").alias("parent_id"),
-        "text",
+        "text_norm",
         F.posexplode("parts").alias("pos", "part"),
     )
 
@@ -67,14 +90,11 @@ def split_roundtrip(spark, sf_dir) -> DataFrame:
                 lambda s: s["part"],
             ),
         ).alias("rejoined"),
-        F.first("text").alias("text"),
+        F.first("text_norm").alias("text_norm"),
     )
     return reassembled.select(
         "parent_id",
         "n_parts",
         "max_part_len",
-        (
-            F.col("rejoined")
-            == F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-        ).cast("int").alias("roundtrip_ok"),
+        (F.col("rejoined") == F.col("text_norm")).cast("int").alias("roundtrip_ok"),
     )

@@ -180,10 +180,14 @@ def fingerprints(spark, sf_dir) -> DataFrame:
     # rolling polynomial hash over the raw characters (Rabin-Karp style):
     # h = fold(chars, 7, (acc, c) -> (acc*31 + codepoint(c)) mod 2^31-1) —
     # order-SENSITIVE, complementing the order-insensitive md5 canon form
-    rolling = F.aggregate(
-        F.split(F.col("text"), ""),
-        F.lit(7).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    # empty-text guard: Spark split('','') yields [''] with ascii('')=0
+    # (one bogus fold step → 217) while the oracle folds nothing (7)
+    rolling = F.when(F.length("text") == 0, F.lit(7).cast("long")).otherwise(
+        F.aggregate(
+            F.split(F.col("text"), ""),
+            F.lit(7).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+        )
     )
     return d.select(
         "doc_id",

@@ -77,31 +77,44 @@ def with_partition_cols(pages: DataFrame) -> DataFrame:
     )
 
 
-def salted_host_agg(df: DataFrame, *aggs, host_col: str = "host") -> DataFrame:
+def salted_host_agg(
+    df: DataFrame, *aggs, host_col: str = "host", salt_col: str = "url"
+) -> DataFrame:
     """Two-phase skew-safe aggregation by host (north_rule: salt skewed
     hosts before any shuffle). Phase 1 partial-aggregates by (host, salt) —
     heavy hosts spread over N_SALTS reducers — phase 2 combines per host.
 
     ``aggs`` are (colname, 'sum'|'count'|'max') specs; counts pass through a
-    sum in phase 2.
-    """
+    sum in phase 2 (alias ``n_docs`` for the first count, ``n_<col>`` after).
+    ``salt_col`` must be a fine-grained column (row id / url) — salting on a
+    coarse column would put a whole hot host in one salt bucket."""
+    if salt_col not in df.columns:
+        raise ValueError(
+            f"salt_col {salt_col!r} not in DataFrame columns {df.columns}; "
+            "pass a fine-grained column to spread hot hosts"
+        )
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int")
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(N_SALTS)).cast("int")
     )
     phase1_exprs = []
     phase2_exprs = []
+    first_count = True
     for col, how in aggs:
         partial = f"_{how}_{col}"
         if how == "count":
             phase1_exprs.append(F.count(F.lit(1)).alias(partial))
+            alias = "n_docs" if first_count else f"n_{col}"
+            first_count = False
         elif how == "sum":
             phase1_exprs.append(F.sum(col).alias(partial))
+            alias = f"sum_{col}"
         elif how == "max":
             phase1_exprs.append(F.max(col).alias(partial))
+            alias = f"max_{col}"
         else:
             raise ValueError(how)
         final_fn = F.max if how == "max" else F.sum
-        phase2_exprs.append(final_fn(partial).alias(f"{how}_{col}" if how != "count" else "n_docs"))
+        phase2_exprs.append(final_fn(partial).alias(alias))
     return (
         salted.groupBy(host_col, "_salt")
         .agg(*phase1_exprs)
@@ -174,13 +187,19 @@ def run_extraction_job(
     out_path = os.path.join(output_dir, "extractions")
     (
         extracted.write.mode("overwrite")
+        # per-write option so correctness does NOT depend on the session
+        # being built by build_session: in static mode this overwrite would
+        # silently delete every previously completed partition
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dt", "bkt")
         .parquet(out_path)
     )
 
     # per-partition lineage + metrics (A10), appended to the manifest last —
-    # a partition is "done" only after its data landed (idempotent restart)
-    metrics = (
+    # a partition is "done" only after its data landed (idempotent restart).
+    # Collected ONCE; the manifest is written from the collected rows
+    # (avoids a second full scan+agg of the job output).
+    metric_rows = (
         spark.read.parquet(out_path)
         .join(F.broadcast(pending), ["dt", "bkt"], "left_semi")
         .groupBy("dt", "bkt")
@@ -192,12 +211,19 @@ def run_extraction_job(
             F.sum("n_spans").alias("n_spans"),
         )
         .withColumn("completed_at_epoch", F.lit(int(time.time())))
+        .collect()
     )
-    metrics.write.mode("append").parquet(_manifest_path(output_dir))
+    manifest_df = spark.createDataFrame(
+        metric_rows,
+        "dt date, bkt int, n_docs long, chars_in long, chars_out long, "
+        "n_flagged long, n_spans long, completed_at_epoch long",
+    )
+    # resume=False reprocesses everything: supersede the manifest instead of
+    # appending duplicate (dt, bkt) rows that would double job_metrics
+    manifest_mode = "append" if resume else "overwrite"
+    manifest_df.write.mode(manifest_mode).parquet(_manifest_path(output_dir))
 
-    n_docs = sum(
-        r["n_docs"] for r in metrics.select("n_docs").collect()
-    )
+    n_docs = sum(r["n_docs"] for r in metric_rows)
     return {
         "docs": int(n_docs),
         "partitions_done": len(pending_rows),

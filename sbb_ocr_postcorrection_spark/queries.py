@@ -41,26 +41,37 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sbb_pkg_shipped", False):
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    # content-addressed zip name: a stale cached zip would make executors
+    # run OLD kernel code after a source edit, silently breaking the
+    # oracle/byte-identity contract
+    digest = hashlib.sha256()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            digest.update(full.encode())
+            digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), "sbb_ocr_postcorrection_spark_pyfiles.zip"
+        tempfile.gettempdir(),
+        f"sbb_ocr_postcorrection_spark_pyfiles_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "sbb_ocr_postcorrection_spark",
-                            os.path.relpath(full, pkg_dir),
-                        )
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.join(
+                    "sbb_ocr_postcorrection_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     try:
         sc.addPyFile(zip_path)

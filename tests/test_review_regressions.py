@@ -1,0 +1,136 @@
+"""Regression tests for the round-1 code-review findings (all were latent:
+the shipped test tables have no short/empty/pathological rows)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sbb_ocr_postcorrection_spark import extract
+from sbb_ocr_postcorrection_spark.operators import dedup
+from sbb_ocr_postcorrection_spark.operators.lines import _lenient_split
+
+
+@pytest.fixture()
+def tiny_docs(spark, tmp_path):
+    """documents.parquet with the pathological rows the review flagged."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "hello world",                     # 2 tokens (< shingle n)
+                "one",                             # 1 token
+                "",                                # empty text
+                "x" * 55 + " tail token here ok",  # oversized token
+                "normal words flow here nicely together ok fine",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [11, 3, 0, 60, 46],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_shingles_survive_short_docs_ansi(spark, tiny_docs):
+    # element_at under ANSI mode crashed on <3-token docs (review #1)
+    rows = dedup.shingle_table(spark, tiny_docs).collect()
+    shingles = {r["doc_id"]: set() for r in rows}
+    for r in rows:
+        shingles[r["doc_id"]].add(r["shingle"])
+    assert shingles[0] == {"hello world"}
+    assert shingles[1] == {"one"}
+    # jaccard/minhash run end-to-end on the same data
+    assert dedup.jaccard_pairs(spark, tiny_docs).count() >= 0
+    assert dedup.minhash_lsh_candidates(spark, tiny_docs).count() >= 0
+
+
+def test_lenient_split_oversized_token():
+    # strict split raised ValueError and would crash the task (review #2)
+    parts = _lenient_split("x" * 55 + " tail token")
+    assert "x" * 55 in parts
+    assert " ".join(parts) == "x" * 55 + " tail token"
+    assert all(len(p) <= 55 for p in parts)
+
+
+def test_split_roundtrip_on_pathological_rows(spark, tiny_docs):
+    from sbb_ocr_postcorrection_spark.operators.lines import split_roundtrip
+
+    rows = split_roundtrip(spark, tiny_docs).collect()
+    by_id = {r["parent_id"]: r for r in rows}
+    # oversized-token doc and whitespace-weird docs still roundtrip exactly
+    assert all(r["roundtrip_ok"] == 1 for r in rows if r["n_parts"] > 0), by_id
+
+
+def test_self_closing_boiler_tags_do_not_poison(spark):
+    # a void <nav/> used to mark the whole document as boilerplate (review #5)
+    html = (b"<body><nav/><main><p>Ein langer Absatz mit vielen Worten und "
+            b"Zeichen der als Inhalt erkannt werden muss.</p></main></body>")
+    blocks = extract.extract_blocks(html)
+    assert any(b.is_content for b in blocks)
+    text = extract.content_text(blocks)
+    assert "langer Absatz" in text
+    # fast and std parser agree on the void-tag document
+    std = extract.classify_blocks(extract.parse_blocks_std(html))
+    assert [(b.text, b.in_boiler) for b in blocks] == [
+        (b.text, b.in_boiler) for b in std
+    ]
+
+
+def test_rolling_fp_empty_text_matches_oracle(spark, tiny_docs):
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import fingerprints
+
+    got = {r["doc_id"]: r["rolling_fp"] for r in fingerprints(spark, tiny_docs).collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""
+            SELECT doc_id, list_reduce(
+                     list_prepend(7::BIGINT,
+                       list_transform(generate_series(1, length(text)),
+                                      i -> unicode(substr(text, i, 1))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647)
+            FROM '{tiny_docs}/documents.parquet/*.parquet'
+            """
+        ).fetchall()
+    )
+    # DuckDB's fold over an empty list yields the seed; NULL-safe compare
+    want = {k: (v if v is not None else 7) for k, v in want.items()}
+    assert got == want
+
+
+def test_manifest_not_duplicated_on_forced_rerun(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.pipeline import job_metrics, run_extraction_job
+
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_to_arrow(generate_pages(60, seed=5)), path)
+    out = str(tmp_path / "out")
+    pages = spark.read.parquet(path)
+    run_extraction_job(spark, pages, out, resume=False)
+    run_extraction_job(spark, pages, out, resume=False)  # forced full rerun
+    m = job_metrics(spark, out).collect()[0]
+    assert m["docs"] == 60  # was 120 with the append-duplicate manifest
+
+
+def test_salted_agg_salt_col_validation(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+    from sbb_ocr_postcorrection_spark.pipeline import salted_host_agg
+
+    path = str(tmp_path / "p.parquet")
+    pq.write_table(pages_to_arrow(generate_pages(30, seed=6)), path)
+    df = extract_pages(spark.read.parquet(path))
+    with pytest.raises(ValueError, match="salt_col"):
+        salted_host_agg(df.drop("url"), ("chars_out", "sum"))
+    # two counts no longer alias-collide
+    out = salted_host_agg(df, ("url", "count"), ("lang", "count"))
+    assert {"n_docs", "n_lang"} <= set(out.columns)
