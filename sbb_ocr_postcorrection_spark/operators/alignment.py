@@ -125,17 +125,9 @@ def stratified_split(alignments: DataFrame, train: int = 8, test: int = 1) -> Da
     deterministic split via arithmetic hash of (doc_id, line_id) — seeded
     and shuffle-free instead of the reference's seed-49 list shuffling.
     Returns per (bucket, split) counts for verification."""
-    c = F.col("cer")
-    bucket = (
-        F.when(c == 0.0, "0.00")
-        .when(c < 0.02, "<0.02")
-        .when(c < 0.04, "<0.04")
-        .when(c < 0.06, "<0.06")
-        .when(c < 0.08, "<0.08")
-        .when(c < 0.10, "<0.10")
-        .otherwise(">=0.10")
-        .alias("cer_bucket")
-    )
+    from ..functions.exprs import cer_band_expr
+
+    bucket = cer_band_expr("cer").alias("cer_bucket")
     h = F.pmod(F.xxhash64("doc_id", "line_id"), F.lit(10))
     split = (
         F.when(h < train, "train")

@@ -28,8 +28,7 @@ _ROWS_PER_BAND = 4
 _MERSENNE = (1 << 31) - 1
 
 
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+from ..functions.exprs import tokens_expr as _tokens  # noqa: E402
 
 
 def _shingles(tokens_col, n: int = 3):
@@ -204,6 +203,53 @@ def minhash_lsh_candidates(spark, sf_dir) -> DataFrame:
     return pairs.select(
         F.col("p.a").alias("id1"), F.col("p.b").alias("id2")
     ).distinct()
+
+
+def deduplicate_corpus(
+    spark, sf_dir, jaccard_threshold: float = 0.8
+) -> DataFrame:
+    """The composite dedup flow a training pipeline runs: exact dedup →
+    MinHash-LSH candidates → exact-Jaccard verification → drop losers.
+
+    Keep rule (deterministic): per exact-duplicate group, keep min doc_id;
+    per verified near-dup pair, keep the smaller doc_id. Returns the
+    documents table with `keep` ∈ {0,1} and the reason a doc was dropped.
+    At 100 TB every stage is an equality-keyed shuffle (digest / band hash
+    / shingle) — never a cross join."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exact = exact_groups(spark, sf_dir)
+    exact_losers = (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(exact, "content_hash")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", F.lit("exact_dup").alias("drop_reason"))
+    )
+    # near-dups: LSH candidates verified by exact jaccard ≥ threshold
+    cands = minhash_lsh_candidates(spark, sf_dir)
+    verified = (
+        jaccard_pairs(spark, sf_dir, threshold=0.0, k=1_000_000)
+        .join(cands, ["id1", "id2"], "left_semi")
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    near_losers = verified.select(
+        F.col("id2").alias("doc_id"), F.lit("near_dup").alias("drop_reason")
+    ).distinct()
+    losers = exact_losers.unionByName(near_losers).groupBy("doc_id").agg(
+        F.min("drop_reason").alias("drop_reason")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("drop_reason").isNull(), 1).otherwise(0).alias("keep"),
+            F.coalesce("drop_reason", F.lit("kept")).alias("drop_reason"),
+        )
+    )
 
 
 def embedding_cosine_pairs(spark, sf_dir, k: int = 100) -> DataFrame:

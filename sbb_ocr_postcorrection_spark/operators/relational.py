@@ -47,18 +47,10 @@ def cer_bucket_hist(spark, sf_dir) -> DataFrame:
     """P8+A4: the reference's 7-band CER bucketing predicate chain
     (cli_preproc.py:761-783, copy-pasted 5×) as ONE reusable when-ladder +
     a partial/final hash agg. l_discount ∈ [0,0.1] stands in for CER."""
+    from ..functions.exprs import cer_band_expr
+
     li = load(spark, sf_dir, "lineitem")
-    c = F.col("l_discount")
-    bucket = (
-        F.when(c == 0.0, "0.00")
-        .when(c < 0.02, "<0.02")
-        .when(c < 0.04, "<0.04")
-        .when(c < 0.06, "<0.06")
-        .when(c < 0.08, "<0.08")
-        .when(c < 0.10, "<0.10")
-        .otherwise(">=0.10")
-        .alias("cer_bucket")
-    )
+    bucket = cer_band_expr("l_discount").alias("cer_bucket")
     return li.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_lines"))
 
 

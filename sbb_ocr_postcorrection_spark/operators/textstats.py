@@ -19,8 +19,7 @@ DE_STOPS = tuple(sorted(GERMAN_STOPWORDS))
 EN_STOPS = tuple(sorted(ENGLISH_STOPWORDS))
 
 
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+from ..functions.exprs import cer_band_expr, tokens_expr as _tokens  # noqa: E402
 
 
 def lang_id(spark, sf_dir) -> DataFrame:
@@ -157,17 +156,9 @@ def cer_bands_kernel(spark, sf_dir, prefix: int = 60) -> DataFrame:
             yield out
 
     scored = src.mapInPandas(kernel, schema="doc_id long, lev int, cer double")
-    band = (
-        F.when(F.col("cer") == 0.0, "0.00")
-        .when(F.col("cer") < 0.02, "<0.02")
-        .when(F.col("cer") < 0.04, "<0.04")
-        .when(F.col("cer") < 0.06, "<0.06")
-        .when(F.col("cer") < 0.08, "<0.08")
-        .when(F.col("cer") < 0.10, "<0.10")
-        .otherwise(">=0.10")
-        .alias("cer_band")
+    return scored.select(
+        "doc_id", "lev", "cer", cer_band_expr("cer").alias("cer_band")
     )
-    return scored.select("doc_id", "lev", "cer", band)
 
 
 def fingerprints(spark, sf_dir) -> DataFrame:

@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),   # rows-only
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
+        "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),        # rows-only
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),         # rows-only
         # similarity search
         "ann_brute_force": pinned(similarity.brute_force_topk),
