@@ -68,11 +68,14 @@ def vocab_dict(vocab_rows) -> dict[str, int]:
 
 
 def greedy_tokenize(line: str, vocab: dict[str, int]) -> list[str]:
-    """Window 3→1 greedy wordpiece split per whitespace token, <UNK> on
-    miss, <WSC> between tokens (tokenization.py:35-106 semantics)."""
+    """Window 3→1 greedy wordpiece split per token, <UNK> on miss, <WSC>
+    between tokens (tokenization.py:35-106 semantics). Tokenization is
+    single-space split with empties dropped — the SAME convention as
+    build_vocab_df and the SQL oracles; a broader \\s+ split here would
+    look up pieces the vocab never counted."""
     out: list[str] = []
     first = True
-    for token in line.lower().split():
+    for token in (t for t in line.lower().split(" ") if t):
         if not first:
             out.append("<WSC>")
         first = False

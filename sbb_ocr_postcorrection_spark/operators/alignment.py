@@ -89,7 +89,12 @@ def sliding_window_restructure(alignments: DataFrame, context: int = 4) -> DataF
         "doc_id", "page_id", "line_id",
         toks_ocr.alias("to"), toks_gt.alias("tg"),
     )
-    n_windows = F.greatest(F.size("tg") - (context - 1), F.lit(1))
+    # window count from the LONGER stream (helpers.py align_context uses
+    # max(len(ocr), len(gt))) — counting GT only would silently drop OCR
+    # tail tokens from the training pseudo-lines
+    n_windows = F.greatest(
+        F.greatest(F.size("to"), F.size("tg")) - (context - 1), F.lit(1)
+    )
     windows = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.struct(
@@ -143,8 +148,13 @@ def stratified_split(alignments: DataFrame, train: int = 8, test: int = 1) -> Da
 
 
 def corpus_pipeline(pages: DataFrame, lang: str = "de") -> dict[str, DataFrame]:
-    """The full §3.1 chain, lazily composed; returns each stage's frame."""
-    alignments = build_alignments(pages).filter(F.col("lang") == lang)  # P5
+    """The full §3.1 chain, lazily composed; returns each stage's frame.
+
+    The language filter (P5) runs BEFORE the alignment kernel — Catalyst
+    cannot push a filter below mapInPandas, and lang passes through the
+    kernel unchanged, so pre-filtering is row-equivalent and skips the
+    O(lines²·len²) NW cost for every other language."""
+    alignments = build_alignments(pages.filter(F.col("lang") == lang))
     return {
         "alignments": alignments,
         "windows": sliding_window_restructure(alignments),

@@ -15,6 +15,19 @@ from pyspark.sql import DataFrame, functions as F
 from .relational import load
 
 
+def _prf_exprs(prec_name: str = "prec", rec_name: str = "rec", f1_name: str = "f1"):
+    """P/R/F1 column expressions over tp/fp/fn columns — THE single
+    definition of the zero-denominator convention (prec/rec fall to 0 when
+    their denominator is 0; F1 guarded by epsilon)."""
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return [
+        F.round(prec, 6).alias(prec_name),
+        F.round(rec, 6).alias(rec_name),
+        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias(f1_name),
+    ]
+
+
 def confusion_metrics(
     df: DataFrame, pred_col, truth_col, group_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -28,17 +41,13 @@ def confusion_metrics(
         F.sum((1 - p) * t).alias("fn"),
         F.sum((1 - p) * (1 - t)).alias("tn"),
     )
-    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     return base.select(
         *group_cols,
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round(prec, 6).alias("prec"),
-        F.round(rec, 6).alias("rec"),
-        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"),
+        *_prf_exprs(),
         F.round(
             (F.col("tp") + F.col("tn"))
             / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
@@ -79,7 +88,7 @@ def _two_step_kernel(batches):
     for pdf in batches:
         rows = []
         for url, html, clean in zip(pdf["url"], pdf["html"], pdf["text"]):
-            if clean is None:
+            if not clean:  # None OR empty GT: cer(x, "") = |x|, not a rate
                 continue
             detections, _nb, _ci = detect_document(
                 bytes(html) if html is not None else b""
@@ -126,9 +135,9 @@ def _two_step_kernel(batches):
 def two_step_eval(pages: DataFrame) -> DataFrame:
     """Per-document two-step quality metrics vs the ground-truth text
     column; aggregate with `two_step_summary`."""
-    return pages.select("url", "html", "text").withColumn(
-        "text", F.col("text")
-    ).mapInPandas(_two_step_kernel, schema=TWO_STEP_SCHEMA)
+    return pages.select("url", "html", "text").mapInPandas(
+        _two_step_kernel, schema=TWO_STEP_SCHEMA
+    )
 
 
 def two_step_summary(per_doc: DataFrame) -> DataFrame:
@@ -145,13 +154,9 @@ def two_step_summary(per_doc: DataFrame) -> DataFrame:
         F.sum("n_corrections").alias("n_corrections"),
         F.sum("n_false_corrections").alias("n_false_corrections"),
     )
-    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     return agg.select(
         "docs", "avg_cer_before", "avg_cer_after",
-        F.round(prec, 6).alias("detector_precision"),
-        F.round(rec, 6).alias("detector_recall"),
-        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("detector_f1"),
+        *_prf_exprs("detector_precision", "detector_recall", "detector_f1"),
         F.round(
             F.col("n_false_corrections") / F.greatest(F.col("n_corrections"), F.lit(1)), 6
         ).alias("false_correction_ratio"),

@@ -104,6 +104,10 @@ def brute_force_topk_np(spark, sf_dir, n_probes: int = 5, k: int = 5) -> DataFra
     probe_rows = (
         e.filter(F.col("vec_id") < n_probes).select("vec_id", "embedding").collect()
     )
+    if not probe_rows:  # empty probe set: empty result, not an np.AxisError
+        return spark.createDataFrame(
+            [], "probe_id long, rank int, cand_id long, cosine double"
+        )
     probe_ids = np.array([r["vec_id"] for r in probe_rows])
     P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
@@ -164,6 +168,10 @@ def ivf_topk(
         .select("embedding")
         .collect()
     )
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, rank int, cand_id long, cosine double"
+        )
     C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -180,10 +188,17 @@ def ivf_topk(
                 }
             )
 
+    # persisted: consumed by the probe collect AND the distributed scoring
+    # pass — without it the Python assign kernel runs twice over the corpus
     assigned = e.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, embedding array<float>, cell int"
-    )
+    ).persist()
     probes_pd = assigned.filter(F.col("vec_id") < n_probes).toPandas()
+    if probes_pd.empty:
+        assigned.unpersist()
+        return spark.createDataFrame(
+            [], "probe_id long, rank int, cand_id long, cosine double"
+        )
     P = np.array(list(probes_pd["embedding"]), dtype=np.float64)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
     # probe_lists nearest cells per probe
@@ -242,7 +257,12 @@ def lsh_signatures(spark, sf_dir) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     v = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-    dim = 64  # embeddings table dimension (documents in TESTDATA are 64-d)
+    first = e.select(F.size("embedding").alias("d")).first()
+    # dim inferred from data: a hardcoded mismatch would null-pad zip_with,
+    # fold every projection to NULL and dump ALL vectors into bucket 0
+    dim = int(first["d"]) if first else 0
+    if dim == 0:
+        return v.select("vec_id", "label", F.lit(0).cast("long").alias("lsh_bucket"), "v")
     sig = F.lit(0).cast("long")
     for p in range(_N_PLANES):
         # plane weight for dim d: +1 if xxhash64(p*dim+d) even else -1

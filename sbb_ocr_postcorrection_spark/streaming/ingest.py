@@ -60,7 +60,14 @@ def windowed_metrics(extracted: DataFrame, window: str = "1 day",
 
 def run_stream_once(spark: SparkSession, input_dir: str, query_name: str = "extract_metrics"):
     """Drive the stream to completion over the files currently present
-    (memory sink; tests use this)."""
+    (memory sink; tests use this).
+
+    NOTE: complete output mode is demo-only — in complete mode the
+    watermark does NOT evict window state (that happens in append/update
+    modes), so this form must not run unbounded. The production sink is
+    foreachBatch in update mode doing the batch job's idempotent
+    overwrite-by-partition, where the watermark bounds state as documented
+    in windowed_metrics."""
     stream = read_pages_stream(spark, input_dir)
     metrics = windowed_metrics(extract_stream(stream))
     q = (
