@@ -186,6 +186,12 @@ def _corpus_stage(stage: str):
     return run
 
 
+def _pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pdf_layout import pdf_layout_query
+
+    return pdf_layout_query(spark, sf_dir)
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -272,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # roundtrip_ok self-certifies: must be 1 for every doc)
         "line_split_roundtrip": pinned(lines.split_roundtrip),
         # multimodal plumbing (rows-only: mapInPandas decode stub)
+        # PDF/layout parse (north_rule): real FlateDecode+text-matrix parser;
+        # roundtrip_ok self-certifies (computed against the pre-PDF text on a
+        # separate plan branch) — rows-only
+        "pdf_layout_parse": pinned(_pdf_layout),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),      # rows-only
         "multimodal_features": pinned(multimodal.feature_embeddings),  # rows-only
