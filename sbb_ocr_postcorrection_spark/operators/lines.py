@@ -54,7 +54,10 @@ def _split_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             " ".join(str(t).split()) if t is not None else "" for t in pdf["text"]
         ]
         out["text_norm"] = norm
-        out["parts"] = [_lenient_split(t) for t in norm]
+        # empty doc → one empty part: posexplode would otherwise drop the
+        # doc entirely, silently skipping its roundtrip verdict (ADVICE r1
+        # #3); the empty sentinel rejoins to "" == text_norm → ok=1
+        out["parts"] = [_lenient_split(t) or [""] for t in norm]
         yield out[["doc_id", "text_norm", "parts"]]
 
 
@@ -98,3 +101,12 @@ def split_roundtrip(spark, sf_dir) -> DataFrame:
         "max_part_len",
         (F.col("rejoined") == F.col("text_norm")).cast("int").alias("roundtrip_ok"),
     )
+
+
+def split_roundtrip_flags(spark, sf_dir) -> DataFrame:
+    """Driver-facing projection of split_roundtrip: (parent_id,
+    roundtrip_ok). The greedy packing itself is not SQL-expressible, but
+    the roundtrip invariant is — every document must reassemble exactly —
+    so the DuckDB oracle (doc_id, 1) turns this from a rows-only row into a
+    hash-checked one: any kernel regression breaks the value hash."""
+    return split_roundtrip(spark, sf_dir).select("parent_id", "roundtrip_ok")

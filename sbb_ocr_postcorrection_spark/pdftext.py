@@ -11,9 +11,12 @@ left-to-right) — the analog of the reference's ReadingOrder region sort
 (preprocessing/xml_parser.py:149-157, O1).
 
 Scope honesty: handles Type1/builtin-font simple PDFs with literal-string
-text operators (exactly what `make_pdf` below and most text-first PDF
-generators emit). Hex strings, CID/Type0 composite fonts and encrypted
-files are out of scope; such streams simply contribute no runs.
+text operators and uncompressed-or-Flate content streams whose /Length is
+a literal OR an indirect reference (with an endstream-scan fallback when
+neither resolves) — i.e. what `make_pdf` below and most text-first PDF
+generators emit. Hex strings, CID/Type0 composite fonts, object/xref
+streams and encrypted files are out of scope; such streams simply
+contribute no runs.
 """
 
 from __future__ import annotations
@@ -22,9 +25,15 @@ import re
 import zlib
 from dataclasses import dataclass
 
-# the /Length entry is authoritative: scanning for `endstream` breaks as
-# soon as the compressed bytes happen to contain a confusing sequence
-_STREAM_RE = re.compile(rb"<<((?:[^>]|>(?!>))*?)/Length\s+(\d+)\s*>>\s*stream\r?\n", re.S)
+# the /Length entry is authoritative when present: scanning for `endstream`
+# can break if the compressed bytes contain a confusing sequence. /Length
+# may appear anywhere in the dict, as a literal OR as an indirect reference
+# ("5 0 R" — what most real PDF writers emit, ADVICE r1 #4); indirect refs
+# are resolved against the object table, and only if nothing resolves do we
+# fall back to scanning for the nearest `endstream`.
+_STREAM_RE = re.compile(rb"<<((?:[^>]|>(?!>))*?)>>\s*stream\r?\n", re.S)
+_LEN_REF_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R\b")
+_LEN_LIT_RE = re.compile(rb"/Length\s+(\d+)\s*(?![\d\s]*R\b)")
 _TEXTBLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
 # ops we track inside a BT/ET block, in order of appearance
 _OP_RE = re.compile(
@@ -76,11 +85,38 @@ def _unescape(s: bytes) -> str:
     return out.decode("latin-1")
 
 
+def _stream_length(head: bytes, data: bytes) -> int | None:
+    """Resolve the /Length of a stream dict: indirect reference first (the
+    common real-writer form), then literal, else None (→ endstream scan)."""
+    ref = _LEN_REF_RE.search(head)
+    if ref:
+        num, gen = int(ref.group(1)), int(ref.group(2))
+        obj = re.search(
+            rb"\b%d\s+%d\s+obj\s*(\d+)" % (num, gen), data
+        )
+        if obj:
+            return int(obj.group(1))
+        return None
+    lit = _LEN_LIT_RE.search(head)
+    return int(lit.group(1)) if lit else None
+
+
 def _content_streams(data: bytes):
     for m in _STREAM_RE.finditer(data):
         head = m.group(1)
-        length = int(m.group(2))
-        body = data[m.end():m.end() + length]
+        length = _stream_length(head, data)
+        if length is None:
+            end = data.find(b"endstream", m.end())
+            if end < 0:
+                continue
+            # writers pad with \n or \r\n before endstream; strip one EOL
+            body = data[m.end():end]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
+        else:
+            body = data[m.end():m.end() + length]
         if b"FlateDecode" in head:
             try:
                 body = zlib.decompress(body)

@@ -128,11 +128,21 @@ def _manifest_path(output_dir: str) -> str:
 
 
 def load_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Completed-partition manifest (dt, bkt, metrics...). Empty if absent."""
+    """Completed-partition manifest (dt, bkt, metrics...). Empty if absent.
+
+    Only a MISSING path means "fresh job". Any other read failure (corrupt
+    footer, permissions, transient FS error) re-raises: swallowing it would
+    make a resume=True run silently reprocess every partition and APPEND
+    duplicate (dt, bkt) rows to job_metrics (ADVICE r1 #2)."""
+    from pyspark.errors import AnalysisException
+
     path = _manifest_path(output_dir)
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         return spark.createDataFrame(
             [],
             "dt date, bkt int, n_docs long, chars_in long, chars_out long, "

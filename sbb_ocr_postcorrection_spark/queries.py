@@ -92,6 +92,75 @@ _SHINGLES_SQL = (
 )
 
 
+def _hex2int(hexpr: str) -> str:
+    """DuckDB: first 15 hex chars of `hexpr` (an md5 hex string) → 60-bit
+    int — the exact mirror of Spark's conv(substr(md5(x),1,15),16,10)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> strpos('0123456789abcdef', substr({hexpr}, i, 1)) - 1), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def _byte_at(i: str) -> str:
+    """DuckDB: 1-based byte `i` of the UPPERCASE-hex blob column hx."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr(hx, 2*({i})-1, 1)) - 1) * 16"
+        f" + (strpos('0123456789ABCDEF', substr(hx, 2*({i}), 1)) - 1))"
+    )
+
+
+# MinHash/LSH constants mirrored from operators.dedup (kept in lockstep by
+# tests/test_queries_oracle.py hash matches)
+_MERSENNE = (1 << 31) - 1
+_MINHASH_PERMS = [(2 * i + 1, 40503 * i + 7) for i in range(16)]
+_N_PLANES = 8
+
+
+def _minhash_sig_ctes(with_lang: bool = False) -> str:
+    """Shared CTE chain documents → shingles → 60-bit hashes → 16-slot
+    MinHash signatures → 4 banded hashes (mirrors operators.dedup)."""
+    lang_col = ", lang" if with_lang else ""
+    sig_cols = ", ".join(
+        f"CAST(min((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS mh_{j}"
+        for j, (a, b) in enumerate(_MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST({_hex2int(f'''md5(concat_ws(',', mh_{4 * b}, mh_{4 * b + 1}, mh_{4 * b + 2}, mh_{4 * b + 3}))''')} AS BIGINT) AS band_hash "
+        f"FROM sig"
+        for b in range(4)
+    )
+    return f"""
+        toks AS (SELECT doc_id{lang_col}, {_TOKS_SQL} AS l FROM documents),
+        sh AS (SELECT doc_id{lang_col}, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+        mh AS (SELECT doc_id,
+                      CAST({_hex2int('md5(shingle)')} % {_MERSENNE} AS BIGINT) AS h
+               FROM sh),
+        sig AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+        bands AS ({band_selects})
+    """
+
+
+def _lsh_sig_cte() -> str:
+    """Shared CTE: embeddings → (vec_id, v, nm, bucket) with the
+    random-hyperplane bucket mirroring operators.similarity._plane_weight
+    (md5 parity of p*10000+d)."""
+    plane_terms = " + ".join(
+        f"CASE WHEN list_inner_product(v, list_transform("
+        f"generate_series(0, len(v) - 1), "
+        f"d -> CASE WHEN {_hex2int(f'md5(CAST({p * 10_000} + d AS VARCHAR))')} % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)) > 0 THEN {2 ** p} ELSE 0 END"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm,
+                       CAST({plane_terms} AS BIGINT) AS bucket
+                FROM e)
+    """
+
+
 # --------------------------------------------------------------------------
 # flagship: the extraction pipeline itself (rows-only check — the kernel is
 # not SQL-expressible; its correctness gate is the byte-identity pytest)
@@ -251,16 +320,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set ops / splits
         "stratified_split": pinned(R.stratified_split),
         "union_slices": pinned(R.union_slices),
-        # dedup family
+        # dedup family — md5-keyed hashing, so every member (including the
+        # banded-LSH candidate generation and the composite keep/drop flow)
+        # is DuckDB-oracle-checked
         "dedup_exact": pinned(dedup.exact_groups),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
-        "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),   # rows-only
+        "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
+        "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
-        "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),        # rows-only
-        "dedup_simhash": pinned(dedup.simhash_bucket_pairs),         # rows-only
+        "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),
+        "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
+        "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
         "ann_brute_force": pinned(similarity.brute_force_topk),
-        "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),    # rows-only
+        "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),
+        "ann_lsh_multiprobe": pinned(similarity.lsh_multiprobe_topk),
         "ann_ivf": pinned(similarity.ivf_topk),                      # rows-only
         "embedding_norms": pinned(similarity.embedding_norms),
         # text analysis
@@ -274,17 +348,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # piece counting, top-200
         "wordpiece_vocab_topk": pinned(_wordpiece_vocab_topk),
         # line split → posexplode → relational reassembly (F10/J7 pair;
-        # greedy split is kernel-side → rows-only, but the result column
-        # roundtrip_ok self-certifies: must be 1 for every doc)
-        "line_split_roundtrip": pinned(lines.split_roundtrip),
-        # multimodal plumbing (rows-only: mapInPandas decode stub)
+        # greedy split is kernel-side, but the roundtrip invariant is
+        # SQL-stateable, so the driver projection is oracle-checked)
+        "line_split_roundtrip": pinned(lines.split_roundtrip_flags),
         # PDF/layout parse (north_rule): real FlateDecode+text-matrix parser;
-        # roundtrip_ok self-certifies (computed against the pre-PDF text on a
-        # separate plan branch) — rows-only
+        # n_lines/n_pages/roundtrip_ok are pure functions of documents.text,
+        # so the whole parse→reassemble path is oracle-checked
         "pdf_layout_parse": pinned(_pdf_layout),
+        # multimodal plumbing: the codec stub is deterministic byte math, so
+        # decode/resize/features all have exact DuckDB oracles over
+        # hex(encode(text))
         "multimodal_decode": pinned(multimodal.decode_metadata),
-        "multimodal_resize": pinned(multimodal.resize_metadata),      # rows-only
-        "multimodal_features": pinned(multimodal.feature_embeddings),  # rows-only
+        "multimodal_resize": pinned(multimodal.resize_metadata),
+        "multimodal_features": pinned(multimodal.feature_components),
         "frame_sample": pinned(multimodal.frame_sample_plan),
     }
 
@@ -523,17 +599,25 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY label
         """,
         "lang_id": f"""
-            WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, lang, len({_TOKS_SQL}) AS n_toks,
+                              {_TOKS_SQL} AS toks FROM documents),
             h AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, n_toks,
                      CAST(len(list_filter(toks, x -> list_contains({de}, x))) AS INTEGER) AS de_hits,
                      CAST(len(list_filter(toks, x -> list_contains({en}, x))) AS INTEGER) AS en_hits
-              FROM t)
-            SELECT doc_id, lang, de_hits, en_hits,
-                   CASE WHEN de_hits > en_hits THEN 'de'
-                        WHEN en_hits > de_hits THEN 'en'
-                        ELSE 'unk' END AS lang_guess
-            FROM h
+              FROM t),
+            g AS (
+              SELECT doc_id, lang, de_hits, en_hits,
+                     CASE WHEN de_hits > en_hits THEN 'de'
+                          WHEN en_hits > de_hits THEN 'en'
+                          ELSE 'unk' END AS lang_guess,
+                     round(greatest(de_hits, en_hits) / greatest(n_toks, 1), 6)
+                       AS lang_conf
+              FROM h)
+            SELECT doc_id, lang, de_hits, en_hits, lang_guess, lang_conf,
+                   CAST(CASE WHEN lang_guess <> 'unk' AND lang_conf >= 0.05
+                             THEN 1 ELSE 0 END AS INTEGER) AS lang_pass
+            FROM g
         """,
         "quality_score": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
@@ -628,6 +712,217 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_len
             FROM documents WHERE doc_id % 10 = 0
         """,
+        "dedup_minhash_lsh": f"""
+            WITH {_minhash_sig_ctes()}
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_bucket_stats": f"""
+            WITH {_minhash_sig_ctes()},
+            bsz AS (SELECT band, band_hash, count(*) AS sz
+                    FROM bands GROUP BY 1, 2)
+            SELECT band, count(*) AS n_buckets,
+                   CAST(max(sz) AS BIGINT) AS max_bucket,
+                   CAST(sum(CASE WHEN sz > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_capped
+            FROM bsz GROUP BY band
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+            h AS (SELECT doc_id, CAST({_hex2int('md5(token)')} AS BIGINT) AS h FROM tok),
+            votes AS (SELECT doc_id,
+                      {', '.join(f"sum(CASE WHEN (h // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60))}
+                      FROM h GROUP BY doc_id),
+            fp AS (SELECT doc_id,
+                   CAST({' + '.join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(60))} AS BIGINT) AS simhash
+                   FROM votes),
+            k AS (SELECT doc_id, CAST(simhash // {2 ** 44} AS BIGINT) AS bucket FROM fp)
+            SELECT a.doc_id AS id1, b.doc_id AS id2, a.bucket AS bucket
+            FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash_multiprobe": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+            h AS (SELECT doc_id, CAST({_hex2int('md5(token)')} AS BIGINT) AS h FROM tok),
+            votes AS (SELECT doc_id,
+                      {', '.join(f"sum(CASE WHEN (h // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60))}
+                      FROM h GROUP BY doc_id),
+            fp AS (SELECT doc_id,
+                   CAST({' + '.join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(60))} AS BIGINT) AS simhash
+                   FROM votes),
+            k AS (
+              SELECT doc_id, 0 AS rot,
+                     CAST(simhash // {2 ** 44} AS BIGINT) AS bucket FROM fp
+              UNION ALL
+              SELECT doc_id, 20,
+                     CAST(((simhash % {2 ** 40}) * {2 ** 20} + simhash // {2 ** 40})
+                          // {2 ** 44} AS BIGINT) FROM fp
+              UNION ALL
+              SELECT doc_id, 40,
+                     CAST(((simhash % {2 ** 20}) * {2 ** 40} + simhash // {2 ** 20})
+                          // {2 ** 44} AS BIGINT) FROM fp
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM k a JOIN k b
+              ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_corpus_keep": f"""
+            WITH {_minhash_sig_ctes(with_lang=True)},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shf AS (SELECT * FROM sh WHERE shingle NOT IN (
+                      SELECT shingle FROM (
+                        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+                      WHERE df > 10000)),
+            bok AS (SELECT band, band_hash FROM bands
+                    GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a
+                      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id
+                      JOIN bok kk ON a.band = kk.band AND a.band_hash = kk.band_hash),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+                      FROM shf a JOIN shf b
+                        ON a.lang = b.lang AND a.shingle = b.shingle
+                       AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            near AS (SELECT DISTINCT i.id2 AS doc_id
+                     FROM inter i
+                     JOIN sizes sa ON i.id1 = sa.doc_id
+                     JOIN sizes sb ON i.id2 = sb.doc_id
+                     JOIN cands c ON c.id1 = i.id1 AND c.id2 = i.id2
+                     WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+                           >= 0.8),
+            ex AS (SELECT md5(text) AS chash, min(doc_id) AS keeper
+                   FROM documents GROUP BY 1),
+            exl AS (SELECT d.doc_id, 'exact_dup' AS drop_reason
+                    FROM documents d JOIN ex e ON md5(d.text) = e.chash
+                    WHERE d.doc_id <> e.keeper),
+            nl AS (SELECT doc_id, 'near_dup' AS drop_reason FROM near),
+            losers AS (SELECT doc_id, min(drop_reason) AS drop_reason
+                       FROM (SELECT * FROM exl UNION ALL SELECT * FROM nl) u
+                       GROUP BY doc_id)
+            SELECT d.doc_id, d.lang, d.source,
+                   CAST(CASE WHEN l.drop_reason IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS keep,
+                   coalesce(l.drop_reason, 'kept') AS drop_reason
+            FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        """,
+        "ann_lsh_bucketed": f"""
+            WITH {_lsh_sig_cte()},
+            probes AS (SELECT vec_id AS probe_id, bucket AS pb, v AS pv, nm AS pn
+                       FROM sig WHERE vec_id < 5),
+            corpus AS (SELECT vec_id AS cand_id, bucket AS cb, v AS cv, nm AS cn
+                       FROM sig WHERE vec_id >= 5),
+            scored AS (SELECT probe_id, cand_id,
+                              round(list_inner_product(pv, cv) / (pn * cn), 4)
+                                AS cosine
+                       FROM probes JOIN corpus ON pb = cb),
+            ranked AS (SELECT probe_id, cand_id, cosine,
+                              CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, cand_id) AS INTEGER)
+                                AS rank
+                       FROM scored)
+            SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 3
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH {_lsh_sig_cte()},
+            probes AS (SELECT vec_id AS probe_id,
+                              unnest([bucket,
+                                      {', '.join(f'xor(bucket, {2 ** p})' for p in range(_N_PLANES))}])
+                                AS pb,
+                              v AS pv, nm AS pn
+                       FROM sig WHERE vec_id < 5),
+            corpus AS (SELECT vec_id AS cand_id, bucket AS cb, v AS cv, nm AS cn
+                       FROM sig WHERE vec_id >= 5),
+            scored AS (SELECT probe_id, cand_id,
+                              round(list_inner_product(pv, cv) / (pn * cn), 4)
+                                AS cosine
+                       FROM probes JOIN corpus ON pb = cb),
+            ranked AS (SELECT probe_id, cand_id, cosine,
+                              CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, cand_id) AS INTEGER)
+                                AS rank
+                       FROM scored)
+            SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 3
+        """,
+        "line_split_roundtrip": """
+            SELECT doc_id AS parent_id, CAST(1 AS INTEGER) AS roundtrip_ok
+            FROM documents
+        """,
+        "pdf_layout_parse": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents)
+            SELECT 'pdf://doc/' || doc_id AS url,
+                   CAST(CASE WHEN n = 0 THEN 0 ELSE ceil(n / 8.0) END AS BIGINT)
+                     AS n_lines,
+                   CAST(CASE WHEN n = 0 THEN 0 WHEN n > 8 THEN 2 ELSE 1 END
+                        AS INTEGER) AS n_pages,
+                   CAST(1 AS INTEGER) AS roundtrip_ok
+            FROM t
+        """,
+        "multimodal_decode": f"""
+            WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+            d AS (SELECT doc_id, hx, length(hx) // 2 AS n FROM b)
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_bytes,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE 64 + {_byte_at('1')} % 192 END AS INTEGER) AS width,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE 64 + {_byte_at('n')} % 128 END AS INTEGER) AS height,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE 1 + {_byte_at('n // 2 + 1')} % 3 END AS INTEGER)
+                     AS channels,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(
+                               generate_series(1, least(n, 256)),
+                               i -> {_byte_at('i')}))
+                             * 1000000 // (least(n, 256) * 255) AS BIGINT)
+                             / 1000000.0 END AS mean_luma
+            FROM d
+        """,
+        "multimodal_resize": f"""
+            WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+            d AS (SELECT doc_id, hx, length(hx) // 2 AS n FROM b),
+            g AS (SELECT doc_id,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE 64 + {_byte_at('1')} % 192 END AS w,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE 64 + {_byte_at('n')} % 128 END AS h,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE 1 + {_byte_at('n // 2 + 1')} % 3 END AS c
+                  FROM d),
+            s AS (SELECT doc_id, w, h, c,
+                         CASE WHEN w = 0 THEN 0.0
+                              ELSE least(1.0, 64.0 / greatest(w, h)) END AS scale
+                  FROM g)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(trunc(w * scale) AS INTEGER) AS thumb_width,
+                   CAST(trunc(h * scale) AS INTEGER) AS thumb_height,
+                   CAST(CAST(trunc(w * scale) AS INTEGER)
+                        * CAST(trunc(h * scale) AS INTEGER) * c AS INTEGER)
+                     AS thumb_bytes
+            FROM s
+        """,
+        "multimodal_features": f"""
+            WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+            bytes AS (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(1, length(hx) // 2),
+                               i -> {_byte_at('i')})) AS byte
+                      FROM b),
+            counts AS (SELECT doc_id, CAST(byte % 16 AS INTEGER) AS dim,
+                              count(*) AS cnt
+                       FROM bytes GROUP BY 1, 2),
+            docs AS (SELECT doc_id, CAST(length(hx) // 2 AS INTEGER) AS n_bytes
+                     FROM b),
+            dims AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS dim)
+            SELECT d.doc_id, dm.dim,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, d.n_bytes
+            FROM docs d CROSS JOIN dims dm
+            LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.dim = dm.dim
+        """,
         # no oracle (rows-only): extract_pipeline, extract_host_metrics,
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_bucketed, multimodal_decode
+        # corpus_* (NW-alignment kernel), ann_ivf (k-means-style centroid
+        # collect + argmax assignment is not SQL)
     }

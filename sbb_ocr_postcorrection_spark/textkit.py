@@ -90,10 +90,105 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def cer(ocr: str, gt: str) -> float:
-    """Character error rate = distance / len(gt) (F13 semantics)."""
+    """Character error rate = distance / len(gt) (F13 semantics).
+
+    CODE-POINT definition — matches the DuckDB levenshtein oracle exactly.
+    The reference's CER (dinglehopper, via preprocessing/
+    sequence_similarity.py:1-2) counts GRAPHEME CLUSTERS; use
+    cer_clusters/levenshtein_clusters for that parity (SURVEY §7.3). After
+    NFC the two agree except on clusters with no precomposed form
+    (multi-mark stacks, ZWJ sequences, regional-indicator flags)."""
     if not gt:
         return 0.0 if not ocr else float(len(ocr))
     return levenshtein(ocr, gt) / len(gt)
+
+
+# ------------------------------------------------ grapheme-cluster parity --
+
+_ZWJ = "\u200d"
+_MARK_CATS = ("Mn", "Mc", "Me")
+
+
+def _is_ri(ch: str) -> bool:
+    return 0x1F1E6 <= ord(ch) <= 0x1F1FF  # regional indicators (flags)
+
+
+def grapheme_clusters(s: str) -> list[str]:
+    """Extended grapheme clusters — the UAX #29 subset OCR text exercises
+    (dinglehopper's unit of edit distance): combining marks (Mn/Mc/Me) and
+    variation selectors extend the preceding base; ZWJ joins both sides
+    (emoji/ligature sequences); CRLF is one cluster; regional indicators
+    pair up. Full UAX #29 (prepend class, Hangul L/V/T) is out of scope —
+    those don't occur in the corpus and are documented divergences."""
+    clusters: list[str] = []
+    cur: list[str] = []
+    ri_count = 0
+    for ch in s:
+        join = False
+        if cur:
+            prev = cur[-1]
+            if prev == "\r" and ch == "\n":
+                join = True
+            elif prev in ("\r", "\n"):
+                join = False
+            elif prev == _ZWJ or ch == _ZWJ:
+                join = True
+            elif (
+                unicodedata.category(ch) in _MARK_CATS
+                or 0xFE00 <= ord(ch) <= 0xFE0F
+            ):
+                join = True
+            elif _is_ri(ch) and _is_ri(prev) and ri_count % 2 == 1:
+                join = True
+        if join:
+            cur.append(ch)
+            if _is_ri(ch):
+                ri_count += 1
+        else:
+            if cur:
+                clusters.append("".join(cur))
+            cur = [ch]
+            ri_count = 1 if _is_ri(ch) else 0
+    if cur:
+        clusters.append("".join(cur))
+    return clusters
+
+
+def levenshtein_clusters(a: str, b: str) -> int:
+    """Edit distance over grapheme clusters of the NFC forms — the
+    reference's distance definition (dinglehopper edit_distance.distance).
+    Sequence-generic two-row DP; cluster lists are short (one element per
+    visible glyph), so the NumPy path isn't needed here."""
+    ca = grapheme_clusters(nfc(a))
+    cb = grapheme_clusters(nfc(b))
+    if ca == cb:
+        return 0
+    if not ca:
+        return len(cb)
+    if not cb:
+        return len(ca)
+    if len(ca) > len(cb):
+        ca, cb = cb, ca
+    prev = list(range(len(ca) + 1))
+    for j, gb in enumerate(cb, start=1):
+        cur = [j]
+        for i, ga in enumerate(ca, start=1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ga != gb)))
+        prev = cur
+    return prev[-1]
+
+
+def cer_clusters(ocr: str, gt: str) -> float:
+    """Grapheme-cluster CER with dinglehopper's exact convention
+    (character_error_rate_n): distance over NFC cluster sequences divided
+    by the number of clusters in the REFERENCE (gt); 0/0 → 0.0, d/0 → inf."""
+    d = levenshtein_clusters(ocr, gt)
+    n = len(grapheme_clusters(nfc(gt)))
+    if d == 0:
+        return 0.0
+    if n == 0:
+        return float("inf")
+    return d / n
 
 
 def char_ngrams(s: str, n: int) -> list[str]:

@@ -27,7 +27,7 @@ def test_ann_np_matches_jvm(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF with probe_lists=3 of 8 cells must recall most of the exact
+    """IVF with probe_lists=4 of 8 cells must recall most of the exact
     top-5 (random-ish embeddings: the true neighbors concentrate in the
     probe's nearest cells only weakly, so demand ≥50% overall recall and
     exact agreement on rank-1 for most probes)."""

@@ -25,10 +25,43 @@ def test_reading_order_sort():
 
 
 def test_garbage_input_yields_nothing():
-    assert extract_runs(b"") == []
+    assert extract_runs(b"")            == []
     assert extract_runs(b"\xff\xfe not a pdf at all") == []
     # valid marker but broken stream: no crash
     assert extract_runs(b"%PDF-1.4\n<< /Filter /FlateDecode >>\nstream\nxx\nendstream") == []
+
+
+def _raw_stream_pdf(stream_dict: bytes, extra_objs: bytes = b"") -> bytes:
+    body = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hi there) Tj ET"
+    return (
+        b"%PDF-1.4\n1 0 obj\n" + stream_dict
+        + b"\nstream\n" + body + b"\nendstream\nendobj\n" + extra_objs + b"%%EOF"
+    )
+
+
+def test_indirect_length_reference():
+    """Real writers emit /Length as an indirect ref (ADVICE r1 #4)."""
+    body_len = len(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hi there) Tj ET")
+    pdf = _raw_stream_pdf(
+        b"<< /Length 7 0 R >>",
+        extra_objs=b"7 0 obj\n" + str(body_len).encode() + b"\nendobj\n",
+    )
+    assert [r.text for r in extract_runs(pdf)] == ["hi there"]
+
+
+def test_length_not_last_key():
+    pdf = _raw_stream_pdf(b"<< /Length 47 /Type /XObject >>")
+    assert [r.text for r in extract_runs(pdf)] == ["hi there"]
+
+
+def test_missing_length_falls_back_to_endstream_scan():
+    pdf = _raw_stream_pdf(b"<< /Type /XObject >>")
+    assert [r.text for r in extract_runs(pdf)] == ["hi there"]
+
+
+def test_unresolvable_indirect_length_falls_back():
+    pdf = _raw_stream_pdf(b"<< /Length 99 0 R >>")  # object 99 absent
+    assert [r.text for r in extract_runs(pdf)] == ["hi there"]
 
 
 @given(st.lists(st.text(alphabet="abcdef ()\\xyz", min_size=1, max_size=30)

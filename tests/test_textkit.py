@@ -95,3 +95,51 @@ def test_nfc_idempotent():
     once = tk.nfc(s)
     assert tk.nfc(once) == once
     assert once == "äbc"
+
+
+# ---------------------------------------------- grapheme-cluster CER parity --
+
+def test_grapheme_clusters_basic():
+    assert tk.grapheme_clusters("abc") == ["a", "b", "c"]
+    assert tk.grapheme_clusters("") == []
+    # combining tilde attaches to its base (no precomposed x-tilde exists)
+    assert tk.grapheme_clusters("x̃y") == ["x̃", "y"]
+    # a multi-mark stack is still one cluster
+    assert tk.grapheme_clusters("x̃̄") == ["x̃̄"]
+    # CRLF is one cluster; marks never attach to controls
+    assert tk.grapheme_clusters("a\r\nb") == ["a", "\r\n", "b"]
+    assert tk.grapheme_clusters("\ńa") == ["\n", "́", "a"] or \
+        tk.grapheme_clusters("\ńa")[0] == "\n"
+
+
+def test_grapheme_clusters_zwj_and_flags():
+    family = "\U0001F469‍\U0001F467"  # woman ZWJ girl
+    assert tk.grapheme_clusters(family) == [family]
+    flag = "\U0001F1E9\U0001F1EA"  # DE flag (two regional indicators)
+    assert tk.grapheme_clusters(flag + flag) == [flag, flag]
+
+
+def test_cluster_distance_matches_dinglehopper_definition():
+    """The reference's CER counts clusters (dinglehopper): one visible glyph
+    = one unit, regardless of how many code points compose it."""
+    # decomposed vs precomposed: NFC unifies, distance 0 in BOTH definitions
+    assert tk.levenshtein_clusters("café", "café") == 0
+    assert tk.levenshtein("café", "café") != 0  # raw code points differ
+    # multi-mark stack: code-point distance 2, cluster distance 1
+    assert tk.levenshtein("x̃̄", "x") == 2
+    assert tk.levenshtein_clusters("x̃̄", "x") == 1
+    # ZWJ emoji sequence: 3 code points, ONE cluster
+    family = "\U0001F469‍\U0001F467"
+    assert tk.levenshtein(family, "\U0001F469") == 2
+    assert tk.levenshtein_clusters(family, "\U0001F469") == 1
+
+
+def test_cer_clusters_convention():
+    family = "\U0001F469‍\U0001F467"
+    # denominator = clusters of GT: one cluster, one substitution → 1.0
+    assert tk.cer_clusters("\U0001F469", family) == 1.0
+    assert tk.cer_clusters(family, family) == 0.0
+    assert tk.cer_clusters("", "") == 0.0
+    assert tk.cer_clusters("a", "") == float("inf")  # dinglehopper d/0 = inf
+    # plain ASCII: both definitions agree
+    assert tk.cer_clusters("abd", "abc") == tk.cer("abd", "abc")
