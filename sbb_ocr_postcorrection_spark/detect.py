@@ -22,8 +22,8 @@ are never flagged (heuristics.py:201-219 predicates).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from functools import lru_cache
+from typing import NamedTuple
 
 from .correct import best_correction
 from .wordlists import DICTIONARY
@@ -35,9 +35,12 @@ _STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
 _TOKEN_RE = re.compile(r"\S+")
 
 
-@dataclass(frozen=True)
-class SpanFlag:
-    """One token span inside a block's text: [start, end) char offsets."""
+class SpanFlag(NamedTuple):
+    """One token span inside a block's text: [start, end) char offsets.
+
+    NamedTuple, not a dataclass: constructed once per token in the hot
+    kernel loop, and tuple allocation is ~3× cheaper than dataclass
+    __init__ (same immutability/attribute surface)."""
 
     start: int
     end: int
@@ -69,7 +72,7 @@ def flag_spans(text: str) -> list[SpanFlag]:
     """Tokenize by whitespace, flag noisy tokens; offsets into `text`.
     Regex token scan + cached per-token predicate (token distributions are
     Zipfian — the cache hit rate is high on real corpora too)."""
+    noisy = is_noisy_token
     return [
-        SpanFlag(m.start(), m.end(), is_noisy_token(m.group(0)))
-        for m in _TOKEN_RE.finditer(text)
+        SpanFlag(*m.span(), noisy(m.group(0))) for m in _TOKEN_RE.finditer(text)
     ]
