@@ -261,6 +261,12 @@ def _pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_layout_query(spark, sf_dir)
 
 
+def _mets_link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mets import mets_link_table
+
+    return mets_link_table(spark, sf_dir)
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -302,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins
         "equijoin_agg": pinned(R.equijoin_agg),
         "broadcast_dim_join": pinned(R.broadcast_dim_join),
+        # S3: real METS XML link-table extraction (ElementTree parse →
+        # pivoted dimension → broadcast remap join)
+        "mets_link_table": pinned(_mets_link_table),
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -407,6 +416,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "mets_link_table": """
+            SELECT source,
+                   'PHYS_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS page_id,
+                   doc_id, lang,
+                   3 * doc_id + 1 AS ocr_id,
+                   3 * doc_id + 2 AS gt_id,
+                   3 * doc_id + 3 AS img_id
+            FROM documents
         """,
         "routing_semi": """
             SELECT c_nationkey, count(*) AS n_with_orders

@@ -214,3 +214,40 @@ def test_pdf_synthesis_kernel_runs_once(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
     df.unpersist()  # no-op on the result; cache cleanup happens at session end
+
+
+# -------------------------------------------------------------------- mets --
+
+def test_mets_parse_roundtrip_and_classification():
+    """The ElementTree walk must classify typed OCR-D links vs bare-digit
+    image IDs exactly like the reference (xml_parser.py:270-283)."""
+    from sbb_ocr_postcorrection_spark.operators.mets import (
+        make_mets,
+        parse_mets_links,
+    )
+
+    xml = make_mets("src_a", [5, 2])
+    rows = parse_mets_links(xml)
+    assert ("PHYS_000002", "OCR", 7) in rows
+    assert ("PHYS_000002", "GT", 8) in rows
+    assert ("PHYS_000002", "IMG", 9) in rows
+    assert ("PHYS_000005", "OCR", 16) in rows
+    assert len(rows) == 6  # sorted, 3 links per div
+
+
+def test_mets_parse_tolerates_junk_children():
+    from sbb_ocr_postcorrection_spark.operators.mets import parse_mets_links
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<mets:mets xmlns:mets="http://www.loc.gov/METS/">'
+        '<mets:structMap><mets:div ID="PHYS_1">'
+        '<mets:fptr FILEID="OCR-D-OCR_4"/>'
+        '<mets:fptr FILEID="no-digits-here"/>'
+        '<mets:fptr/>'
+        "</mets:div><mets:div><mets:fptr FILEID='7'/></mets:div>"
+        "</mets:structMap></mets:mets>"
+    )
+    rows = parse_mets_links(xml)
+    # unparseable children skipped; div without ID skipped entirely
+    assert rows == [("PHYS_1", "OCR", 4)]
