@@ -1,0 +1,103 @@
+"""Cross-batch streaming dedup: a custom stateful operator.
+
+The batch dedup family (operators/dedup.py) answers "which of these N
+documents are duplicates of each other"; a continuous crawl needs the
+ONLINE form — "have I ever seen this content before" — across micro-batch
+boundaries. That is per-key mutable state, which Structured Streaming
+exposes as ``applyInPandasWithState`` (the Arrow-batched
+flatMapGroupsWithState): the stream is hash-partitioned by content digest,
+and each digest key carries a tiny (n_seen,) state row in the state store.
+
+Scale shape: state is one long per DISTINCT digest — the same cardinality a
+batch exact-dedup shuffle would move — partitioned by the digest hash, so
+it scales horizontally with executors and no task ever sees another key's
+state. For unbounded crawls the state store is bounded by a processing-time
+timeout (``ttl_minutes``): a digest idle longer than the TTL is evicted and
+a later re-crawl counts as first-seen again — the documented trade of the
+online form (an exact forever-dedup needs the batch job over the full
+corpus; run both, as real pipelines do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("is_first", BooleanType()),
+        StructField("n_seen_before", LongType()),
+    ]
+)
+STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+
+
+def _make_dedup_fn(ttl_minutes: int | None):
+    def dedup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-digest state transition: emit every row with its duplicate
+        verdict; the first arrival of a digest (ever, within the state TTL)
+        is the keeper. Rows inside a batch are ordered by (warc_ts, url) so
+        the keeper is deterministic under batch-internal reordering."""
+        (content_hash,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen = state.get[0] if state.exists else 0
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+            for url, ts in zip(pdf["url"], pdf["warc_ts"]):
+                rows.append(
+                    {
+                        "content_hash": content_hash,
+                        "url": url,
+                        "warc_ts": ts,
+                        "is_first": n_seen == 0,
+                        "n_seen_before": n_seen,
+                    }
+                )
+                n_seen += 1
+        state.update((n_seen,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=[f.name for f in OUT_SCHEMA.fields])
+
+    return dedup_fn
+
+
+def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """Streaming exact-dedup verdicts per page.
+
+    Input: a streaming (url, warc_ts, text, ...) DataFrame. Output: one row
+    per input row with is_first / n_seen_before. State per distinct digest;
+    ``ttl_minutes`` bounds the store for unbounded runs (None = keep state
+    for the lifetime of the query — fine for tests and bounded backfills)."""
+    keyed = pages_stream.select(
+        F.md5(F.col("text")).alias("content_hash"), "url", "warc_ts"
+    ).groupBy("content_hash")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.applyInPandasWithState(
+        _make_dedup_fn(ttl_minutes), OUT_SCHEMA, STATE_SCHEMA, "update", timeout
+    )

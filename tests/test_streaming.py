@@ -1,7 +1,10 @@
-"""Streaming ingest: same kernel, windowed metrics, late-data fold-in."""
+"""Streaming ingest: same kernel, windowed metrics, late-data fold-in;
+stateful cross-batch dedup (applyInPandasWithState)."""
 
+import datetime
 import os
 
+import pandas as pd
 import pyarrow.parquet as pq
 
 from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
@@ -33,3 +36,68 @@ def test_stream_matches_batch_kernel(spark, tmp_path):
         for r in rows
     }
     assert got == oracle
+
+
+def _text_batch(path, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    # micros, not pandas-default nanos: Spark reads TIMESTAMP_MICROS
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """Cross-batch duplicate detection: state (the per-digest seen-count)
+    must survive the micro-batch boundary — a duplicate arriving in a LATER
+    file is flagged, proving real applyInPandasWithState state, not
+    batch-local dedup."""
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import dedup_stream
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: two distinct texts + an in-batch duplicate of text A
+    _text_batch(
+        d / "b1.parquet",
+        [
+            ("u1", t0, "alpha beta gamma"),
+            ("u2", t0 + datetime.timedelta(seconds=1), "delta epsilon"),
+            ("u3", t0 + datetime.timedelta(seconds=2), "alpha beta gamma"),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    verdicts = dedup_stream(stream)
+    seen = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(batch_df.collect())
+
+    q = verdicts.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+
+    # batch 2 arrives later: a cross-batch duplicate of A and a new text
+    _text_batch(
+        d / "b2.parquet",
+        [
+            ("u4", t0 + datetime.timedelta(seconds=3), "alpha beta gamma"),
+            ("u5", t0 + datetime.timedelta(seconds=4), "zeta eta theta"),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    by_url = {r["url"]: r for r in seen}
+    assert set(by_url) == {"u1", "u2", "u3", "u4", "u5"}
+    assert by_url["u1"]["is_first"] and by_url["u1"]["n_seen_before"] == 0
+    assert by_url["u2"]["is_first"]
+    # in-batch duplicate: ordered after u1 by (warc_ts, url)
+    assert not by_url["u3"]["is_first"] and by_url["u3"]["n_seen_before"] == 1
+    # CROSS-BATCH duplicate: state survived the micro-batch boundary
+    assert not by_url["u4"]["is_first"] and by_url["u4"]["n_seen_before"] == 2
+    assert by_url["u5"]["is_first"]
+    # keepers = exactly the distinct contents
+    assert sum(1 for r in seen if r["is_first"]) == 3
