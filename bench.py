@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    # the r1 scale-killer, now candidate-only verification — benched to
+    # prove the composite flow carries no hidden all-pairs cost
+    "dedup_corpus_keep",
     "ann_brute_force",
     "quality_score",
     "fingerprints",

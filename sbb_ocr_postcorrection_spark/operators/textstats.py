@@ -103,6 +103,31 @@ def token_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the syntax Java regex
+# and DuckDB's RE2 agree on (no lookarounds, no \p classes): letter runs,
+# digit runs, single non-alnum-non-space marks. The production BPE merge
+# table sits on top of exactly this pre-split.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(spark, sf_dir) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer flavor: whitespace tokens vs
+    GPT-2-style regex pieces per document, plus the pieces/words ratio a
+    training-cost estimator needs. JVM-side regexp_extract_all; the DuckDB
+    oracle runs the same pattern through RE2."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = F.size(_tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_pieces"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("pieces_per_word"),
+    )
+
+
 def token_class_freq(spark, sf_dir) -> DataFrame:
     """A7: token frequencies per dictionary class (heuristics.py:54-112):
     classify each token as german-stopword / english-stopword / numeric /

@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pinned(textstats.lang_id),
         "quality_score": pinned(textstats.quality_score),
         "token_stats": pinned(textstats.token_stats),
+        "bpe_token_stats": pinned(textstats.bpe_token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
@@ -658,6 +659,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_toks), 4) AS avg_tokens,
                    count(DISTINCT lang) AS n_langs
             FROM t GROUP BY source
+        """,
+        "bpe_token_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_TOKS_SQL}) AS ws,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS bpe
+              FROM documents)
+            SELECT doc_id,
+                   CAST(ws AS INTEGER) AS n_ws_tokens,
+                   CAST(bpe AS INTEGER) AS n_bpe_pieces,
+                   round(bpe / greatest(ws, 1), 4) AS pieces_per_word
+            FROM t
         """,
         "token_class_freq": f"""
             WITH tok AS (

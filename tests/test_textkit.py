@@ -143,3 +143,17 @@ def test_cer_clusters_convention():
     assert tk.cer_clusters("a", "") == float("inf")  # dinglehopper d/0 = inf
     # plain ASCII: both definitions agree
     assert tk.cer_clusters("abd", "abc") == tk.cer("abd", "abc")
+
+
+def test_grapheme_clusters_lossless():
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.text(alphabet="abé́̃ \r\n\U0001F469‍xyz", max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def check(s):
+        # segmentation is lossless: clusters concatenate back to the input
+        assert "".join(tk.grapheme_clusters(s)) == s
+        # and every cluster is non-empty
+        assert all(tk.grapheme_clusters(s))
+
+    check()
