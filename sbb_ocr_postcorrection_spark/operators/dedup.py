@@ -7,7 +7,8 @@ Four families over the `documents` table:
   minhash_lsh  MinHash signatures + banded LSH candidate generation —
                the 100-TB-scale path: candidates come from equality joins on
                band keys, never a cross join
-  simhash      64-bit SimHash fingerprints, near-dup = small hamming radius
+  simhash      60-bit SimHash fingerprints (non-negative, oracle-exact),
+               near-dup = small hamming radius
 
 Everything JVM-side (md5/conv, transform, aggregate) — no Python in the hot
 path; the shingle explode is bounded by document length.
@@ -173,23 +174,13 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return minhash_signatures_from(shingle_table(spark, sf_dir))
 
 
-def minhash_lsh_candidates_from(
-    sig: DataFrame, max_bucket_size: int | None = None
-) -> DataFrame:
-    """Banded LSH over precomputed signatures: band key = hash of 4
-    consecutive signature slots; docs sharing any band key become a
-    candidate pair. Equality join on the band key — this is what scales:
-    shuffle keys are (band_idx, band_hash), and a skewed band
-    (boilerplate-heavy corpora) can be salted like any hot key.
-
-    ``max_bucket_size`` caps the per-bucket pair expansion (quadratic by
-    definition of LSH): buckets larger than the cap are dropped from pair
-    generation — a bucket that hot is boilerplate, not near-duplication.
-    NOT silent: lsh_bucket_stats() reports how many buckets a given cap
-    would truncate; run it before trusting a capped result."""
-    # one pass: explode an array of (band, band_hash) structs rather than
-    # unioning 4 selects (a union re-evaluates the signature subtree per
-    # branch — the shingle explode and 16 min-aggs would run 4×)
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from a signature table — the ONE place the
+    band key is defined (candidate generation and cap diagnostics must
+    never disagree on it). One pass: explode an array of (band, band_hash)
+    structs rather than unioning 4 selects (a union re-evaluates the
+    signature subtree per branch — the shingle explode and 16 min-aggs
+    would run 4×)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -207,9 +198,26 @@ def minhash_lsh_candidates_from(
             for b in range(_BANDS)
         ]
     )
-    bt = sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
         "doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
+
+
+def minhash_lsh_candidates_from(
+    sig: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Banded LSH over precomputed signatures: band key = hash of 4
+    consecutive signature slots; docs sharing any band key become a
+    candidate pair. Equality join on the band key — this is what scales:
+    shuffle keys are (band_idx, band_hash), and a skewed band
+    (boilerplate-heavy corpora) can be salted like any hot key.
+
+    ``max_bucket_size`` caps the per-bucket pair expansion (quadratic by
+    definition of LSH): buckets larger than the cap are dropped from pair
+    generation — a bucket that hot is boilerplate, not near-duplication.
+    NOT silent: lsh_bucket_stats() reports how many buckets a given cap
+    would truncate; run it before trusting a capped result."""
+    bt = _band_table(sig)
     # candidate pairs per bucket WITHOUT a self-join: group to the bucket's
     # sorted id list, expand pairs in-array. One shuffle on the band key
     # (saltable if a boilerplate-heavy bucket goes hot), subtree evaluated
@@ -246,27 +254,7 @@ def lsh_bucket_stats(spark, sf_dir, max_bucket_size: int = 1_000) -> DataFrame:
     """Cap diagnostics (the no-silent-caps rule): per band, the number of
     buckets, the largest bucket, and how many buckets a `max_bucket_size`
     cap would drop from pair generation. One row per band."""
-    sig = minhash_signatures(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_60(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{b * _ROWS_PER_BAND + r}")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(_BANDS)
-        ]
-    )
-    bt = sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
-        F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
-    )
+    bt = _band_table(minhash_signatures(spark, sf_dir))
     per_bucket = bt.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
     return per_bucket.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -364,8 +352,11 @@ def deduplicate_corpus(
     )
     # one shingle table feeds signatures AND verification; persisted so the
     # tokenize+explode subtree runs once (at production scale this is a
-    # materialized intermediate table, not a cache)
-    sh = shingle_table(spark, sf_dir).persist()
+    # materialized intermediate table, not a cache); slot-keyed so repeated
+    # invocations don't leak cache entries
+    from .relational import persist_slot
+
+    sh = persist_slot("dedup_corpus_shingles", shingle_table(spark, sf_dir))
     cands = minhash_lsh_candidates_from(
         minhash_signatures_from(sh), max_bucket_size=max_bucket_size
     )

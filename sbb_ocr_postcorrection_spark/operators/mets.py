@@ -52,10 +52,13 @@ def make_mets(source: str, doc_ids: list[int]) -> str:
             f'      <mets:fptr FILEID="{3 * d + 3}"/>\n'
             f"    </mets:div>"
         )
+    from xml.sax.saxutils import quoteattr
+
     body = "\n".join(divs)
+    label = quoteattr(source)  # sources with &, <, " must not break the XML
     return (
         f'<?xml version="1.0" encoding="UTF-8"?>\n'
-        f'<mets:mets xmlns:mets="{_METS_NS}" LABEL="{source}">\n'
+        f'<mets:mets xmlns:mets="{_METS_NS}" LABEL={label}>\n'
         f'  <mets:structMap TYPE="PHYSICAL">\n{body}\n  </mets:structMap>\n'
         f"</mets:mets>"
     )

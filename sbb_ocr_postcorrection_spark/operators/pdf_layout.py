@@ -45,7 +45,10 @@ def pdfs_from_documents(spark, sf_dir, words_per_line: int = 8):
         for pdf_batch in batches:
             rows = []
             for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
-                toks = (text or "").split()
+                # split on ' ' (not any-whitespace): keeps the token count a
+                # pure function the DuckDB oracle's space-split reproduces
+                # even if a document ever carries tabs/newlines
+                toks = [t for t in (text or "").split(" ") if t]
                 lines = [
                     " ".join(toks[i:i + words_per_line])
                     for i in range(0, len(toks), words_per_line)
@@ -73,7 +76,9 @@ def pdf_layout_query(spark, sf_dir) -> DataFrame:
     pdfs side so degenerate docs (empty text → zero parsed runs) still get
     an explicit verdict instead of vanishing (ADVICE r1 #3): an empty doc
     roundtrips as coalesce(parsed,'') == '' → ok=1, n_lines=0, n_pages=0."""
-    pdfs = pdfs_from_documents(spark, sf_dir).persist()
+    from .relational import persist_slot
+
+    pdfs = persist_slot("pdf_layout_pdfs", pdfs_from_documents(spark, sf_dir))
     parsed = pdfs.select("url", "pdf").mapInPandas(
         parse_pdf_layout, schema=LAYOUT_SCHEMA
     )

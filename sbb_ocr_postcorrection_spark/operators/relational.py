@@ -17,6 +17,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def persist_slot(key: str, df: DataFrame) -> DataFrame:
+    """Persist df, unpersisting whatever the SAME key persisted before.
+
+    Operators that cache a branch consumed twice in one returned plan
+    (deduplicate_corpus's shingle table, pdf_layout_query's synthesized
+    pdfs) cannot unpersist inside their own lazy plan — but repeated
+    invocations in a long session (bench loops, the driver harness) must
+    not accumulate orphaned cache entries. One slot per operator bounds the
+    leak to a single cached DataFrame each."""
+    old = _PERSIST_SLOTS.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session of the old DF may already be stopped
+    cached = df.persist()
+    _PERSIST_SLOTS[key] = cached
+    return cached
+
+
 def cents(col_name: str):
     """Money column → exact integer cents. Source values carry exactly two
     decimals, so round(x*100) is within 1e-9 of an integer in BOTH engines —

@@ -420,7 +420,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mets_link_table": """
             SELECT source,
-                   'PHYS_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS page_id,
+                   'PHYS_' || printf('%06d', doc_id) AS page_id,
                    doc_id, lang,
                    3 * doc_id + 1 AS ocr_id,
                    3 * doc_id + 2 AS gt_id,

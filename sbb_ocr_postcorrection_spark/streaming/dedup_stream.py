@@ -61,20 +61,28 @@ def _make_dedup_fn(ttl_minutes: int | None):
             state.remove()
             return
         n_seen = state.get[0] if state.exists else 0
+        # materialize ALL Arrow chunks of this group before sorting: a group
+        # spanning multiple chunks sorted per-chunk would hand is_first to
+        # whichever chunk arrives first, not the (warc_ts, url) minimum
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((n_seen,))
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["warc_ts", "url"], kind="mergesort"
+        )
         rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-            for url, ts in zip(pdf["url"], pdf["warc_ts"]):
-                rows.append(
-                    {
-                        "content_hash": content_hash,
-                        "url": url,
-                        "warc_ts": ts,
-                        "is_first": n_seen == 0,
-                        "n_seen_before": n_seen,
-                    }
-                )
-                n_seen += 1
+        for url, ts in zip(batch["url"], batch["warc_ts"]):
+            rows.append(
+                {
+                    "content_hash": content_hash,
+                    "url": url,
+                    "warc_ts": ts,
+                    "is_first": n_seen == 0,
+                    "n_seen_before": n_seen,
+                }
+            )
+            n_seen += 1
         state.update((n_seen,))
         if ttl_minutes is not None:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)

@@ -117,9 +117,6 @@ def test_multiprobe_recall_at_least_single_probe(spark):
         return hits / sum(len(v) for v in exact.values())
 
     assert recall(multi) >= recall(single)
-    # every single-probe candidate set is contained in the multi-probe one
-    for p, cands in single.items():
-        assert cands <= multi.get(p, set()) | cands  # rank cut can differ
     assert recall(multi) > 0
 
 
@@ -251,3 +248,18 @@ def test_mets_parse_tolerates_junk_children():
     rows = parse_mets_links(xml)
     # unparseable children skipped; div without ID skipped entirely
     assert rows == [("PHYS_1", "OCR", 4)]
+
+
+def test_mets_escapes_source_attribute():
+    from sbb_ocr_postcorrection_spark.operators.mets import (
+        make_mets,
+        parse_mets_links,
+    )
+
+    xml = make_mets('we&ird<"src>', [1])
+    rows = parse_mets_links(xml)  # must not raise ParseError
+    assert rows == [
+        ("PHYS_000001", "OCR", 4),
+        ("PHYS_000001", "GT", 5),
+        ("PHYS_000001", "IMG", 6),
+    ]
