@@ -97,3 +97,13 @@ def test_whole_stage_codegen_on_relational_path(spark):
     # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_mets_dim_join_broadcasts(spark):
+    """The METS link dimension is tiny by construction — the remap join
+    must broadcast it, never sort-merge the fact side."""
+    from sbb_ocr_postcorrection_spark.operators.mets import mets_link_table
+
+    plan = plan_of(mets_link_table(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
