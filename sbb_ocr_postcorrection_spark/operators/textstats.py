@@ -103,6 +103,58 @@ def token_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def repetition_stats(spark, sf_dir) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules family a
+    pretraining pipeline runs next to quality_score): per document the
+    distinct-token ratio and the fraction of all bigrams taken by the most
+    frequent bigram. Highly repetitive machine-generated/boilerplate text
+    scores low on the first and high on the second.
+
+    Plan: explode bigrams → two-phase (doc_id, bigram) count → per-doc
+    max/sum — equality-keyed shuffles with map-side partial aggregation,
+    the same shape at any scale. keep = not repetition-dominated."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.greatest(F.size("toks"), F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0] (DuckDB's is empty) —
+    # a 0/1-token doc must yield no bigrams, not a slice(toks, 0, 2) error
+    bigram_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = toks.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    per_doc = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+        )
+    )
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        (
+            (F.col("distinct_ratio") >= 0.2)
+            & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= 0.18)
+        ).cast("int").alias("repetition_keep"),
+    )
+    return out
+
+
 # GPT-2-style pre-tokenizer pattern, simplified to the syntax Java regex
 # and DuckDB's RE2 agree on (no lookarounds, no \p classes): letter runs,
 # digit runs, single non-alnum-non-space marks. The production BPE merge

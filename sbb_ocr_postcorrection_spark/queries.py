@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "lang_id": pinned(textstats.lang_id),
         "quality_score": pinned(textstats.quality_score),
+        "quality_repetition": pinned(textstats.repetition_stats),
         "token_stats": pinned(textstats.token_stats),
         "bpe_token_stats": pinned(textstats.bpe_token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
@@ -652,6 +653,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens >= 10 AND alpha_ratio > 0.6 THEN 1 ELSE 0 END
                      AS quality_keep
             FROM m
+        """,
+        "quality_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            base AS (
+              SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                     round(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+                       AS distinct_ratio
+              FROM t),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM t WHERE len(toks) >= 2),
+            pd AS (
+              SELECT doc_id, round(max(cnt) / sum(cnt), 6) AS top_bigram_frac
+              FROM (SELECT doc_id, bigram, count(*) AS cnt
+                    FROM bg GROUP BY 1, 2) c
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, b.distinct_ratio,
+                   coalesce(pd.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   CAST(CASE WHEN b.distinct_ratio >= 0.2
+                              AND coalesce(pd.top_bigram_frac, 0.0) <= 0.18
+                             THEN 1 ELSE 0 END AS INTEGER) AS repetition_keep
+            FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
         """,
         "token_stats": f"""
             WITH t AS (SELECT source, lang, len({_TOKS_SQL}) AS n_toks FROM documents)
