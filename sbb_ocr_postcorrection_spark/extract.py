@@ -149,15 +149,18 @@ _STRIP_RE = _re.compile(
     r"|<![^>]*>|<\?[^>]*>",
     _re.IGNORECASE | _re.DOTALL,
 )
-_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>")
+# attribute values may contain '>' — skip quoted runs instead of stopping
+# at the first '>' (the r1 divergence vs parse_blocks_std on real-web markup)
+_TAG_RE = _re.compile(
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:"[^"]*"|'[^']*'|[^>"'])*?)(/?)>"""
+)
 
 
 def parse_blocks(html: bytes | str) -> list[Block]:
     """Fast regex-tokenizer parse: identical Block semantics to
-    parse_blocks_std on sane markup (quoted '>' inside attribute values is
-    the known divergence — acceptable for the synthetic oracle contract;
-    both the oracle and the Spark kernel share THIS code, so byte-identity
-    holds by construction)."""
+    parse_blocks_std on sane markup INCLUDING quoted '>' inside attribute
+    values (tests pin equality); both the oracle and the Spark kernel share
+    THIS code, so byte-identity holds by construction."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     doc = _STRIP_RE.sub(" ", nfc(html))
@@ -200,7 +203,7 @@ def parse_blocks(html: bytes | str) -> list[Block]:
                 if anchor_depth:
                     link_chars += len(" ".join(data.split()))
         pos = end
-        closing, tag, self_closing = m.groups()
+        closing, tag, _attrs, self_closing = m.groups()
         tag = tag.lower()
         if not closing:
             tag_count += 1

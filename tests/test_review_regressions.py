@@ -134,3 +134,17 @@ def test_salted_agg_salt_col_validation(spark, tmp_path):
     # two counts no longer alias-collide
     out = salted_host_agg(df, ("url", "count"), ("lang", "count"))
     assert {"n_docs", "n_lang"} <= set(out.columns)
+
+def test_quoted_gt_in_attribute_matches_std_parser():
+    # '>' inside quoted attribute values must not terminate the tag early
+    # (round-1 documented divergence, now closed): link text and link_chars
+    # must match the stdlib parser exactly
+    html = (
+        '<html><body><p>before</p>'
+        '<a href="/x?a>b" title=\'q>r\'>link text</a>'
+        '<p>after words here</p></body></html>'
+    )
+    fast = [(b.text, b.link_chars) for b in extract.parse_blocks(html)]
+    std = [(b.text, b.link_chars) for b in extract.parse_blocks_std(html)]
+    assert fast == std
+    assert ("link text", 9) in fast
