@@ -155,16 +155,27 @@ def brute_force_topk_np(spark, sf_dir, n_probes: int = 5, k: int = 5) -> DataFra
 
 
 def ivf_topk(
-    spark, sf_dir, n_probes: int = 5, k: int = 5, n_lists: int = 8, probe_lists: int = 4
+    spark,
+    sf_dir,
+    n_probes: int = 5,
+    k: int = 5,
+    n_lists: int = 8,
+    probe_lists: int = 4,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into n_lists
     cells, score probes only against their probe_lists nearest cells.
 
-    Centroids are a deterministic sample (every ceil(n/n_lists)-th vector
-    by vec_id — no k-means iterations needed for the plumbing contract);
-    assignment = argmax cosine to centroid, broadcast both ways. At scale
-    the cell id becomes the partition/bucket key: the corpus is written
-    clustered by cell, and a probe touches probe_lists/n_lists of the data.
+    Centroid training is real spherical k-means, Spark-distributed: seed
+    with greedy farthest-point selection over a hash-sampled pool, then
+    ``lloyd_iters`` refinement passes — each pass assigns cells in the
+    Arrow kernel and recomputes centroids as the normalized per-cell mean
+    via posexplode → groupBy(cell, dim) avg (an equality-keyed two-phase
+    agg whose result is n_lists × dim rows, tiny to collect). Means are
+    rounded to 9 decimals before renormalizing so double merge-order
+    jitter can never flip an assignment between runs. At scale the cell id
+    becomes the partition/bucket key: the corpus is written clustered by
+    cell, and a probe touches probe_lists/n_lists of the data.
     """
     import numpy as np
     import pandas as pd
@@ -203,25 +214,59 @@ def ivf_topk(
             break
         chosen.append(next_i)
     Cn = pool[chosen]
+    dim = pool.shape[1]
 
-    def assign(batches):
-        for pdf in batches:
-            V = np.array(list(pdf["embedding"]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cells = np.argmax(Vn @ Cn.T, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": cells.astype("int32"),
-                }
-            )
+    def make_assign(centroids):
+        def assign(batches):
+            for pdf in batches:
+                V = np.array(list(pdf["embedding"]), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                cells = np.argmax(Vn @ centroids.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cell": cells.astype("int32"),
+                    }
+                )
 
-    # persisted: consumed by the probe collect AND the distributed scoring
-    # pass — without it the Python assign kernel runs twice over the corpus
-    assigned = e.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, cell int"
-    ).persist()
+        return assign
+
+    # distributed Lloyd refinement: assign → per-cell mean (two-phase agg
+    # over (cell, dim) keys; the collect is n_lists × dim scalars) →
+    # renormalize. Empty cells keep their previous centroid.
+    for _ in range(max(lloyd_iters, 0)):
+        pass_df = e.select("vec_id", "embedding").mapInPandas(
+            make_assign(Cn), schema="vec_id long, embedding array<float>, cell int"
+        )
+        means = (
+            pass_df.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m"))
+            .collect()
+        )
+        C_new = Cn.copy()
+        acc = np.zeros((n_lists, dim))
+        seen = np.zeros(n_lists, dtype=bool)
+        for r in means:
+            acc[r["cell"], r["dim"]] = r["m"]
+            seen[r["cell"]] = True
+        norms = np.linalg.norm(acc, axis=1)
+        ok = seen & (norms > 0)
+        C_new[ok] = acc[ok] / norms[ok, None]
+        Cn = C_new
+
+    # persisted (slot-keyed — repeated invocations must not leak cache):
+    # consumed by the probe collect AND the distributed scoring pass —
+    # without it the Python assign kernel runs twice over the corpus
+    from .relational import persist_slot
+
+    assigned = persist_slot(
+        "ivf_assigned",
+        e.select("vec_id", "embedding").mapInPandas(
+            make_assign(Cn), schema="vec_id long, embedding array<float>, cell int"
+        ),
+    )
     probes_pd = assigned.filter(F.col("vec_id") < n_probes).toPandas()
     if probes_pd.empty:
         assigned.unpersist()
