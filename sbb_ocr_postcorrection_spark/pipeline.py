@@ -242,6 +242,49 @@ def run_extraction_job(
     }
 
 
+def compact_extractions(
+    spark: SparkSession, output_dir: str, target_mb: int = 256
+) -> dict:
+    """Small-file compaction for the partitioned extraction sink.
+
+    Incremental resumed runs and fine-grained task parallelism leave each
+    (dt, bkt) partition with many small parquet files — the classic
+    scale killer for downstream scans (one task per file, metadata-bound
+    planning at 10^12 docs). Compaction rewrites each partition in one
+    pass: size the shuffle by bytes-on-disk / target_mb, repartition ON THE
+    PARTITION COLUMNS so each (dt, bkt) lands in as few tasks as possible,
+    and rewrite with dynamic overwrite (idempotent — a crash mid-compact
+    leaves every partition either old-complete or new-complete, and the
+    manifest is untouched because compaction changes no row).
+
+    Returns {files_before, files_after, partitions}. The Iceberg-native
+    form is `rewrite_data_files`; this is the plain-parquet analog."""
+    import glob
+
+    out_path = os.path.join(output_dir, "extractions")
+    files_before = glob.glob(os.path.join(out_path, "*", "*", "*.parquet"))
+    bytes_total = sum(os.path.getsize(f) for f in files_before)
+    df = spark.read.parquet(out_path)
+    n_parts = df.select("dt", "bkt").distinct().count()
+    # at least one task per partition value; more when partitions exceed
+    # the target file size (hash repartition on (dt,bkt) keeps each
+    # partition's rows together, so every output file belongs to one value)
+    n_tasks = max(n_parts, int(bytes_total // (target_mb * 1024 * 1024)) + 1)
+    (
+        df.repartition(n_tasks, "dt", "bkt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt", "bkt")
+        .parquet(out_path)
+    )
+    files_after = glob.glob(os.path.join(out_path, "*", "*", "*.parquet"))
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "partitions": int(n_parts),
+    }
+
+
 def job_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     """Aggregate job metrics from the manifest: chars in/out, detector hit
     rate (A10 analog of the reference's corpus-level stats)."""
