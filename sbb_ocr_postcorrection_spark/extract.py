@@ -150,9 +150,11 @@ _STRIP_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 # attribute values may contain '>' — skip quoted runs instead of stopping
-# at the first '>' (the r1 divergence vs parse_blocks_std on real-web markup)
+# at the first '>' (the r1 divergence vs parse_blocks_std on real-web
+# markup). A quote only OPENS a quoted run straight after '=': a stray
+# quote inside an unquoted value (href=x'y) must not swallow document text.
 _TAG_RE = _re.compile(
-    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:"[^"]*"|'[^']*'|[^>"'])*?)(/?)>"""
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:=\s*"[^"]*"|=\s*'[^']*'|[^>])*?)(/?)>"""
 )
 
 

@@ -232,11 +232,21 @@ def ivf_topk(
 
         return assign
 
+    from .relational import persist_slot
+
+    # the embeddings frame feeds every Lloyd pass AND the final assignment —
+    # persist it once (slot-keyed) so each pass re-runs only the Python
+    # assign kernel, not the parquet scan + Arrow serialization
+    eb = persist_slot("ivf_embeddings", e.select("vec_id", "embedding"))
+
     # distributed Lloyd refinement: assign → per-cell mean (two-phase agg
-    # over (cell, dim) keys; the collect is n_lists × dim scalars) →
-    # renormalize. Empty cells keep their previous centroid.
+    # over (cell, dim) keys; the collect is n_cells × dim scalars) →
+    # renormalize. Empty cells keep their previous centroid. All state
+    # arrays are sized len(Cn): seeding can legitimately return fewer than
+    # n_lists centroids (tiny or duplicate-heavy corpora).
+    n_cells = len(Cn)
     for _ in range(max(lloyd_iters, 0)):
-        pass_df = e.select("vec_id", "embedding").mapInPandas(
+        pass_df = eb.mapInPandas(
             make_assign(Cn), schema="vec_id long, embedding array<float>, cell int"
         )
         means = (
@@ -246,8 +256,8 @@ def ivf_topk(
             .collect()
         )
         C_new = Cn.copy()
-        acc = np.zeros((n_lists, dim))
-        seen = np.zeros(n_lists, dtype=bool)
+        acc = np.zeros((n_cells, dim))
+        seen = np.zeros(n_cells, dtype=bool)
         for r in means:
             acc[r["cell"], r["dim"]] = r["m"]
             seen[r["cell"]] = True
@@ -259,11 +269,9 @@ def ivf_topk(
     # persisted (slot-keyed — repeated invocations must not leak cache):
     # consumed by the probe collect AND the distributed scoring pass —
     # without it the Python assign kernel runs twice over the corpus
-    from .relational import persist_slot
-
     assigned = persist_slot(
         "ivf_assigned",
-        e.select("vec_id", "embedding").mapInPandas(
+        eb.mapInPandas(
             make_assign(Cn), schema="vec_id long, embedding array<float>, cell int"
         ),
     )

@@ -251,29 +251,45 @@ def compact_extractions(
     (dt, bkt) partition with many small parquet files — the classic
     scale killer for downstream scans (one task per file, metadata-bound
     planning at 10^12 docs). Compaction rewrites each partition in one
-    pass: size the shuffle by bytes-on-disk / target_mb, repartition ON THE
-    PARTITION COLUMNS so each (dt, bkt) lands in as few tasks as possible,
-    and rewrite with dynamic overwrite (idempotent — a crash mid-compact
-    leaves every partition either old-complete or new-complete, and the
-    manifest is untouched because compaction changes no row).
+    pass: hash-repartition ON THE PARTITION COLUMNS so each (dt, bkt)
+    lands in one task, with `maxRecordsPerFile` (derived from the measured
+    bytes/row) splitting any partition that exceeds target_mb — hash
+    repartitioning alone can never split an oversized key. Already-compact
+    sinks short-circuit without rewriting a byte.
 
-    Returns {files_before, files_after, partitions}. The Iceberg-native
-    form is `rewrite_data_files`; this is the plain-parquet analog."""
+    Durability note: dynamic partition overwrite is idempotent at the
+    partition level, but its commit (delete old dir, move staged files) is
+    not atomic on a plain filesystem — a crash inside the commit window
+    can lose that partition while the manifest still lists it as done. Run
+    compaction in a maintenance window or on a snapshot; the Iceberg-native
+    form (`rewrite_data_files`) commits atomically and is the production
+    swap-in.
+
+    Returns {files_before, files_after, partitions, skipped}."""
     import glob
 
     out_path = os.path.join(output_dir, "extractions")
     files_before = glob.glob(os.path.join(out_path, "*", "*", "*.parquet"))
-    bytes_total = sum(os.path.getsize(f) for f in files_before)
+    sizes = [os.path.getsize(f) for f in files_before]
+    bytes_total = sum(sizes)
     df = spark.read.parquet(out_path)
     n_parts = df.select("dt", "bkt").distinct().count()
-    # at least one task per partition value; more when partitions exceed
-    # the target file size (hash repartition on (dt,bkt) keeps each
-    # partition's rows together, so every output file belongs to one value)
-    n_tasks = max(n_parts, int(bytes_total // (target_mb * 1024 * 1024)) + 1)
+    target_bytes = target_mb * 1024 * 1024
+    if len(files_before) <= n_parts and all(s <= 1.5 * target_bytes for s in sizes):
+        return {
+            "files_before": len(files_before),
+            "files_after": len(files_before),
+            "partitions": int(n_parts),
+            "skipped": True,
+        }
+    n_rows = df.count()
+    avg_row = max(bytes_total / max(n_rows, 1), 1.0)
+    max_records = max(int(target_bytes / avg_row), 1)
     (
-        df.repartition(n_tasks, "dt", "bkt")
+        df.repartition(max(n_parts, 1), "dt", "bkt")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records)
         .partitionBy("dt", "bkt")
         .parquet(out_path)
     )
@@ -282,6 +298,7 @@ def compact_extractions(
         "files_before": len(files_before),
         "files_after": len(files_after),
         "partitions": int(n_parts),
+        "skipped": False,
     }
 
 

@@ -148,3 +148,18 @@ def test_quoted_gt_in_attribute_matches_std_parser():
     std = [(b.text, b.link_chars) for b in extract.parse_blocks_std(html)]
     assert fast == std
     assert ("link text", 9) in fast
+
+
+def test_stray_quote_in_unquoted_attribute_matches_std_parser():
+    # a quote must only OPEN a quoted run after '=': a stray quote inside
+    # an unquoted value (href=x'y) or quotes in TEXT must not swallow
+    # document content (review finding on the quoted-'>' fix)
+    cases = [
+        "<p>start</p><a href=x'y>anchor</a><p>it's more text</p>",
+        '<p>say "hi" and don\'t stop</p><a href=/x>go</a>',
+        '<a href = "z>w">spaced eq</a><p>rest</p>',
+    ]
+    for html in cases:
+        fast = [(b.text, b.link_chars) for b in extract.parse_blocks(html)]
+        std = [(b.text, b.link_chars) for b in extract.parse_blocks_std(html)]
+        assert fast == std, html

@@ -287,14 +287,28 @@ def test_compact_extractions_preserves_bytes(spark, tmp_path):
         r["url"]: r["extracted_text"]
         for r in spark.read.parquet(f"{out}/extractions").collect()
     }
+    # fragment the sink: a keyless repartition spreads every (dt,bkt) over
+    # many tasks, producing several files per partition (what repeated
+    # resumed runs look like)
+    frag = spark.read.parquet(f"{out}/extractions").repartition(8)
+    (
+        frag.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt", "bkt")
+        .parquet(f"{out}/extractions")
+    )
     stats = compact_extractions(spark, out)
     after = {
         r["url"]: r["extracted_text"]
         for r in spark.read.parquet(f"{out}/extractions").collect()
     }
     assert after == before
-    assert stats["files_after"] <= stats["files_before"]
-    assert stats["partitions"] > 0
+    assert not stats["skipped"]
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == stats["partitions"] > 0
+    # second call: already compact -> short-circuits without rewriting
+    again = compact_extractions(spark, out)
+    assert again["skipped"] and again["files_after"] == stats["files_after"]
     # resume still sees everything done after compaction
     summary = run_extraction_job(spark, spark.read.parquet(str(src)), out)
     assert summary["docs"] == 0 and summary["partitions_skipped"] > 0
