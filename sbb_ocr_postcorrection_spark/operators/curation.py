@@ -1,0 +1,57 @@
+"""The composite data-curation pipeline: every per-document filter family
+in one keep/drop verdict.
+
+This is the flow a pretraining-data user actually runs over a crawl:
+language gate (P5 analog) → quality heuristics → repetition filter
+(Gopher-style) → exact + near dedup, producing one row per document with
+`keep` and the FIRST reason it was dropped (precedence: duplicates beat
+content filters — a duplicate's content verdict is irrelevant, its keeper
+carries it).
+
+Composition is deliberate: each stage is the already-oracle-checked
+operator, joined on doc_id (equality-keyed, AQE-coalesced). The DuckDB
+oracle composes the same stage SQL as CTEs, so the COMPOSITE is
+hash-checked end to end, not just its parts. At 100 TB each stage is a
+scan-plus-agg over the same table; a production run would compute all
+per-doc columns in one pass (they share the tokenizer), but the composite
+keeps stage boundaries so each stage stays independently testable — the
+extra scans are all column-pruned to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import deduplicate_corpus
+from .textstats import lang_id, quality_score, repetition_stats
+
+
+def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
+    """(doc_id, lang, source, keep, reason) — the end-to-end curation
+    verdict. Reason precedence: exact_dup / near_dup (from the dedup
+    composite) > lang_filtered > low_quality > repetitive > kept."""
+    dd = deduplicate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("keep").alias("dedup_keep"),
+        F.col("drop_reason").alias("dedup_reason"),
+    )
+    lang = lang_id(spark, sf_dir).select("doc_id", "lang_pass")
+    qual = quality_score(spark, sf_dir).select("doc_id", "quality_keep")
+    rep = repetition_stats(spark, sf_dir).select("doc_id", "repetition_keep")
+    joined = dd.join(lang, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
+    reason = (
+        F.when(F.col("dedup_keep") == 0, F.col("dedup_reason"))
+        .when(F.col("lang_pass") == 0, F.lit("lang_filtered"))
+        .when(F.col("quality_keep") == 0, F.lit("low_quality"))
+        .when(F.col("repetition_keep") == 0, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "source",
+        (reason == "kept").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

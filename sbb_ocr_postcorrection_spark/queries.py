@@ -267,6 +267,12 @@ def _mets_link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mets_link_table(spark, sf_dir)
 
 
+def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import curate_corpus
+
+    return curate_corpus(spark, sf_dir)
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -338,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
         "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),
+        # the end-to-end curation verdict (lang + quality + repetition +
+        # dedup composed) — oracle composes the stage SQLs as CTEs
+        "curation_pipeline": pinned(_curation),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -379,7 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     de = _sql_list(DE_STOPS)
     en = _sql_list(EN_STOPS)
-    return {
+    sql = {
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -983,3 +992,29 @@ def oracle_sql() -> dict[str, str]:
         # corpus_* (NW-alignment kernel), ann_ivf (k-means-style centroid
         # collect + argmax assignment is not SQL)
     }
+    # the composite curation verdict reuses the stage oracles as CTEs, so
+    # the END-TO-END flow is hash-checked, not just its parts (DuckDB
+    # supports nested WITH inside a CTE body)
+    sql["curation_pipeline"] = f"""
+        WITH dd AS ({sql["dedup_corpus_keep"]}),
+        lng AS ({sql["lang_id"]}),
+        ql AS ({sql["quality_score"]}),
+        rp AS ({sql["quality_repetition"]}),
+        v AS (
+          SELECT dd.doc_id, dd.lang, dd.source,
+                 CASE WHEN dd.keep = 0 THEN dd.drop_reason
+                      WHEN lng.lang_pass = 0 THEN 'lang_filtered'
+                      WHEN ql.quality_keep = 0 THEN 'low_quality'
+                      WHEN rp.repetition_keep = 0 THEN 'repetitive'
+                      ELSE 'kept' END AS reason
+          FROM dd
+          JOIN lng ON dd.doc_id = lng.doc_id
+          JOIN ql ON dd.doc_id = ql.doc_id
+          JOIN rp ON dd.doc_id = rp.doc_id)
+        SELECT doc_id, lang, source,
+               CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INTEGER)
+                 AS keep,
+               reason
+        FROM v
+    """
+    return sql
