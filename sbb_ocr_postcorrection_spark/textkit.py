@@ -283,3 +283,19 @@ def char_labels(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
     if pad_to > n:
         labels += [0] * (pad_to - n)
     return labels
+
+
+def char_labels_clusters(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
+    """char_labels over grapheme clusters of the NFC forms — dinglehopper's
+    unit (one label per visible glyph, SURVEY §7.3): a combining-mark error
+    yields ONE error label on its base cluster, not a spurious extra
+    position that shifts every later label."""
+    a = grapheme_clusters(nfc(ocr))
+    b = grapheme_clusters(nfc(gt))
+    n = max(len(a), len(b))
+    a = a + [" "] * (n - len(a))
+    b = b + [" "] * (n - len(b))
+    labels = [1 if x == y else 2 for x, y in zip(a, b)]
+    if pad_to > n:
+        labels += [0] * (pad_to - n)
+    return labels

@@ -157,3 +157,14 @@ def test_grapheme_clusters_lossless():
         assert all(tk.grapheme_clusters(s))
 
     check()
+
+
+def test_char_labels_clusters():
+    # plain ASCII: identical to code-point labels
+    assert tk.char_labels_clusters("abc", "abd") == tk.char_labels("abc", "abd")
+    assert tk.char_labels_clusters("ab", "ab", pad_to=4) == [1, 1, 0, 0]
+    # a multi-mark cluster error is ONE error label, and later positions
+    # stay aligned (code-point labels would shift them all)
+    ocr, gt = "x̃̄yz", "xyz"
+    assert tk.char_labels_clusters(ocr, gt) == [2, 1, 1]
+    assert len(tk.char_labels(ocr, gt)) == 5  # code-point view, shifted
