@@ -312,3 +312,22 @@ def test_compact_extractions_preserves_bytes(spark, tmp_path):
     # resume still sees everything done after compaction
     summary = run_extraction_job(spark, spark.read.parquet(str(src)), out)
     assert summary["docs"] == 0 and summary["partitions_skipped"] > 0
+
+
+def test_persist_slot_unpersists_previous(spark):
+    from sbb_ocr_postcorrection_spark.operators.relational import (
+        _PERSIST_SLOTS,
+        persist_slot,
+    )
+
+    a = persist_slot("t_slot", spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = persist_slot("t_slot", spark.range(20))
+    b.count()
+    # previous occupant evicted, new one cached, exactly one slot entry
+    assert not a.storageLevel.useMemory
+    assert b.storageLevel.useMemory
+    assert _PERSIST_SLOTS["t_slot"] is b
+    b.unpersist()
+    del _PERSIST_SLOTS["t_slot"]
