@@ -163,3 +163,47 @@ def test_stray_quote_in_unquoted_attribute_matches_std_parser():
         fast = [(b.text, b.link_chars) for b in extract.parse_blocks(html)]
         std = [(b.text, b.link_chars) for b in extract.parse_blocks_std(html)]
         assert fast == std, html
+
+
+def test_parser_equivalence_property():
+    """Randomized cross-parser check: on well-formed-ish markup (nested
+    block tags, anchors with quoted/unquoted/stray-quote attributes, void
+    tags), the fast regex tokenizer must produce exactly the stdlib
+    parser's blocks — text, link chars, tag counts and boiler flags."""
+    from hypothesis import given, settings, strategies as st
+
+    text = st.text(
+        alphabet="abc d'e\"f.,!", min_size=1, max_size=12
+    ).map(lambda s: s.strip() or "x")
+    attr = st.sampled_from(
+        ['"q>x"', "'a b'", "x'y", "/plain", '"it\'s"', "= \"z>w\""]
+    )
+
+    def unit(inner):
+        return st.one_of(
+            text,
+            st.tuples(text).map(lambda t: f"<p>{t[0]}</p>"),
+            st.tuples(attr, text).map(lambda t: f"<a href={t[0]}>{t[1]}</a>"),
+            st.tuples(inner).map(lambda t: f"<div>{t[0]}</div>"),
+            st.tuples(inner).map(lambda t: f"<nav>{t[0]}</nav>"),
+            st.just("<br/>"),
+        )
+
+    docs = st.recursive(text, unit, max_leaves=8).map(
+        lambda body: f"<html><body>{body}</body></html>"
+    )
+
+    @given(docs)
+    @settings(max_examples=120, deadline=None)
+    def check(html):
+        fast = [
+            (b.text, b.link_chars, b.tag_count, b.in_boiler)
+            for b in extract.parse_blocks(html)
+        ]
+        std = [
+            (b.text, b.link_chars, b.tag_count, b.in_boiler)
+            for b in extract.parse_blocks_std(html)
+        ]
+        assert fast == std, html
+
+    check()
