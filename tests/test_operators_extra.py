@@ -100,3 +100,14 @@ def test_flag_spans_cover_all_tokens(text):
 def test_correct_token_idempotent_on_clean(word):
     assert correct_token(word) == word
     assert correct_token(word.capitalize() + ",") == word.capitalize() + ","
+
+
+def test_ivf_deterministic_across_runs(spark):
+    """Two IVF runs must agree exactly: centroid means are rounded to 9
+    decimals before renormalizing, so partial-agg merge-order jitter in the
+    distributed Lloyd pass cannot flip a cell assignment between runs."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import ivf_topk
+
+    a = sorted(tuple(r) for r in ivf_topk(spark, SF).collect())
+    b = sorted(tuple(r) for r in ivf_topk(spark, SF).collect())
+    assert a == b
