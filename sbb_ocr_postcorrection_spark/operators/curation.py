@@ -11,11 +11,11 @@ carries it).
 Composition is deliberate: each stage is the already-oracle-checked
 operator, joined on doc_id (equality-keyed, AQE-coalesced). The DuckDB
 oracle composes the same stage SQL as CTEs, so the COMPOSITE is
-hash-checked end to end, not just its parts. At 100 TB each stage is a
-scan-plus-agg over the same table; a production run would compute all
-per-doc columns in one pass (they share the tokenizer), but the composite
-keeps stage boundaries so each stage stays independently testable — the
-extra scans are all column-pruned to (doc_id, text).
+hash-checked end to end, not just its parts. Stage logic lives in ONE
+place: the per-document stages take an injected base relation, and the
+composite persists that relation once (slot-keyed), so the three content
+filters read a cached (doc_id, lang, source, text) table instead of
+re-scanning parquet per stage.
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import deduplicate_corpus
+from .relational import load, persist_slot
 from .textstats import lang_id, quality_score, repetition_stats
 
 
@@ -30,6 +31,12 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     """(doc_id, lang, source, keep, reason) — the end-to-end curation
     verdict. Reason precedence: exact_dup / near_dup (from the dedup
     composite) > lang_filtered > low_quality > repetitive > kept."""
+    docs = persist_slot(
+        "curation_docs",
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+    )
     dd = deduplicate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold).select(
         "doc_id",
         "lang",
@@ -37,9 +44,9 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         F.col("keep").alias("dedup_keep"),
         F.col("drop_reason").alias("dedup_reason"),
     )
-    lang = lang_id(spark, sf_dir).select("doc_id", "lang_pass")
-    qual = quality_score(spark, sf_dir).select("doc_id", "quality_keep")
-    rep = repetition_stats(spark, sf_dir).select("doc_id", "repetition_keep")
+    lang = lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass")
+    qual = quality_score(spark, sf_dir, docs=docs).select("doc_id", "quality_keep")
+    rep = repetition_stats(spark, sf_dir, docs=docs).select("doc_id", "repetition_keep")
     joined = dd.join(lang, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
     reason = (
         F.when(F.col("dedup_keep") == 0, F.col("dedup_reason"))

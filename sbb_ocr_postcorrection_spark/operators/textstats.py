@@ -22,7 +22,7 @@ EN_STOPS = tuple(sorted(ENGLISH_STOPWORDS))
 from ..functions.exprs import cer_band_expr, tokens_expr as _tokens  # noqa: E402
 
 
-def lang_id(spark, sf_dir, conf_threshold: float = 0.05) -> DataFrame:
+def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame:
     """Heuristic language ID: count German vs English stopword hits; guess
     the majority, 'unk' on ties (langid-filter analog,
     cli_preproc.py:595-604 — here recomputed instead of trusted).
@@ -31,7 +31,7 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05) -> DataFrame:
     (cli_preproc.py's `prob > 0.999` langid filter, VERDICT r1 missing #4):
     winning-stopword hits per token. lang_pass = confident non-tie — the
     P5 filter bit a pipeline applies."""
-    d = load(spark, sf_dir, "documents").repartition(
+    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = _tokens(F.col("text"))
@@ -58,10 +58,10 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05) -> DataFrame:
     )
 
 
-def quality_score(spark, sf_dir) -> DataFrame:
+def quality_score(spark, sf_dir, docs=None) -> DataFrame:
     """Quality heuristics: alpha-char ratio, token count, mean token length;
     the keep/drop verdict a pretraining filter would apply."""
-    d = load(spark, sf_dir, "documents").repartition(
+    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = _tokens(F.col("text"))
@@ -103,7 +103,7 @@ def token_stats(spark, sf_dir) -> DataFrame:
     )
 
 
-def repetition_stats(spark, sf_dir) -> DataFrame:
+def repetition_stats(spark, sf_dir, docs=None) -> DataFrame:
     """Repetition-based quality filter (the Gopher-rules family a
     pretraining pipeline runs next to quality_score): per document the
     distinct-token ratio and the fraction of all bigrams taken by the most
@@ -113,7 +113,7 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
     Plan: explode bigrams → two-phase (doc_id, bigram) count → per-doc
     max/sum — equality-keyed shuffles with map-side partial aggregation,
     the same shape at any scale. keep = not repetition-dominated."""
-    d = load(spark, sf_dir, "documents").repartition(
+    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
