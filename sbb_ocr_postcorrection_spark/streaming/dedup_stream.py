@@ -109,3 +109,19 @@ def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> Dat
     return keyed.applyInPandasWithState(
         _make_dedup_fn(ttl_minutes), OUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )
+
+
+def extract_dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """The full streaming ingest pipeline in ONE query: fused extraction
+    kernel (mapInPandas on the stream) → stateful online dedup keyed on the
+    EXTRACTED text digest. This is the shape a continuous crawl actually
+    wants — boilerplate variations of the same article hash identically
+    only after extraction, so dedup must run downstream of the kernel.
+    Chaining a stateless Arrow kernel into a stateful operator is plain
+    Structured Streaming composition: one micro-batch runs both."""
+    from .ingest import extract_stream
+
+    extracted = extract_stream(pages_stream).select(
+        "url", "warc_ts", F.col("extracted_text").alias("text")
+    )
+    return dedup_stream(extracted, ttl_minutes=ttl_minutes)

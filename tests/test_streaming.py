@@ -101,3 +101,55 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert by_url["u5"]["is_first"]
     # keepers = exactly the distinct contents
     assert sum(1 for r in seen if r["is_first"]) == 3
+
+
+def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
+    """Kernel + stateful dedup composed in ONE streaming query: two pages
+    whose html differs only in boilerplate must extract to identical text
+    and the later one (even in a later micro-batch) must be flagged as a
+    duplicate of the first."""
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.kernel import run_document
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
+        extract_dedup_stream,
+    )
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    pages = generate_pages(20, seed=21)
+    pq.write_table(pages_to_arrow(pages[:10]), str(d / "a.parquet"))
+    pq.write_table(pages_to_arrow(pages[10:]), str(d / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(batch_df.collect())
+
+    q = (
+        extract_dedup_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(seen) == 20
+    # oracle: group pages by their KERNEL-extracted text; within each group
+    # exactly the first (warc_ts, url) arrival is the keeper
+    oracle_groups = {}
+    for p in pages:
+        oracle_groups.setdefault(run_document(p.html).extracted_text, []).append(p)
+    n_groups = len(oracle_groups)
+    assert sum(1 for r in seen if r["is_first"]) == n_groups
+    by_url = {r["url"]: r for r in seen}
+    for grp in oracle_groups.values():
+        first = min(grp, key=lambda p: (p.warc_ts, p.url))
+        assert by_url[first.url]["is_first"], first.url
