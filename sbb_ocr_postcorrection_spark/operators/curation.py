@@ -31,11 +31,14 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     """(doc_id, lang, source, keep, reason) — the end-to-end curation
     verdict. Reason precedence: exact_dup / near_dup (from the dedup
     composite) > lang_filtered > low_quality > repetitive > kept."""
+    # projected BEFORE the persist: the cache holds only the columns the
+    # content stages read (source/n_chars would bloat it and the persist
+    # boundary blocks column pruning)
     docs = persist_slot(
         "curation_docs",
-        load(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        ),
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism),
     )
     dd = deduplicate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold).select(
         "doc_id",

@@ -22,6 +22,16 @@ EN_STOPS = tuple(sorted(ENGLISH_STOPWORDS))
 from ..functions.exprs import cer_band_expr, tokens_expr as _tokens  # noqa: E402
 
 
+def _base_docs(spark, sf_dir, docs):
+    """The per-document stage input: an injected (shared/cached) relation
+    when composing (operators/curation.py), else a fresh parallelized scan."""
+    if docs is not None:
+        return docs
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame:
     """Heuristic language ID: count German vs English stopword hits; guess
     the majority, 'unk' on ties (langid-filter analog,
@@ -31,9 +41,7 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame
     (cli_preproc.py's `prob > 0.999` langid filter, VERDICT r1 missing #4):
     winning-stopword hits per token. lang_pass = confident non-tie — the
     P5 filter bit a pipeline applies."""
-    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _base_docs(spark, sf_dir, docs)
     toks = _tokens(F.col("text"))
     de_arr = F.array(*[F.lit(w) for w in DE_STOPS])
     en_arr = F.array(*[F.lit(w) for w in EN_STOPS])
@@ -61,9 +69,7 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame
 def quality_score(spark, sf_dir, docs=None) -> DataFrame:
     """Quality heuristics: alpha-char ratio, token count, mean token length;
     the keep/drop verdict a pretraining filter would apply."""
-    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _base_docs(spark, sf_dir, docs)
     toks = _tokens(F.col("text"))
     n_toks = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
@@ -113,9 +119,7 @@ def repetition_stats(spark, sf_dir, docs=None) -> DataFrame:
     Plan: explode bigrams → two-phase (doc_id, bigram) count → per-doc
     max/sum — equality-keyed shuffles with map-side partial aggregation,
     the same shape at any scale. keep = not repetition-dominated."""
-    d = docs if docs is not None else load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _base_docs(spark, sf_dir, docs)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
     base = toks.select(
         "doc_id",

@@ -272,17 +272,24 @@ def segment_runs(ids: list[int]) -> list[list[int]]:
     return runs
 
 
+def _seq_labels(a: list, b: list, pad_to: int) -> list[int]:
+    """Shared label core: positional 1-correct/2-error over two sequences
+    space-padded to the longer length, then 0-padded to pad_to — ONE
+    definition for the code-point and grapheme-cluster views."""
+    n = max(len(a), len(b))
+    a = list(a) + [" "] * (n - len(a))
+    b = list(b) + [" "] * (n - len(b))
+    labels = [1 if x == y else 2 for x, y in zip(a, b)]
+    if pad_to > n:
+        labels += [0] * (pad_to - n)
+    return labels
+
+
 def char_labels(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
     """Per-char equality labels: 1 correct, 2 error, 0 pad
     (cli_preproc.py:405-412 semantics, F8). Both strings space-padded to the
     longer length before comparison (F7)."""
-    n = max(len(ocr), len(gt))
-    o = ocr.ljust(n)
-    g = gt.ljust(n)
-    labels = [1 if a == b else 2 for a, b in zip(o, g)]
-    if pad_to > n:
-        labels += [0] * (pad_to - n)
-    return labels
+    return _seq_labels(list(ocr), list(gt), pad_to)
 
 
 def char_labels_clusters(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
@@ -290,12 +297,4 @@ def char_labels_clusters(ocr: str, gt: str, pad_to: int = 0) -> list[int]:
     unit (one label per visible glyph, SURVEY §7.3): a combining-mark error
     yields ONE error label on its base cluster, not a spurious extra
     position that shifts every later label."""
-    a = grapheme_clusters(nfc(ocr))
-    b = grapheme_clusters(nfc(gt))
-    n = max(len(a), len(b))
-    a = a + [" "] * (n - len(a))
-    b = b + [" "] * (n - len(b))
-    labels = [1 if x == y else 2 for x, y in zip(a, b)]
-    if pad_to > n:
-        labels += [0] * (pad_to - n)
-    return labels
+    return _seq_labels(grapheme_clusters(nfc(ocr)), grapheme_clusters(nfc(gt)), pad_to)

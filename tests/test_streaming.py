@@ -104,10 +104,13 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
 
 
 def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
-    """Kernel + stateful dedup composed in ONE streaming query: two pages
-    whose html differs only in boilerplate must extract to identical text
-    and the later one (even in a later micro-batch) must be flagged as a
-    duplicate of the first."""
+    """Kernel + stateful dedup composed in ONE streaming query, with
+    CRAFTED duplicates: re-crawls of page 0 (same html bytes → same
+    extracted text, later warc_ts) appear both in the first file and in a
+    LATER micro-batch, and must be flagged as duplicates of the original;
+    distinct pages stay keepers."""
+    import dataclasses
+
     from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
     from sbb_ocr_postcorrection_spark.kernel import run_document
     from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
@@ -116,9 +119,17 @@ def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
 
     d = tmp_path / "in"
     os.makedirs(d)
-    pages = generate_pages(20, seed=21)
-    pq.write_table(pages_to_arrow(pages[:10]), str(d / "a.parquet"))
-    pq.write_table(pages_to_arrow(pages[10:]), str(d / "b.parquet"))
+    base = generate_pages(8, seed=21)
+    later = max(p.warc_ts for p in base) + datetime.timedelta(hours=1)
+    recrawl_1 = dataclasses.replace(
+        base[0], url=base[0].url + "?recrawl=1", warc_ts=later
+    )
+    recrawl_2 = dataclasses.replace(
+        base[0], url=base[0].url + "?recrawl=2",
+        warc_ts=later + datetime.timedelta(hours=1),
+    )
+    pq.write_table(pages_to_arrow(list(base[:4]) + [recrawl_1]), str(d / "a.parquet"))
+    pq.write_table(pages_to_arrow(list(base[4:]) + [recrawl_2]), str(d / "b.parquet"))
 
     stream = (
         spark.readStream.schema(
@@ -141,15 +152,20 @@ def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    assert len(seen) == 20
-    # oracle: group pages by their KERNEL-extracted text; within each group
-    # exactly the first (warc_ts, url) arrival is the keeper
-    oracle_groups = {}
-    for p in pages:
-        oracle_groups.setdefault(run_document(p.html).extracted_text, []).append(p)
-    n_groups = len(oracle_groups)
-    assert sum(1 for r in seen if r["is_first"]) == n_groups
+    assert len(seen) == 10
     by_url = {r["url"]: r for r in seen}
-    for grp in oracle_groups.values():
-        first = min(grp, key=lambda p: (p.warc_ts, p.url))
-        assert by_url[first.url]["is_first"], first.url
+    # the original page 0 is the keeper; its same-batch re-crawl (later
+    # warc_ts) and its NEXT-micro-batch re-crawl are both duplicates
+    assert by_url[base[0].url]["is_first"]
+    assert not by_url[recrawl_1.url]["is_first"]
+    assert by_url[recrawl_1.url]["n_seen_before"] == 1
+    assert not by_url[recrawl_2.url]["is_first"]  # cross-batch state
+    assert by_url[recrawl_2.url]["n_seen_before"] == 2
+    # sanity: the dedup really keyed on the KERNEL-extracted text
+    assert (
+        run_document(recrawl_1.html).extracted_text
+        == run_document(base[0].html).extracted_text
+    )
+    # all genuinely distinct pages are keepers
+    n_distinct = len({run_document(p.html).extracted_text for p in base})
+    assert sum(1 for r in seen if r["is_first"]) == n_distinct
