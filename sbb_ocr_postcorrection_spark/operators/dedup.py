@@ -250,6 +250,67 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates_salted(
+    spark, sf_dir, chunk_size: int = 64
+) -> DataFrame:
+    """Skew-safe banded LSH: IDENTICAL candidate pairs to
+    minhash_lsh_candidates, but a hot bucket's quadratic pair expansion is
+    spread across tasks instead of landing on one.
+
+    The plain form collects each bucket to a single row and expands all
+    C(B,2) pairs there — one boilerplate-heavy bucket of 10^5 docs means
+    5·10^9 pairs in ONE task. Here each bucket's sorted id list is split
+    into chunks of ``chunk_size``: intra-chunk pairs expand per chunk row,
+    and inter-chunk pairs come from a self-join on the bucket key with
+    chunk_a < chunk_b — every task now handles ≤ chunk_size² pairs, and the
+    hot bucket's work fans out over C(B/chunk, 2) + B/chunk tasks. This is
+    the salting the band-key docstring promises, as working code
+    (equivalence to the unsalted form is pytest- and oracle-checked)."""
+    bt = _band_table(minhash_signatures(spark, sf_dir))
+    # deterministic chunk assignment: rank within the bucket by doc_id
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "band_hash").orderBy("doc_id")
+    chunked = bt.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) / chunk_size).cast("int")
+    )
+    per_chunk = chunked.groupBy("band", "band_hash", "chunk").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    intra = (
+        per_chunk.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
+    )
+    a = per_chunk.alias("a")
+    b = per_chunk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.chunk") < F.col("b.chunk")),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(a.ids, x -> transform(b.ids, y -> "
+                    "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
+    )
+    return intra.unionByName(inter).distinct()
+
+
 def lsh_bucket_stats(spark, sf_dir, max_bucket_size: int = 1_000) -> DataFrame:
     """Cap diagnostics (the no-silent-caps rule): per band, the number of
     buckets, the largest bucket, and how many buckets a `max_bucket_size`

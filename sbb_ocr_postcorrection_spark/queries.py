@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": pinned(dedup.exact_groups),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
+        "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
         "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
         "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),
@@ -992,6 +993,9 @@ def oracle_sql() -> dict[str, str]:
         # corpus_* (NW-alignment kernel), ann_ivf (k-means-style centroid
         # collect + argmax assignment is not SQL)
     }
+    # the salted LSH expansion must produce EXACTLY the unsalted candidate
+    # set — same oracle, so the driver itself certifies the equivalence
+    sql["dedup_minhash_lsh_salted"] = sql["dedup_minhash_lsh"]
     # the composite curation verdict reuses the stage oracles as CTEs, so
     # the END-TO-END flow is hash-checked, not just its parts (DuckDB
     # supports nested WITH inside a CTE body)

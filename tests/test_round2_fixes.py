@@ -331,3 +331,20 @@ def test_persist_slot_unpersists_previous(spark):
     assert _PERSIST_SLOTS["t_slot"] is b
     b.unpersist()
     del _PERSIST_SLOTS["t_slot"]
+
+
+def test_salted_lsh_equals_unsalted(spark):
+    """The skew-salted pair expansion must produce exactly the unsalted
+    candidate set — salting changes task distribution, never semantics.
+    chunk_size=2 forces heavy inter-chunk joining even at toy scale."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_salted,
+    )
+
+    plain = {(r["id1"], r["id2"]) for r in minhash_lsh_candidates(spark, SF_SMALL).collect()}
+    salted = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_salted(spark, SF_SMALL, chunk_size=2).collect()
+    }
+    assert salted == plain and plain
