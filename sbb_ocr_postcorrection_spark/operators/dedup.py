@@ -174,6 +174,20 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return minhash_signatures_from(shingle_table(spark, sf_dir))
 
 
+def _expand_sorted_pairs(groups: DataFrame) -> DataFrame:
+    """(… , ids: sorted id array) → (id1, id2) pair rows, expanded in-array
+    (no self-join) — the ONE definition of per-bucket pair generation used
+    by banded LSH, its salted form, and SimHash rotations."""
+    return groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
+
+
 def _band_table(sig: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) from a signature table — the ONE place the
     band key is defined (candidate generation and cap diagnostics must
@@ -229,17 +243,7 @@ def minhash_lsh_candidates_from(
     )
     if max_bucket_size is not None:
         groups = groups.filter(F.size("ids") <= max_bucket_size)
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select(
-        F.col("p.a").alias("id1"), F.col("p.b").alias("id2")
-    ).distinct()
+    return _expand_sorted_pairs(groups).distinct()
 
 
 def minhash_lsh_candidates(
@@ -277,18 +281,7 @@ def minhash_lsh_candidates_salted(
     per_chunk = chunked.groupBy("band", "band_hash", "chunk").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    intra = (
-        per_chunk.filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
-    )
+    intra = _expand_sorted_pairs(per_chunk.filter(F.size("ids") > 1))
     a = per_chunk.alias("a")
     b = per_chunk.alias("b")
     inter = (
@@ -581,14 +574,4 @@ def simhash_rotation_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select(
-        F.col("p.a").alias("id1"), F.col("p.b").alias("id2")
-    ).distinct()
+    return _expand_sorted_pairs(groups).distinct()
