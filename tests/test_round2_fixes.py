@@ -348,3 +348,41 @@ def test_salted_lsh_equals_unsalted(spark):
         for r in minhash_lsh_candidates_salted(spark, SF_SMALL, chunk_size=2).collect()
     }
     assert salted == plain and plain
+
+
+def test_salted_lsh_on_hot_bucket(spark, tmp_path):
+    """Skew stress: 30 identical docs share EVERY band bucket (the
+    boilerplate-heavy case salting exists for). The salted expansion must
+    produce exactly the plain form's C(30,2)+... candidate set."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank while birds sing in tall green trees")
+    texts = [base] * 30 + [
+        f"unique document number {i} with its own words about topic {i}"
+        for i in range(5)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_salted,
+    )
+
+    plain = {(r["id1"], r["id2"]) for r in minhash_lsh_candidates(spark, d).collect()}
+    salted = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_salted(spark, d, chunk_size=4).collect()
+    }
+    assert salted == plain
+    # all 30 identical docs pair with each other: C(30,2) pairs present
+    hot = {(i, j) for i in range(30) for j in range(i + 1, 30)}
+    assert hot <= plain
