@@ -331,6 +331,58 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(spark, sf_dir) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    storage path at 10^12-vector scale (4 bytes/dim → 1, plus one scale
+    per vector). Everything JVM-side and trunc-based (never round-half, so
+    Spark and the DuckDB oracle agree bit-for-bit): scale = max|x|,
+    q_i = trunc(x_i / scale · 127). Returns per-vector codes summary +
+    the max absolute reconstruction error (the number a recall-budget
+    calculation needs)."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = _as_double(F.col("embedding"))
+    base = e.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    # trunc toward zero, not floor: negative components must not quantize
+    # differently than DuckDB's trunc. Spark lacks a trunc() expression for
+    # doubles, so express it as sign-aware floor: floor(|y|) * sign(y).
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: (
+                F.floor(F.abs(x / F.col("scale") * 127))
+                * F.when(x < 0, -1).otherwise(1)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    qd = base.withColumn("q", q)
+    err = F.round(
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                F.col("q"),
+                lambda x, c: F.abs(x - c.cast("double") * F.col("scale") / 127.0),
+            )
+        ),
+        9,
+    )
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.size("q").alias("n_dims"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "q_sum"
+        ),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        err.alias("max_abs_err"),
+    )
+
+
 def lsh_signatures(spark, sf_dir) -> DataFrame:
     """Random-hyperplane signature: bit p = sign of dot(v, plane_p), planes
     from _plane_weight (md5 parity) — plan-constant literals, reproducible

@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": pinned(similarity.lsh_multiprobe_topk),
         "ann_ivf": pinned(similarity.ivf_topk),                      # rows-only
         "embedding_norms": pinned(similarity.embedding_norms),
+        "embedding_quantize": pinned(similarity.quantize_embeddings),
         # text analysis
         "lang_id": pinned(textstats.lang_id),
         "quality_score": pinned(textstats.quality_score),
@@ -617,6 +618,29 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
               FROM scored)
             SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS scale
+                  FROM e),
+            q AS (SELECT vec_id, v, scale,
+                         CASE WHEN scale > 0 THEN
+                           list_transform(v, x ->
+                             CAST(floor(abs(x / scale * 127))
+                                  * (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                                  AS INTEGER))
+                         ELSE list_transform(v, x -> 0) END AS qs
+                  FROM s)
+            SELECT vec_id, scale,
+                   CAST(len(qs) AS INTEGER) AS n_dims,
+                   CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                   CAST(list_min(qs) AS INTEGER) AS q_min,
+                   CAST(list_max(qs) AS INTEGER) AS q_max,
+                   round(list_max(list_transform(generate_series(1, len(v)),
+                         i -> abs(v[i] - qs[i] * scale / 127.0))), 9)
+                     AS max_abs_err
+            FROM q
         """,
         "embedding_norms": """
             WITH n AS (

@@ -386,3 +386,19 @@ def test_salted_lsh_on_hot_bucket(spark, tmp_path):
     # all 30 identical docs pair with each other: C(30,2) pairs present
     hot = {(i, j) for i in range(30) for j in range(i + 1, 30)}
     assert hot <= plain
+
+
+def test_quantization_error_bound(spark):
+    """Symmetric int8 quantization: per-vector max reconstruction error is
+    bounded by one quantization step (scale/127) and codes stay in int8
+    range."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = quantize_embeddings(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        if r["scale"] > 0:
+            assert r["max_abs_err"] <= r["scale"] / 127 + 1e-9, r
