@@ -255,47 +255,70 @@ def minhash_lsh_candidates(
 
 
 def minhash_lsh_candidates_salted(
-    spark, sf_dir, chunk_size: int = 64
+    spark, sf_dir, chunk_size: int = 64, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Skew-safe banded LSH: IDENTICAL candidate pairs to
-    minhash_lsh_candidates, but a hot bucket's quadratic pair expansion is
-    spread across tasks instead of landing on one.
+    minhash_lsh_candidates (for the same ``max_bucket_size``), but a hot
+    bucket's quadratic pair expansion is spread across tasks instead of
+    landing on one.
 
     The plain form collects each bucket to a single row and expands all
     C(B,2) pairs there — one boilerplate-heavy bucket of 10^5 docs means
     5·10^9 pairs in ONE task. Here each bucket's sorted id list is split
     into chunks of ``chunk_size``: intra-chunk pairs expand per chunk row,
     and inter-chunk pairs come from a self-join on the bucket key with
-    chunk_a < chunk_b — every task now handles ≤ chunk_size² pairs, and the
-    hot bucket's work fans out over C(B/chunk, 2) + B/chunk tasks. This is
-    the salting the band-key docstring promises, as working code
-    (equivalence to the unsalted form is pytest- and oracle-checked)."""
+    chunk_a < chunk_b. Crucially the joined chunk-pair rows are
+    REPARTITIONED on (bucket, chunk_a, chunk_b) BEFORE the explode — the
+    join's equality keys are only the bucket, so without that shuffle every
+    chunk-pair of the hot bucket would land back in one partition and the
+    explode would run in a single task anyway. After the repartition each
+    task expands ≤ chunk_size² pairs. per_chunk is slot-persisted: it feeds
+    intra + both self-join sides, and the pushed-down join filters defeat
+    ReuseExchange (the signature pipeline would run 3×)."""
     bt = _band_table(minhash_signatures(spark, sf_dir))
-    # deterministic chunk assignment: rank within the bucket by doc_id
     from pyspark.sql import Window as W
 
+    from .relational import persist_slot
+
+    # deterministic chunk assignment: rank within the bucket by doc_id;
+    # bucket size rides along so the cap matches the plain form exactly
     w = W.partitionBy("band", "band_hash").orderBy("doc_id")
     chunked = bt.withColumn(
         "chunk", ((F.row_number().over(w) - 1) / chunk_size).cast("int")
-    )
-    per_chunk = chunked.groupBy("band", "band_hash", "chunk").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    ).withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("band", "band_hash")))
+    if max_bucket_size is not None:
+        chunked = chunked.filter(F.col("bsz") <= max_bucket_size)
+    per_chunk = persist_slot(
+        "lsh_salted_chunks",
+        chunked.groupBy("band", "band_hash", "chunk").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        ),
     )
     intra = _expand_sorted_pairs(per_chunk.filter(F.size("ids") > 1))
     a = per_chunk.alias("a")
     b = per_chunk.alias("b")
+    chunk_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.chunk") < F.col("b.chunk")),
+    ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.band_hash").alias("band_hash"),
+        F.col("a.chunk").alias("chunk_a"),
+        F.col("b.chunk").alias("chunk_b"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("b.ids").alias("ids_b"),
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.chunk") < F.col("b.chunk")),
-        )
+        chunk_pairs.repartition("band", "band_hash", "chunk_a", "chunk_b")
         .select(
             F.explode(
+                # chunks are rank-ordered by doc_id, so every id in chunk_a
+                # is strictly below every id in chunk_b: (x, y) IS (id1, id2)
                 F.expr(
-                    "flatten(transform(a.ids, x -> transform(b.ids, y -> "
-                    "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                    "flatten(transform(ids_a, x -> transform(ids_b, y -> "
+                    "struct(x AS a, y AS b))))"
                 )
             ).alias("p")
         )
