@@ -598,3 +598,50 @@ def simhash_rotation_pairs(
         .filter(F.size("ids") > 1)
     )
     return _expand_sorted_pairs(groups).distinct()
+
+
+def decontaminate(
+    spark, sf_dir, bench_mod: int = 41, min_overlap: int = 1
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share word
+    3-gram shingles with a held-out evaluation slice.
+
+    The op every pretraining pipeline runs before shipping a corpus: any
+    document overlapping the eval benchmarks inflates reported scores and
+    must be dropped. Here the benchmark slice is carved deterministically
+    from the same table (doc_id % bench_mod == 0) so the query is
+    self-contained and DuckDB-oracle-checked; in production the benchmark
+    side is the external eval suite.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are fixed-size; the corpus is 100 TB), so it is BROADCAST —
+    the training side never shuffles. Flagging is a broadcast-hash semi
+    join + per-doc count; no self-join, no global sort."""
+    sh = shingle_table(spark, sf_dir)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_overlap"))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % bench_mod == 0, "benchmark")
+            .otherwise("train")
+            .alias("role"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.when(
+                (F.col("doc_id") % bench_mod != 0)
+                & (F.coalesce("n_overlap", F.lit(0)) >= min_overlap),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

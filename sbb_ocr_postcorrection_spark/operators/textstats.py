@@ -279,3 +279,47 @@ def fingerprints(spark, sf_dir) -> DataFrame:
         rolling.alias("rolling_fp"),
         F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_distinct_tokens"),
     )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: no lookaround, no backrefs, explicit classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+
+def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFrame:
+    """PII detection + redaction, fully JVM-side (regexp_count /
+    regexp_replace — no Python in the hot path, trivially data-parallel at
+    100 TB).
+
+    The synthetic documents carry no PII, so the query first APPENDS
+    deterministic fixtures (an email for doc_id % email_mod == 0, a phone
+    for doc_id % phone_mod == 0) — identically in the Spark plan and the
+    DuckDB oracle — so the redaction is exercised on text that actually
+    contains matches, including docs carrying both kinds. Emails are
+    redacted before phones on both sides (a fixed order keeps overlapping
+    matches deterministic)."""
+    d = load(spark, sf_dir, "documents")
+    email_fix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone_fix = F.concat(
+        F.lit(" call +1 555 "),
+        F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % email_mod == 0, email_fix).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % phone_mod == 0, phone_fix).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import (
+    components,
     dedup,
     evaluation,
     lines,
@@ -345,9 +346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
         "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),
+        # transitive duplicate clusters: large-star/small-star connected
+        # components over exact + LSH-verified near-dup edges (oracle:
+        # recursive-CTE min-id reachability)
+        "dedup_components": pinned(components.duplicate_components),
         # the end-to-end curation verdict (lang + quality + repetition +
         # dedup composed) — oracle composes the stage SQLs as CTEs
         "curation_pipeline": pinned(_curation),
+        # benchmark decontamination (broadcast eval-shingle semi join)
+        "decontaminate": pinned(dedup.decontaminate),
+        # PII detect + redact (JVM regexp over deterministically
+        # PII-augmented text)
+        "pii_redact": pinned(textstats.pii_redact),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -898,6 +908,95 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS keep,
                    coalesce(l.drop_reason, 'kept') AS drop_reason
             FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+            hits AS (SELECT doc_id, count(DISTINCT shingle) AS n_overlap
+                     FROM sh JOIN bench USING (shingle)
+                     WHERE doc_id % 41 <> 0 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 41 = 0 THEN 'benchmark'
+                        ELSE 'train' END AS role,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   CAST(CASE WHEN d.doc_id % 41 <> 0
+                              AND coalesce(h.n_overlap, 0) >= 1
+                             THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1 555 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\+[0-9]{1,2} [0-9]{3} [0-9]{4}')) AS INTEGER) AS n_phones,
+                   regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+[0-9]{1,2} [0-9]{3} [0-9]{4}', '<PHONE>', 'g')
+                     AS redacted
+            FROM aug
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_minhash_sig_ctes(with_lang=True)},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shf AS (SELECT * FROM sh WHERE shingle NOT IN (
+                      SELECT shingle FROM (
+                        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+                      WHERE df > 10000)),
+            bok AS (SELECT band, band_hash FROM bands
+                    GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a
+                      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id
+                      JOIN bok kk ON a.band = kk.band AND a.band_hash = kk.band_hash),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+                      FROM shf a JOIN shf b
+                        ON a.lang = b.lang AND a.shingle = b.shingle
+                       AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            near AS (SELECT i.id1, i.id2
+                     FROM inter i
+                     JOIN sizes sa ON i.id1 = sa.doc_id
+                     JOIN sizes sb ON i.id2 = sb.doc_id
+                     JOIN cands c ON c.id1 = i.id1 AND c.id2 = i.id2
+                     WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+                           >= 0.8),
+            ex AS (SELECT md5(text) AS chash, min(doc_id) AS keeper
+                   FROM documents GROUP BY 1),
+            exp AS (SELECT e.keeper AS id1, d.doc_id AS id2
+                    FROM documents d JOIN ex e ON md5(d.text) = e.chash
+                    WHERE d.doc_id <> e.keeper),
+            pairs AS (SELECT id1, id2 FROM near
+                      UNION SELECT id1, id2 FROM exp),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(comp) AS component_id
+                     FROM reach GROUP BY node),
+            szs AS (SELECT component_id, count(*) AS component_size
+                    FROM comp GROUP BY 1)
+            SELECT c.doc_id, c.component_id,
+                   CAST(s.component_size AS BIGINT) AS component_size
+            FROM comp c JOIN szs s USING (component_id)
         """,
         "ann_lsh_bucketed": f"""
             WITH {_lsh_sig_cte()},

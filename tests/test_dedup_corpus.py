@@ -59,3 +59,95 @@ def test_threshold_spares_weaker_matches(spark, crafted_docs):
     rows = {r["doc_id"]: r for r in deduplicate_corpus(spark, crafted_docs, 0.9).collect()}
     assert rows[2]["keep"] == 1
     assert rows[1]["keep"] == 0  # exact dups unaffected by the threshold
+
+
+# ----- connected components (operators/components.py) -----
+
+from sbb_ocr_postcorrection_spark.operators.components import (  # noqa: E402
+    connected_components,
+    duplicate_components,
+)
+
+
+def test_connected_components_toy(spark):
+    # chain 1-2-3-4, pair 10-11, self-loop 5 (ignored), triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (11, 10), (5, 5), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    res = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert res == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonical labels
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_duplicate_components_match_union_find(spark):
+    sf = "/root/testdata/sf0.001"
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        candidate_jaccard,
+        exact_groups,
+        minhash_lsh_candidates_from,
+        minhash_signatures_from,
+        shingle_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    doc_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    exact_edges = [
+        (r["doc_id"], r["keeper_id"])
+        for r in d.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(exact_groups(spark, sf), "content_hash")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .collect()
+    ]
+    sh = shingle_table(spark, sf)
+    near_edges = [
+        (r["id1"], r["id2"])
+        for r in candidate_jaccard(
+            minhash_lsh_candidates_from(
+                minhash_signatures_from(sh), max_bucket_size=1_000
+            ),
+            sh,
+            max_shingle_df=10_000,
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    ]
+    expected = _union_find_components(exact_edges + near_edges, doc_ids)
+    got = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in duplicate_components(spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    sizes = {}
+    for n, c in expected.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for n in expected:
+        assert got[n] == (expected[n], sizes[expected[n]]), n
+    # the graph must be non-trivial for this test to mean anything
+    assert any(s > 1 for _c, s in got.values())

@@ -119,3 +119,54 @@ def test_ivf_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in ivf_topk(spark, SF).collect())
     b = sorted(tuple(r) for r in ivf_topk(spark, SF).collect())
     assert a == b
+
+
+# ----- decontamination & PII redaction -----
+
+
+def test_decontaminate_flags_benchmark_sharers(spark):
+    from sbb_ocr_postcorrection_spark.operators.dedup import decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in decontaminate(spark, sf).collect()}
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert set(rows) == set(texts)
+    for doc_id, r in rows.items():
+        assert r["role"] == ("benchmark" if doc_id % 41 == 0 else "train")
+        if r["role"] == "benchmark":
+            assert r["contaminated"] == 0  # the bench slice is never flagged
+        else:
+            assert r["contaminated"] == (1 if r["n_overlap"] >= 1 else 0)
+    # a train doc that is an exact copy of a benchmark doc MUST be flagged
+    # (exact dupes share every shingle)
+    bench_texts = {t for i, t in texts.items() if i % 41 == 0}
+    copies = [i for i, t in texts.items() if i % 41 != 0 and t in bench_texts]
+    for i in copies:
+        assert rows[i]["contaminated"] == 1, i
+    # and the fixture must be non-vacuous: some contamination exists
+    assert any(r["contaminated"] == 1 for r in rows.values())
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from sbb_ocr_postcorrection_spark.operators.dedup import decontaminate
+
+    plan = decontaminate(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_counts_and_rewrites(spark):
+    from sbb_ocr_postcorrection_spark.operators.textstats import pii_redact
+
+    rows = {r["doc_id"]: r for r in pii_redact(spark, "/root/testdata/sf0.001").collect()}
+    for doc_id, r in rows.items():
+        assert r["n_emails"] == (1 if doc_id % 7 == 0 else 0), doc_id
+        assert r["n_phones"] == (1 if doc_id % 11 == 0 else 0), doc_id
+        assert "@" not in r["redacted"]
+        assert "+1 555" not in r["redacted"]
+        if doc_id % 7 == 0:
+            assert "<EMAIL>" in r["redacted"]
+        if doc_id % 11 == 0:
+            assert "<PHONE>" in r["redacted"]
+    # doc 0 carries both fixture kinds (0 % 7 == 0 % 11 == 0)
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
