@@ -32,7 +32,6 @@ _NUMERIC_RE = re.compile(r"^[\d.,:/%-]+$")
 _HAS_DIGIT_RE = re.compile(r"\d")
 _HAS_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 _STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
-_TOKEN_RE = re.compile(r"\S+")
 
 
 class SpanFlag(NamedTuple):

@@ -167,9 +167,10 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     Tokenizes with ONE ``_TAG_RE.split`` over the document — the result
     alternates [text, closing, tag, attrs, self_closing, text, ...] — so the
     hot loop touches plain list slots instead of allocating a Match object
-    per tag (span/groups calls were ~25% of parse time). The block flush is
-    inlined because most block boundaries carry no accumulated text and only
-    need the two counter resets."""
+    per tag (span/groups calls were ~25% of parse time). The `if parts`
+    guard stays inline because most block boundaries carry no accumulated
+    text and only need the two counter resets; the non-empty emit is one
+    shared closure so loop and tail cannot diverge."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     doc = _STRIP_RE.sub(" ", nfc(html))
@@ -184,6 +185,25 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     unescape = _htmllib.unescape
     block_tags = _BLOCK_TAGS
     boiler_tags = _BOILER_ANCESTORS
+
+    def emit() -> None:
+        # only called with non-empty parts (~13×/doc, not per boundary)
+        nonlocal parts, link_chars, tag_count
+        text = " ".join(" ".join(parts).split())
+        if text:
+            blocks.append(
+                Block(
+                    index=len(blocks),
+                    text=text,
+                    link_chars=link_chars,
+                    tag_count=tag_count,
+                    in_boiler=boiler_depth > 0,
+                )
+            )
+        parts = []
+        link_chars = 0
+        tag_count = 0
+
     n = len(toks)
     i = 0
     while True:
@@ -205,20 +225,10 @@ def parse_blocks(html: bytes | str) -> list[Block]:
             tag_count += 1
         if tag in block_tags:
             if parts:
-                text = " ".join(" ".join(parts).split())
-                if text:
-                    blocks.append(
-                        Block(
-                            index=len(blocks),
-                            text=text,
-                            link_chars=link_chars,
-                            tag_count=tag_count,
-                            in_boiler=boiler_depth > 0,
-                        )
-                    )
-                parts = []
-            link_chars = 0
-            tag_count = 0
+                emit()
+            else:
+                link_chars = 0
+                tag_count = 0
         # a self-closed <nav/> / <a/> must not leave a dangling depth: it
         # would mark the whole rest of the document as boiler/link text
         # (parse_blocks_std balances these via handle_startendtag)
@@ -228,17 +238,7 @@ def parse_blocks(html: bytes | str) -> list[Block]:
             elif tag in boiler_tags:
                 boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
     if parts:
-        text = " ".join(" ".join(parts).split())
-        if text:
-            blocks.append(
-                Block(
-                    index=len(blocks),
-                    text=text,
-                    link_chars=link_chars,
-                    tag_count=tag_count,
-                    in_boiler=boiler_depth > 0,
-                )
-            )
+        emit()
     return blocks
 
 

@@ -624,7 +624,10 @@ def decontaminate(
         sh.filter(~is_bench)
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("n_overlap"))
+        # plain count: shingle_table is distinct per doc (array_distinct)
+        # and the broadcast bench side is .distinct(), so the semi join
+        # cannot produce duplicate (doc_id, shingle) rows
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     d = load(spark, sf_dir, "documents").select("doc_id")
     return (

@@ -913,7 +913,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
             sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
-            hits AS (SELECT doc_id, count(DISTINCT shingle) AS n_overlap
+            hits AS (SELECT doc_id, count(*) AS n_overlap
                      FROM sh JOIN bench USING (shingle)
                      WHERE doc_id % 41 <> 0 GROUP BY doc_id)
             SELECT d.doc_id,

@@ -387,6 +387,29 @@ def test_salted_lsh_on_hot_bucket(spark, tmp_path):
     hot = {(i, j) for i in range(30) for j in range(i + 1, 30)}
     assert hot <= plain
 
+    # the bucket cap must prune identically on both paths: capping at 29
+    # drops every bucket holding the 30 identical docs on BOTH forms
+    plain_cap = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(spark, d, max_bucket_size=29).collect()
+    }
+    salted_cap = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_salted(
+            spark, d, chunk_size=4, max_bucket_size=29
+        ).collect()
+    }
+    assert salted_cap == plain_cap
+    assert not (hot & salted_cap)  # the hot cluster is gone
+    # an above-cluster cap keeps everything (boundary: <= not <)
+    salted_cap30 = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates_salted(
+            spark, d, chunk_size=4, max_bucket_size=30
+        ).collect()
+    }
+    assert salted_cap30 == plain
+
 
 def test_quantization_error_bound(spark):
     """Symmetric int8 quantization: per-vector max reconstruction error is
