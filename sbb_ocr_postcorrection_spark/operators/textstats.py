@@ -323,3 +323,77 @@ def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFr
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
+    """Unigram-LM quality score — the deterministic analog of CCNet's
+    KenLM perplexity filter (docs dominated by corpus-rare tokens score
+    low and get dropped).
+
+    Instead of exp/log perplexity (whose last-ulp behaviour differs across
+    engines and would break the value-hash oracle), the score is built
+    from INTEGER aggregates only: per-doc token count, summed corpus term
+    frequency, and the rarest token's frequency; the single per-row
+    division at the end is IEEE-exact on both Spark and DuckDB. `lm_keep`
+    drops docs whose rarest token appears < min_tf times corpus-wide.
+
+    Scale shape: the tf relation is one row per vocab term; the
+    tok⋈tf join is an equality shuffle on the token. Hot tokens ("the")
+    skew the tok side, but each hot key joins against a single tf row —
+    sort-merge handles it and AQE splits stragglers. No broadcast of the
+    vocabulary (at 100 TB it does not fit)."""
+    d = _base_docs(spark, sf_dir, docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    per = (
+        tok.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+            F.min("tf").alias("min_tf"),
+        )
+    )
+    base = _base_docs(spark, sf_dir, docs).select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("sum_tf", F.lit(0)).alias("sum_tf"),
+        F.coalesce("min_tf", F.lit(0)).alias("min_tf"),
+        F.round(
+            F.coalesce(F.col("sum_tf") / F.col("n_tokens"), F.lit(0.0)), 4
+        ).alias("mean_tf"),
+        (F.coalesce("min_tf", F.lit(0)) >= min_tf).cast("int").alias("lm_keep"),
+    )
+
+
+def quality_weighted_sample(
+    spark, sf_dir, hi_rate: int = 100, lo_rate: int = 10
+) -> DataFrame:
+    """Quality-weighted deterministic downsampling: high-quality docs are
+    kept at hi_rate %, low-quality at lo_rate % — the mixing step a
+    pretraining pipeline runs after filtering (upweight good slices
+    without discarding the tail entirely).
+
+    Determinism contract: the sampling coin is md5-derived
+    (md5_60(doc_id) % 100 < rate), so the sample is reproducible
+    run-to-run, engine-to-engine (DuckDB oracle-checked) and stable under
+    repartitioning — unlike rand()-based sampling, a resumed or re-run job
+    selects the IDENTICAL subset. Pure column expressions; no shuffle
+    beyond quality_score's own scan."""
+    from .dedup import md5_60
+
+    q = quality_score(spark, sf_dir)
+    rate = (
+        F.when(F.col("quality_keep") == 1, hi_rate).otherwise(lo_rate).cast("int")
+    )
+    slot = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(100))
+    return q.select(
+        "doc_id",
+        "quality_keep",
+        rate.alias("rate_pct"),
+        slot.alias("slot"),
+        (slot < rate).cast("int").alias("sampled"),
+    )

@@ -355,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": pinned(_curation),
         # benchmark decontamination (broadcast eval-shingle semi join)
         "decontaminate": pinned(dedup.decontaminate),
+        # unigram-LM quality score (CCNet perplexity-filter analog,
+        # integer aggregates for cross-engine exactness)
+        "lm_unigram_score": pinned(textstats.lm_unigram_score),
+        # quality-weighted deterministic downsampling (md5 coin)
+        "corpus_sample": pinned(textstats.quality_weighted_sample),
         # PII detect + redact (JVM regexp over deterministically
         # PII-augmented text)
         "pii_redact": pinned(textstats.pii_redact),
@@ -909,6 +914,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.drop_reason, 'kept') AS drop_reason
             FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
         """,
+        "lm_unigram_score": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                         FROM documents),
+            tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(tf) AS sum_tf, min(tf) AS min_tf
+                    FROM tok JOIN tf USING (token) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   CAST(coalesce(p.sum_tf, 0) AS BIGINT) AS sum_tf,
+                   coalesce(p.min_tf, 0) AS min_tf,
+                   round(coalesce(CAST(p.sum_tf AS DOUBLE) / p.n_tokens, 0.0), 4)
+                     AS mean_tf,
+                   CAST(CASE WHEN coalesce(p.min_tf, 0) >= 2 THEN 1 ELSE 0 END
+                        AS INTEGER) AS lm_keep
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
             sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
@@ -1122,6 +1144,20 @@ def oracle_sql() -> dict[str, str]:
     # the composite curation verdict reuses the stage oracles as CTEs, so
     # the END-TO-END flow is hash-checked, not just its parts (DuckDB
     # supports nested WITH inside a CTE body)
+    # quality-weighted sampling reuses the quality_score oracle as a CTE;
+    # the md5-derived coin mirrors operators.dedup.md5_60 exactly
+    sql["corpus_sample"] = f"""
+        WITH ql AS ({sql["quality_score"]})
+        SELECT doc_id, quality_keep,
+               CAST(CASE WHEN quality_keep = 1 THEN 100 ELSE 10 END
+                    AS INTEGER) AS rate_pct,
+               CAST({_hex2int("md5(CAST(doc_id AS VARCHAR))")} % 100
+                    AS BIGINT) AS slot,
+               CAST(CASE WHEN {_hex2int("md5(CAST(doc_id AS VARCHAR))")} % 100
+                         < CASE WHEN quality_keep = 1 THEN 100 ELSE 10 END
+                    THEN 1 ELSE 0 END AS INTEGER) AS sampled
+        FROM ql
+    """
     sql["curation_pipeline"] = f"""
         WITH dd AS ({sql["dedup_corpus_keep"]}),
         lng AS ({sql["lang_id"]}),

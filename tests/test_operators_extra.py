@@ -170,3 +170,51 @@ def test_pii_redact_counts_and_rewrites(spark):
             assert "<PHONE>" in r["redacted"]
     # doc 0 carries both fixture kinds (0 % 7 == 0 % 11 == 0)
     assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+
+
+def test_lm_unigram_score_semantics(spark, tmp_path):
+    import pandas as pd
+    from sbb_ocr_postcorrection_spark.operators.textstats import lm_unigram_score
+
+    texts = [
+        "common words common words common",   # every token repeats across docs
+        "common words plus zzzunique",        # two corpus-unique tokens
+        "common words common words",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in lm_unigram_score(spark, d).collect()}
+    assert rows[1]["min_tf"] == 1 and rows[1]["lm_keep"] == 0  # rare-token doc
+    assert rows[0]["lm_keep"] == 1 and rows[2]["lm_keep"] == 1
+    # corpus tf: common=6, words=5; doc 0 = 3×common + 2×words
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["sum_tf"] == 6 * 3 + 5 * 2
+    assert abs(rows[0]["mean_tf"] - (6 * 3 + 5 * 2) / 5) < 1e-9
+
+
+def test_quality_weighted_sample_deterministic(spark):
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        quality_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in quality_weighted_sample(spark, sf).collect())
+    b = sorted(tuple(r) for r in quality_weighted_sample(spark, sf).collect())
+    assert a == b  # the md5 coin is run-stable
+    rows = [r for r in quality_weighted_sample(spark, sf).collect()]
+    hi = [r for r in rows if r["quality_keep"] == 1]
+    lo = [r for r in rows if r["quality_keep"] == 0]
+    assert all(r["sampled"] == 1 for r in hi)  # hi_rate=100 keeps all
+    if lo:  # lo slice downsamples to ~10%
+        frac = sum(r["sampled"] for r in lo) / len(lo)
+        assert frac < 0.5, frac
+    assert all(r["sampled"] == (1 if r["slot"] < r["rate_pct"] else 0) for r in rows)
