@@ -1,0 +1,80 @@
+"""Bucketed tables: co-located, shuffle-free joins for repeated join keys.
+
+At 100 TB the dominant cost of a recurring equi-join (documents ⋈ scores,
+documents ⋈ dedup verdicts, ...) is re-shuffling both sides on every run.
+Spark's answer is bucketing: write each table hash-partitioned AND sorted
+by the join key (`bucketBy(n, key).sortBy(key)`); any later sort-merge
+join between tables bucketed the same way reads matching buckets
+pair-wise — NO Exchange, NO per-query Sort in the plan. This module is the
+engine's materialization layer for that technique; tests assert the
+shuffle-free plan mechanically (tests/test_plans.py).
+
+Design notes for scale:
+* bucket count is a layout contract — both sides must agree (Spark joins
+  bucketed tables shuffle-free only when bucket counts match or divide);
+* the write itself pays one shuffle (that is the point: pay once, join
+  many times);
+* bucketed tables are saveAsTable (metastore-backed) because pure-path
+  parquet has nowhere to record the bucket spec.
+
+Graft analog: the reference's SQLite page-db is re-read and re-joined by
+every downstream stage (SURVEY.md §2.1 S7); bucketing is the Spark-native
+equivalent of "the table is already laid out for the access pattern".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .relational import load
+
+
+def write_bucketed(
+    df: DataFrame, table: str, buckets: int = 8, key: str = "doc_id"
+) -> str:
+    """Materialize df hash-bucketed and per-bucket sorted on `key`.
+
+    Drops a pre-existing table AND a stale warehouse directory first: a
+    location left behind by an earlier session is invisible to the fresh
+    metastore, and saveAsTable refuses to reuse it
+    (LOCATION_ALREADY_EXISTS)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def bucketed_documents_with_stats(
+    spark, sf_dir, buckets: int = 8
+) -> DataFrame:
+    """Demo flow: bucket the documents table and a derived per-doc stats
+    table on doc_id, then join them co-located.
+
+    The returned plan must contain no Exchange: both scans announce the
+    bucket layout, the merge join zips matching buckets. The `merge` hint
+    pins SortMergeJoin so a small test table does not silently take the
+    broadcast path (which would hide a missing bucket layout)."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens_ws"),
+        F.length("text").alias("text_len"),
+    )
+    write_bucketed(d.select("doc_id", "lang", "source"), "docs_b", buckets)
+    write_bucketed(stats, "stats_b", buckets)
+    a = spark.table("docs_b")
+    b = spark.table("stats_b")
+    return a.hint("merge").join(b, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens_ws", "text_len"
+    )
