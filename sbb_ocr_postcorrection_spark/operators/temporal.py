@@ -1,0 +1,85 @@
+"""Temporal operators over the events stream: as-of join.
+
+As-of ("most recent prior") joins are the temporal primitive Spark lacks
+as a built-in: for every probe event, attach the latest reference event at
+or before it, per key. The naive formulation — a range join
+(p.ts >= r.ts) + per-probe max — explodes to O(|P|·|R|) per key and plans
+as a BroadcastNestedLoop; the scale-correct shape used here is
+UNION + ORDERED WINDOW:
+
+  1. tag both sides and union them — one relation, no join at all;
+  2. one shuffle: partition by the key, order by (ts, side, event_id);
+  3. `last(reference-side columns, ignorenulls=True)` over the unbounded
+     preceding frame carries the latest reference event forward;
+  4. keep only probe rows.
+
+Cost is a single equality shuffle on the key plus a sort within
+partitions — the same plan a sessionization runs — regardless of how many
+reference rows precede each probe. Ties: a reference event at exactly the
+probe's timestamp counts (the 'c' side tag sorts before 'p' at equal ts),
+and equal-timestamp reference events break by event_id, so the result is
+fully deterministic and the DuckDB oracle (same window, IGNORE NULLS)
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .relational import load
+
+
+def asof_join(
+    spark,
+    sf_dir,
+    probe_type: str = "error",
+    ref_type: str = "click",
+) -> DataFrame:
+    """For each `probe_type` event: the latest `ref_type` event by the same
+    user at or before it. Returns one row per probe event; reference
+    columns are null when no prior reference event exists."""
+    e = load(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_type") == ref_type).select(
+        "user_id",
+        "ts",
+        F.lit("c").alias("side"),
+        F.col("event_id"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    probe = e.filter(F.col("event_type") == probe_type).select(
+        "user_id",
+        "ts",
+        F.lit("p").alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("r_id"),
+        # the parquet ts is TIMESTAMP_NTZ — the null literal must match or
+        # the union coerces the whole column
+        F.lit(None).cast(e.schema["ts"].dataType).alias("r_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ref.unionByName(probe).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("r_id", ignorenulls=True).over(w).alias("ref_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("ref_ts"),
+    )
+    return carried.filter(F.col("side") == "p").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ref_id",
+        "ref_ts",
+        # unix_micros needs TIMESTAMP; the NTZ→TZ cast shifts both sides by
+        # the same (UTC-pinned) session offset, so the difference is exact
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ref_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )

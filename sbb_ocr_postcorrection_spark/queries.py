@@ -24,6 +24,7 @@ from .operators import (
     multimodal,
     relational as R,
     similarity,
+    temporal,
     textstats,
 )
 from .operators.textstats import DE_STOPS, EN_STOPS
@@ -332,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_by_group": pinned(R.mean_by_group),
         "minmax_by_group": pinned(R.minmax_by_group),
         "hourly_rollup": pinned(R.hourly_rollup),
+        # as-of join: latest prior click per user for each error event,
+        # union+ordered-window formulation (one shuffle, no range join)
+        "asof_join": pinned(temporal.asof_join),
         "detector_eval": pinned(evaluation.detector_eval),
         # set ops / splits
         "stratified_split": pinned(R.stratified_split),
@@ -542,6 +546,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH tagged AS (
+              SELECT user_id, ts, 'c' AS side, event_id,
+                     event_id AS r_id, ts AS r_ts
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, 'p', event_id,
+                     CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+              FROM events WHERE event_type = 'error'
+            ),
+            carried AS (
+              SELECT user_id, ts, side, event_id,
+                     last_value(r_id IGNORE NULLS) OVER w AS ref_id,
+                     last_value(r_ts IGNORE NULLS) OVER w AS ref_ts
+              FROM tagged
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, side, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ts, ref_id, ref_ts,
+                   epoch_us(ts) - epoch_us(ref_ts) AS lag_us
+            FROM carried WHERE side = 'p'
         """,
         "detector_eval": """
             WITH b AS (

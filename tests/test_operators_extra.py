@@ -218,3 +218,42 @@ def test_quality_weighted_sample_deterministic(spark):
         frac = sum(r["sampled"] for r in lo) / len(lo)
         assert frac < 0.5, frac
     assert all(r["sampled"] == (1 if r["slot"] < r["rate_pct"] else 0) for r in rows)
+
+
+def test_asof_join_semantics(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+    from sbb_ocr_postcorrection_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: clicks at 10, 20; errors at 15 (→click@10), 20 (tie →click@20), 5 (→none)
+        (0, s(10), 1, "click", 0.0, "{}"),
+        (1, s(20), 1, "click", 0.0, "{}"),
+        (2, s(15), 1, "error", 0.0, "{}"),
+        (3, s(20), 1, "error", 0.0, "{}"),
+        (4, s(5), 1, "error", 0.0, "{}"),
+        # user 2: no clicks at all
+        (5, s(30), 2, "error", 0.0, "{}"),
+        # unrelated event types must not interfere
+        (6, s(12), 1, "view", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["event_id"]: r for r in asof_join(spark, d).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["ref_id"] == 0 and got[2]["lag_us"] == 5_000_000
+    assert got[3]["ref_id"] == 1 and got[3]["lag_us"] == 0  # same-instant click counts
+    assert got[4]["ref_id"] is None and got[4]["lag_us"] is None
+    assert got[5]["ref_id"] is None
+
+
+def test_asof_join_plan_is_single_shuffle(spark):
+    from sbb_ocr_postcorrection_spark.operators.temporal import asof_join
+
+    plan = asof_join(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the user_id window shuffle
