@@ -2,11 +2,13 @@
 in one keep/drop verdict.
 
 This is the flow a pretraining-data user actually runs over a crawl:
-language gate (P5 analog) → quality heuristics → repetition filter
-(Gopher-style) → exact + near dedup, producing one row per document with
-`keep` and the FIRST reason it was dropped (precedence: duplicates beat
-content filters — a duplicate's content verdict is irrelevant, its keeper
-carries it).
+exact + near dedup → benchmark decontamination → language gate (P5
+analog) → quality heuristics → repetition filter (Gopher-style) →
+unigram-LM rarity filter (CCNet analog), producing one row per document
+with `keep` and the FIRST reason it was dropped (precedence: duplicates
+beat everything — a duplicate's content verdict is irrelevant, its keeper
+carries it; contamination beats content filters — an eval-overlapping doc
+must go regardless of quality).
 
 Composition is deliberate: each stage is the already-oracle-checked
 operator, joined on doc_id (equality-keyed, AQE-coalesced). The DuckDB
@@ -22,15 +24,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import deduplicate_corpus
+from .dedup import decontaminate, deduplicate_corpus
 from .relational import load, persist_slot
-from .textstats import lang_id, quality_score, repetition_stats
+from .textstats import lang_id, lm_unigram_score, quality_score, repetition_stats
 
 
 def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     """(doc_id, lang, source, keep, reason) — the end-to-end curation
     verdict. Reason precedence: exact_dup / near_dup (from the dedup
-    composite) > lang_filtered > low_quality > repetitive > kept."""
+    composite) > contaminated > lang_filtered > low_quality > repetitive >
+    lm_rare_tokens > kept."""
     # projected BEFORE the persist: the cache holds only the columns the
     # content stages read (source/n_chars would bloat it and the persist
     # boundary blocks column pruning)
@@ -47,15 +50,31 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         F.col("keep").alias("dedup_keep"),
         F.col("drop_reason").alias("dedup_reason"),
     )
+    # min_overlap=8: with word-3-gram shingles over a small vocabulary,
+    # single-shingle collisions are chance, not leakage — the composite
+    # demands a sustained overlap before dropping (the standalone
+    # decontaminate query keeps the sharp >=1 default for auditing)
+    dec = decontaminate(spark, sf_dir, min_overlap=8).select(
+        "doc_id", "contaminated"
+    )
     lang = lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass")
     qual = quality_score(spark, sf_dir, docs=docs).select("doc_id", "quality_keep")
     rep = repetition_stats(spark, sf_dir, docs=docs).select("doc_id", "repetition_keep")
-    joined = dd.join(lang, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
+    lm = lm_unigram_score(spark, sf_dir, docs=docs).select("doc_id", "lm_keep")
+    joined = (
+        dd.join(dec, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+    )
     reason = (
         F.when(F.col("dedup_keep") == 0, F.col("dedup_reason"))
+        .when(F.col("contaminated") == 1, F.lit("contaminated"))
         .when(F.col("lang_pass") == 0, F.lit("lang_filtered"))
         .when(F.col("quality_keep") == 0, F.lit("low_quality"))
         .when(F.col("repetition_keep") == 0, F.lit("repetitive"))
+        .when(F.col("lm_keep") == 0, F.lit("lm_rare_tokens"))
         .otherwise(F.lit("kept"))
     )
     return joined.select(

@@ -1187,20 +1187,27 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["curation_pipeline"] = f"""
         WITH dd AS ({sql["dedup_corpus_keep"]}),
+        dc AS ({sql["decontaminate"]}),
         lng AS ({sql["lang_id"]}),
         ql AS ({sql["quality_score"]}),
         rp AS ({sql["quality_repetition"]}),
+        lm AS ({sql["lm_unigram_score"]}),
         v AS (
           SELECT dd.doc_id, dd.lang, dd.source,
                  CASE WHEN dd.keep = 0 THEN dd.drop_reason
+                      WHEN dc.role = 'train' AND dc.n_overlap >= 8
+                           THEN 'contaminated'
                       WHEN lng.lang_pass = 0 THEN 'lang_filtered'
                       WHEN ql.quality_keep = 0 THEN 'low_quality'
                       WHEN rp.repetition_keep = 0 THEN 'repetitive'
+                      WHEN lm.lm_keep = 0 THEN 'lm_rare_tokens'
                       ELSE 'kept' END AS reason
           FROM dd
+          JOIN dc ON dd.doc_id = dc.doc_id
           JOIN lng ON dd.doc_id = lng.doc_id
           JOIN ql ON dd.doc_id = ql.doc_id
-          JOIN rp ON dd.doc_id = rp.doc_id)
+          JOIN rp ON dd.doc_id = rp.doc_id
+          JOIN lm ON dd.doc_id = lm.doc_id)
         SELECT doc_id, lang, source,
                CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INTEGER)
                  AS keep,

@@ -151,3 +151,48 @@ def test_duplicate_components_match_union_find(spark):
         assert got[n] == (expected[n], sizes[expected[n]]), n
     # the graph must be non-trivial for this test to mean anything
     assert any(s > 1 for _c, s in got.values())
+
+
+# ----- extended curation pipeline (contamination + LM stages) -----
+
+
+def test_curation_new_stages_fire(spark, tmp_path):
+    """Every branch of the extended verdict fires on a crafted corpus:
+    exact_dup beats contamination; a heavy-overlap non-dup is
+    'contaminated'; a corpus-unique token triggers 'lm_rare_tokens';
+    reordered pool docs are 'kept'."""
+    from sbb_ocr_postcorrection_spark.operators.curation import curate_corpus
+
+    pool = ("the river stone light green tree bird song wind cloud rain "
+            "field morning water and sun moon star lake hill").split()
+    A = " ".join(pool)                                   # doc 0: benchmark
+    run12 = " ".join(pool[:12])                          # 12-token run of A
+    tail8 = "lake sun water moon and star hill morning"
+    docs = [
+        A,                                               # 0 benchmark, kept
+        run12 + " " + tail8,                             # 1 contaminated
+        "and the water sun moon star lake hill morning rain zzzuniq "
+        "cloud wind song bird tree green light stone river",  # 2 lm_rare
+        A,                                               # 3 exact_dup of 0
+        "green tree the bird and song water cloud rain wind field "
+        "morning star moon sun lake hill river stone light",  # 4 kept
+        "hill lake star the moon sun and water morning field wind rain "
+        "cloud song bird tree green light river stone",       # 5 kept
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["reason"] for r in curate_corpus(spark, d).collect()}
+    assert got[0] == "kept"          # benchmark doc itself survives
+    assert got[3] == "exact_dup"     # duplicate beats contamination
+    assert got[1] == "contaminated"  # 12-token run shared, not a near-dup
+    assert got[2] == "lm_rare_tokens"
+    assert got[4] == "kept" and got[5] == "kept"
