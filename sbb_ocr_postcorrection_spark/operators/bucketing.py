@@ -37,14 +37,19 @@ def write_bucketed(
     Drops a pre-existing table AND a stale warehouse directory first: a
     location left behind by an earlier session is invisible to the fresh
     metastore, and saveAsTable refuses to reuse it
-    (LOCATION_ALREADY_EXISTS)."""
+    (LOCATION_ALREADY_EXISTS). The cleanup goes through the Hadoop
+    FileSystem API so it works for hdfs://s3a:// warehouses, not just
+    local paths, and the name is lowercased to match what the metastore
+    actually writes."""
+    table = table.lower()
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    jvm = spark._jvm
+    stale = jvm.org.apache.hadoop.fs.Path(
+        f'{spark.conf.get("spark.sql.warehouse.dir")}/{table}'
+    )
+    fs = stale.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(stale, True)
     (
         df.write.format("parquet")
         .bucketBy(buckets, key)
@@ -56,7 +61,7 @@ def write_bucketed(
 
 
 def bucketed_documents_with_stats(
-    spark, sf_dir, buckets: int = 8
+    spark, sf_dir, buckets: int = 8, prefix: str = "demo"
 ) -> DataFrame:
     """Demo flow: bucket the documents table and a derived per-doc stats
     table on doc_id, then join them co-located.
@@ -64,17 +69,26 @@ def bucketed_documents_with_stats(
     The returned plan must contain no Exchange: both scans announce the
     bucket layout, the merge join zips matching buckets. The `merge` hint
     pins SortMergeJoin so a small test table does not silently take the
-    broadcast path (which would hide a missing bucket layout)."""
+    broadcast path (which would hide a missing bucket layout). `prefix`
+    scopes the table names — concurrent callers sharing a warehouse must
+    not clobber each other's layout."""
+    from ..functions.exprs import tokens_expr
+
     d = load(spark, sf_dir, "documents")
+    # the shared tokenizer (empty-filtering), NOT a raw split: token counts
+    # here must agree with token_stats / lm_unigram_score for joins across
+    # operator outputs
     stats = d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens_ws"),
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens_ws"),
         F.length("text").alias("text_len"),
     )
-    write_bucketed(d.select("doc_id", "lang", "source"), "docs_b", buckets)
-    write_bucketed(stats, "stats_b", buckets)
-    a = spark.table("docs_b")
-    b = spark.table("stats_b")
+    docs_t = write_bucketed(
+        d.select("doc_id", "lang", "source"), f"{prefix}_docs_b", buckets
+    )
+    stats_t = write_bucketed(stats, f"{prefix}_stats_b", buckets)
+    a = spark.table(docs_t)
+    b = spark.table(stats_t)
     return a.hint("merge").join(b, "doc_id").select(
         "doc_id", "lang", "source", "n_tokens_ws", "text_len"
     )

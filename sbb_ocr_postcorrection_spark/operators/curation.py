@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import decontaminate, deduplicate_corpus
+from .dedup import decontaminate, deduplicate_corpus, shingle_table
 from .relational import load, persist_slot
 from .textstats import lang_id, lm_unigram_score, quality_score, repetition_stats
 
@@ -43,7 +43,13 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         .select("doc_id", "lang", "text")
         .repartition(spark.sparkContext.defaultParallelism),
     )
-    dd = deduplicate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold).select(
+    # ONE shingle table shared by dedup (signatures + verification) and
+    # decontamination (bench + train sides) — four consumers, one
+    # tokenize+explode pass
+    sh = persist_slot("curation_shingles", shingle_table(spark, sf_dir))
+    dd = deduplicate_corpus(
+        spark, sf_dir, jaccard_threshold=jaccard_threshold, sh=sh
+    ).select(
         "doc_id",
         "lang",
         "source",
@@ -54,7 +60,7 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     # single-shingle collisions are chance, not leakage — the composite
     # demands a sustained overlap before dropping (the standalone
     # decontaminate query keeps the sharp >=1 default for auditing)
-    dec = decontaminate(spark, sf_dir, min_overlap=8).select(
+    dec = decontaminate(spark, sf_dir, min_overlap=8, sh=sh, docs=docs).select(
         "doc_id", "contaminated"
     )
     lang = lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass")

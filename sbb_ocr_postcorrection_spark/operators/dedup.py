@@ -401,6 +401,7 @@ def deduplicate_corpus(
     jaccard_threshold: float = 0.8,
     max_shingle_df: int | None = 10_000,
     max_bucket_size: int | None = 1_000,
+    sh=None,
 ) -> DataFrame:
     """The composite dedup flow a training pipeline runs: exact dedup →
     MinHash-LSH candidates → exact-Jaccard verification ON THE CANDIDATES
@@ -430,10 +431,12 @@ def deduplicate_corpus(
     # one shingle table feeds signatures AND verification; persisted so the
     # tokenize+explode subtree runs once (at production scale this is a
     # materialized intermediate table, not a cache); slot-keyed so repeated
-    # invocations don't leak cache entries
-    from .relational import persist_slot
+    # invocations don't leak cache entries. A composition (curation) can
+    # inject its own shared slot instead.
+    if sh is None:
+        from .relational import persist_slot
 
-    sh = persist_slot("dedup_corpus_shingles", shingle_table(spark, sf_dir))
+        sh = persist_slot("dedup_corpus_shingles", shingle_table(spark, sf_dir))
     cands = minhash_lsh_candidates_from(
         minhash_signatures_from(sh), max_bucket_size=max_bucket_size
     )
@@ -601,7 +604,7 @@ def simhash_rotation_pairs(
 
 
 def decontaminate(
-    spark, sf_dir, bench_mod: int = 41, min_overlap: int = 1
+    spark, sf_dir, bench_mod: int = 41, min_overlap: int = 1, sh=None, docs=None
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share word
     3-gram shingles with a held-out evaluation slice.
@@ -616,8 +619,16 @@ def decontaminate(
     Scale shape: the benchmark shingle set is tiny relative to the corpus
     (eval suites are fixed-size; the corpus is 100 TB), so it is BROADCAST —
     the training side never shuffles. Flagging is a broadcast-hash semi
-    join + per-doc count; no self-join, no global sort."""
-    sh = shingle_table(spark, sf_dir)
+    join + per-doc count; no self-join, no global sort.
+
+    ``sh`` / ``docs`` let a composition (operators/curation.py) inject an
+    already-persisted shingle table / base relation — standalone calls
+    would otherwise tokenize+shingle the corpus once per consuming branch
+    (bench filter + train filter)."""
+    if sh is None:
+        from .relational import persist_slot
+
+        sh = persist_slot("decontaminate_shingles", shingle_table(spark, sf_dir))
     is_bench = F.col("doc_id") % bench_mod == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
     hits = (
@@ -629,7 +640,9 @@ def decontaminate(
         # cannot produce duplicate (doc_id, shingle) rows
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
+        "doc_id"
+    )
     return (
         d.join(hits, "doc_id", "left")
         .select(

@@ -76,10 +76,10 @@ def asof_join(
         "ts",
         "ref_id",
         "ref_ts",
-        # unix_micros needs TIMESTAMP; the NTZ→TZ cast shifts both sides by
-        # the same (UTC-pinned) session offset, so the difference is exact
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("ref_ts").cast("timestamp"))
-        ).alias("lag_us"),
+        # timestamp_diff works on TIMESTAMP_NTZ directly — no session-tz
+        # cast, so the lag is wall-clock-exact even across DST transitions
+        # for callers outside the UTC-pinned driver harness
+        F.timestamp_diff("MICROSECOND", F.col("ref_ts"), F.col("ts")).alias(
+            "lag_us"
+        ),
     )

@@ -341,11 +341,16 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     tok⋈tf join is an equality shuffle on the token. Hot tokens ("the")
     skew the tok side, but each hot key joins against a single tf row —
     sort-merge handles it and AQE splits stragglers. No broadcast of the
-    vocabulary (at 100 TB it does not fit)."""
-    d = _base_docs(spark, sf_dir, docs).repartition(
-        spark.sparkContext.defaultParallelism
+    vocabulary (at 100 TB it does not fit). The exploded token stream is
+    slot-persisted: it feeds BOTH the tf aggregation and the join probe
+    side, and would otherwise re-run scan+split+explode per consumer."""
+    from .relational import persist_slot
+
+    d = _base_docs(spark, sf_dir, docs)
+    tok = persist_slot(
+        "lm_unigram_tokens",
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token")),
     )
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     per = (
         tok.join(tf, "token")
@@ -356,7 +361,10 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
             F.min("tf").alias("min_tf"),
         )
     )
-    base = _base_docs(spark, sf_dir, docs).select("doc_id")
+    base = d.select("doc_id")
+    # a zero-token doc has NO rare tokens — the rarity filter passes it
+    # (other gates judge emptiness); only a doc whose rarest PRESENT token
+    # is below min_tf fails
     return base.join(per, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
@@ -365,7 +373,9 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
         F.round(
             F.coalesce(F.col("sum_tf") / F.col("n_tokens"), F.lit(0.0)), 4
         ).alias("mean_tf"),
-        (F.coalesce("min_tf", F.lit(0)) >= min_tf).cast("int").alias("lm_keep"),
+        (F.col("min_tf").isNull() | (F.col("min_tf") >= min_tf))
+        .cast("int")
+        .alias("lm_keep"),
     )
 
 

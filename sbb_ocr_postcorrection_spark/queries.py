@@ -954,8 +954,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.min_tf, 0) AS min_tf,
                    round(coalesce(CAST(p.sum_tf AS DOUBLE) / p.n_tokens, 0.0), 4)
                      AS mean_tf,
-                   CAST(CASE WHEN coalesce(p.min_tf, 0) >= 2 THEN 1 ELSE 0 END
-                        AS INTEGER) AS lm_keep
+                   CAST(CASE WHEN p.min_tf IS NULL OR p.min_tf >= 2
+                             THEN 1 ELSE 0 END AS INTEGER) AS lm_keep
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "decontaminate": f"""

@@ -180,13 +180,14 @@ def test_lm_unigram_score_semantics(spark, tmp_path):
         "common words common words common",   # every token repeats across docs
         "common words plus zzzunique",        # two corpus-unique tokens
         "common words common words",
+        "",                                   # empty doc: NO rare tokens
     ]
     pdf = pd.DataFrame(
         {
-            "doc_id": range(3),
+            "doc_id": range(len(texts)),
             "text": texts,
-            "lang": ["en"] * 3,
-            "source": ["s"] * 3,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
             "n_chars": [len(t) for t in texts],
         }
     )
@@ -195,6 +196,8 @@ def test_lm_unigram_score_semantics(spark, tmp_path):
     rows = {r["doc_id"]: r for r in lm_unigram_score(spark, d).collect()}
     assert rows[1]["min_tf"] == 1 and rows[1]["lm_keep"] == 0  # rare-token doc
     assert rows[0]["lm_keep"] == 1 and rows[2]["lm_keep"] == 1
+    # the rarity filter passes an empty doc (emptiness is quality's job)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["lm_keep"] == 1
     # corpus tf: common=6, words=5; doc 0 = 3×common + 2×words
     assert rows[0]["n_tokens"] == 5
     assert rows[0]["sum_tf"] == 6 * 3 + 5 * 2

@@ -129,7 +129,7 @@ def test_bucketed_join_has_no_exchange(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     expected = sorted(
         (r["doc_id"], r["lang"], r["source"],
-         len(r["text"].split(" ")), len(r["text"]))
+         len([t for t in r["text"].split(" ") if t]), len(r["text"]))
         for r in d.collect()
     )
     got = sorted(
