@@ -143,9 +143,13 @@ def parse_blocks_std(html: bytes | str) -> list[Block]:
 import html as _htmllib
 import re as _re
 
-# strip comments and no-text subtrees in one pass before tokenizing
+# strip comments and no-text subtrees in one pass before tokenizing.
+# CDATA must be matched to its ']]>' terminator BEFORE the generic <!...>
+# arm: a CDATA body containing '>' would otherwise leak text the stdlib
+# parser drops (html.parser consumes marked sections to ']]>')
 _STRIP_RE = _re.compile(
-    r"<!--.*?-->|<(script|style|noscript|template|svg|head|title)\b[^>]*>.*?</\1\s*>"
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>"
+    r"|<(script|style|noscript|template|svg|head|title)\b[^>]*>.*?</\1\s*>"
     r"|<![^>]*>|<\?[^>]*>",
     _re.IGNORECASE | _re.DOTALL,
 )

@@ -207,3 +207,18 @@ def test_parser_equivalence_property():
         assert fast == std, html
 
     check()
+
+
+def test_cdata_sections_match_std_parser():
+    """A CDATA body containing '>' must be dropped whole, exactly as the
+    stdlib parser does — the generic <!...> strip arm used to stop at the
+    first '>' and leak the remainder as document text."""
+    cases = [
+        "<p>before <![CDATA[x > y]]> after</p>",
+        "<p>a</p><![CDATA[<div>ignored > maybe</div>]]><p>b</p>",
+        "<p>a <![CDATA[x]]> b <![CDATA[y > z]]> c</p>",
+    ]
+    for html in cases:
+        std = [b.text for b in extract.parse_blocks_std(html)]
+        fast = [b.text for b in extract.parse_blocks(html)]
+        assert fast == std, html
