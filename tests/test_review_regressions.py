@@ -187,6 +187,10 @@ def test_parser_equivalence_property():
             st.tuples(inner).map(lambda t: f"<div>{t[0]}</div>"),
             st.tuples(inner).map(lambda t: f"<nav>{t[0]}</nav>"),
             st.just("<br/>"),
+            # stripped constructs, including '>' inside the bodies
+            st.tuples(text).map(lambda t: f"<![CDATA[{t[0]} > xx]]>"),
+            st.tuples(text).map(lambda t: f"<!-- {t[0]} > yy -->"),
+            st.tuples(text).map(lambda t: f"<script>var a = 1 > 0; {t[0]}</script>"),
         )
 
     docs = st.recursive(text, unit, max_leaves=8).map(

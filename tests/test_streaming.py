@@ -169,3 +169,59 @@ def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
     # all genuinely distinct pages are keepers
     n_distinct = len({run_document(p.html).extracted_text for p in base})
     assert sum(1 for r in seen if r["is_first"]) == n_distinct
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """The streaming session_window query emits exactly the sessions the
+    batch gaps-and-islands oracle computes, once the watermark passes —
+    the migration equivalence a user relies on. Exactly-gap boundaries
+    merge (pinned in the oracle)."""
+    import pyspark.sql.functions as F
+
+    from sbb_ocr_postcorrection_spark.streaming.sessions import (
+        sessionize_batch_oracle,
+        sessionize_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)
+    real = [
+        (1, s(0)), (1, s(100)), (1, s(250)),
+        (1, s(550)), (1, s(560)),           # 250→550 is exactly the gap: merges
+        (1, s(1200)),                        # new session (gap 340 > 300)
+        (2, s(0)), (2, s(1000)), (2, s(1100)),
+    ]
+    # flush events far in the future advance the watermark so every real
+    # session closes and is emitted in append mode
+    flush = [(1, s(90_000)), (2, s(90_000))]
+    d = tmp_path / "sess_in"
+    spark.createDataFrame(real + flush, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(d))
+
+    src = spark.readStream.schema("user_id long, ts timestamp").parquet(str(d))
+    q = (
+        sessionize_stream(src, gap="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    )
+    batch = spark.createDataFrame(real, "user_id long, ts timestamp")
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch_oracle(batch, gap_seconds=300).collect()
+    )
+    assert got == expected and len(expected) == 4
+    # and on a BATCH frame the same session_window expression agrees too
+    direct = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_stream(batch, gap="5 minutes").collect()
+    )
+    assert direct == expected
