@@ -157,8 +157,20 @@ _STRIP_RE = _re.compile(
 # at the first '>' (the r1 divergence vs parse_blocks_std on real-web
 # markup). A quote only OPENS a quoted run straight after '=': a stray
 # quote inside an unquoted value (href=x'y) must not swallow document text.
+#
+# All quantifiers are POSSESSIVE (Python 3.11 re): each arm commits, so the
+# scan is LINEAR in input length. The previous lazy/backtracking form was
+# exponential on unterminated tags containing '="x' runs (a 750-byte
+# adversarial fragment hung the kernel for minutes — a real hazard on
+# broken web HTML). The committed-arm semantics equal the old first-found
+# DFS path on every input where the old form matched a tag; the one
+# divergence class is an UNTERMINATED tag whose only '>' sits inside a
+# quoted value — now conservatively left as text instead of ending the tag
+# mid-quote. '/' is consumed only when not followed by '>', leaving the
+# final '/' for the self-closing group.
 _TAG_RE = _re.compile(
-    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:=\s*"[^"]*"|=\s*'[^']*'|[^>])*?)(/?)>"""
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)"""
+    r"""((?:=\s*+"[^"]*+"|=\s*+'[^']*+'|/(?!>)|[^>/])*+)(/?)>"""
 )
 
 

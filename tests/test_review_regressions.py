@@ -226,3 +226,40 @@ def test_cdata_sections_match_std_parser():
         std = [b.text for b in extract.parse_blocks_std(html)]
         fast = [b.text for b in extract.parse_blocks(html)]
         assert fast == std, html
+
+
+def test_parser_is_linear_on_adversarial_markup():
+    """The tag tokenizer must be backtracking-free: unterminated tags with
+    '="x' floods made the previous lazy regex exponential (one broken page
+    could hang an executor task). Every adversarial input must parse in
+    well under a second."""
+    import time
+
+    nasty = [
+        "<a " + '="x' * 10000,
+        "<a " + '="x" ' * 10000,
+        "<a " + "=" * 50000,
+        "<a href=" + "'" * 30000,
+        "<p" + " " * 50000,
+        "<" * 30000,
+        "<a " + "='y" * 10000,
+    ]
+    for s in nasty:
+        t0 = time.perf_counter()
+        extract.parse_blocks(s)
+        assert time.perf_counter() - t0 < 1.0, s[:40]
+
+
+def test_possessive_tag_regex_keeps_quoted_gt_semantics():
+    # committed quoted-value arms: same results as before on sane markup
+    html = '<p>a <a href="q>x">t</a> b</p>'
+    assert [b.text for b in extract.parse_blocks(html)] == ["a t b"]
+    assert [b.text for b in extract.parse_blocks_std(html)] == ["a t b"]
+    # stray quote in an unquoted value still does not swallow text
+    html2 = "<p>a <a href=x'y>t</a> b</p>"
+    assert [b.text for b in extract.parse_blocks(html2)] == ["a t b"]
+    # self-closing still detected through the '/' handling arms
+    html3 = "<p>a<nav/>b</p>"
+    fast = extract.parse_blocks(html3)
+    std = extract.parse_blocks_std(html3)
+    assert [(b.text, b.in_boiler) for b in fast] == [(b.text, b.in_boiler) for b in std]
