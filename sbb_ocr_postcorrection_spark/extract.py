@@ -143,16 +143,79 @@ def parse_blocks_std(html: bytes | str) -> list[Block]:
 import html as _htmllib
 import re as _re
 
-# strip comments and no-text subtrees in one pass before tokenizing.
-# CDATA must be matched to its ']]>' terminator BEFORE the generic <!...>
-# arm: a CDATA body containing '>' would otherwise leak text the stdlib
-# parser drops (html.parser consumes marked sections to ']]>')
-_STRIP_RE = _re.compile(
-    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>"
-    r"|<(script|style|noscript|template|svg|head|title)\b[^>]*>.*?</\1\s*>"
-    r"|<![^>]*>|<\?[^>]*>",
-    _re.IGNORECASE | _re.DOTALL,
+# strip comments and no-text subtrees before tokenizing — as a LINEAR
+# manual scan, not one big `.*?`-alternation sub: the sub form re-scanned
+# to EOF at every unclosed opener (quadratic — a 24 KB flood of bare
+# '<script>'s cost ~300 ms, a megabyte page minutes). The scanner finds
+# each opener once, locates its closer with a C-level search, and
+# remembers closers known to be absent so an unclosed-opener flood costs
+# at most one failed scan per closer kind.
+#
+# Unclosed-construct semantics mirror html.parser: an unclosed
+# script/style/...-subtree swallows the rest of the document (the stdlib
+# parser never leaves CDATA mode, so that text is dropped); an unclosed
+# comment / CDATA section / declaration stays in the document as text.
+# CDATA is matched to its ']]>' terminator BEFORE the generic <!...> arm —
+# a CDATA body containing '>' must not leak text the stdlib parser drops.
+_NOTEXT_TAGS = ("script", "style", "noscript", "template", "svg", "head", "title")
+_STRIP_OPEN_RE = _re.compile(
+    r"<!--|<!\[CDATA\[|<(" + "|".join(_NOTEXT_TAGS) + r")\b[^>]*+>"
+    r"|<![^>]*+>|<\?[^>]*+>",
+    _re.IGNORECASE,
 )
+_CLOSE_RES = {
+    t: _re.compile(rf"</{t}\s*+>", _re.IGNORECASE) for t in _NOTEXT_TAGS
+}
+
+
+def _strip_notext(doc: str) -> str:
+    """Remove comments, CDATA sections, declarations/PIs, and the no-text
+    element subtrees, replacing each with one space. Linear in len(doc)."""
+    out: list[str] = []
+    pos = 0
+    dead: set[str] = set()  # closer kinds absent in the remainder
+    search = _STRIP_OPEN_RE.search
+    n = len(doc)
+    while pos < n:
+        m = search(doc, pos)
+        if m is None:
+            out.append(doc[pos:])
+            break
+        tag = m.group(1)
+        if tag is not None:  # <script ...> et al.
+            out.append(doc[pos : m.start()])
+            out.append(" ")
+            tag = tag.lower()
+            if tag in dead:
+                break  # unclosed subtree swallows the rest (as html.parser)
+            cm = _CLOSE_RES[tag].search(doc, m.end())
+            if cm is None:
+                dead.add(tag)
+                break
+            pos = cm.end()
+            continue
+        tok = m.group(0)
+        if tok == "<!--" or tok == "<![CDATA[":
+            closer = "-->" if tok == "<!--" else "]]>"
+            if closer in dead:
+                end = -1
+            else:
+                end = doc.find(closer, m.end())
+            if end == -1:
+                dead.add(closer)
+                # unclosed: the opener stays in the document as text
+                out.append(doc[pos : m.end()])
+                pos = m.end()
+            else:
+                out.append(doc[pos : m.start()])
+                out.append(" ")
+                pos = end + 3
+            continue
+        # <!...> declaration or <?...> PI — self-delimited by the match
+        out.append(doc[pos : m.start()])
+        out.append(" ")
+        pos = m.end()
+    return "".join(out)
 # attribute values may contain '>' — skip quoted runs instead of stopping
 # at the first '>' (the r1 divergence vs parse_blocks_std on real-web
 # markup). A quote only OPENS a quoted run straight after '=': a stray
@@ -189,7 +252,7 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     shared closure so loop and tail cannot diverge."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
-    doc = _STRIP_RE.sub(" ", nfc(html))
+    doc = _strip_notext(nfc(html))
 
     toks = _TAG_RE.split(doc)
     blocks: list[Block] = []

@@ -263,3 +263,33 @@ def test_possessive_tag_regex_keeps_quoted_gt_semantics():
     fast = extract.parse_blocks(html3)
     std = extract.parse_blocks_std(html3)
     assert [(b.text, b.in_boiler) for b in fast] == [(b.text, b.in_boiler) for b in std]
+
+
+def test_unclosed_notext_subtrees_match_std_parser():
+    """html.parser never leaves CDATA mode on an unclosed <script>/<style>,
+    so the trailing text is dropped — the linear strip scanner now agrees
+    (the old regex left the opener as a tag and LEAKED the body as text)."""
+    cases = [
+        "<p>a</p><script>abc def leak",
+        "<p>a</p><style>x { color: red }",
+        "<p>a</p><script>x</script><p>b</p>",  # closed: unaffected
+    ]
+    for html in cases:
+        std = [b.text for b in extract.parse_blocks_std(html)]
+        fast = [b.text for b in extract.parse_blocks(html)]
+        assert fast == std, html
+
+
+def test_strip_scanner_linear_on_flood_inputs():
+    import time
+
+    floods = [
+        "<script>" * 30000,
+        "<!--" * 60000,
+        "<![CDATA[" * 40000,
+        "<script><!--<![CDATA[" * 20000,
+    ]
+    for s in floods:
+        t0 = time.perf_counter()
+        extract.parse_blocks(s)
+        assert time.perf_counter() - t0 < 1.0, s[:30]
