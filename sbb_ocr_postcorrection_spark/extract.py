@@ -151,12 +151,15 @@ import re as _re
 # remembers closers known to be absent so an unclosed-opener flood costs
 # at most one failed scan per closer kind.
 #
-# Unclosed-construct semantics mirror html.parser: an unclosed
-# script/style/...-subtree swallows the rest of the document (the stdlib
-# parser never leaves CDATA mode, so that text is dropped); an unclosed
-# comment / CDATA section / declaration stays in the document as text.
-# CDATA is matched to its ']]>' terminator BEFORE the generic <!...> arm —
-# a CDATA body containing '>' must not leak text the stdlib parser drops.
+# Unclosed-construct semantics: every unclosed construct swallows the rest
+# of the document. For script/style subtrees that mirrors html.parser
+# (which never leaves CDATA mode); for comments/CDATA it follows the HTML5
+# spec and real browsers (an unclosed '<!--' comments out the remainder) —
+# a DOCUMENTED divergence from html.parser's quirk of replaying the tail
+# as text. A SELF-CLOSED opener (<svg/>, XHTML <script .../>)
+# opens no subtree: only the tag itself is stripped. CDATA is matched to
+# its ']]>' terminator BEFORE the generic <!...> arm — a CDATA body
+# containing '>' must not leak text the stdlib parser drops.
 _NOTEXT_TAGS = ("script", "style", "noscript", "template", "svg", "head", "title")
 _STRIP_OPEN_RE = _re.compile(
     r"<!--|<!\[CDATA\[|<(" + "|".join(_NOTEXT_TAGS) + r")\b[^>]*+>"
@@ -170,51 +173,43 @@ _CLOSE_RES = {
 
 def _strip_notext(doc: str) -> str:
     """Remove comments, CDATA sections, declarations/PIs, and the no-text
-    element subtrees, replacing each with one space. Linear in len(doc)."""
+    element subtrees, replacing each with one space. Linear in len(doc):
+    each opener is found once and its closer located by one C-level search;
+    an unclosed construct ends the scan (it swallows the remainder), so no
+    position is ever re-scanned."""
     out: list[str] = []
     pos = 0
-    dead: set[str] = set()  # closer kinds absent in the remainder
     search = _STRIP_OPEN_RE.search
-    n = len(doc)
-    while pos < n:
+    while True:
         m = search(doc, pos)
         if m is None:
             out.append(doc[pos:])
             break
-        tag = m.group(1)
-        if tag is not None:  # <script ...> et al.
-            out.append(doc[pos : m.start()])
-            out.append(" ")
-            tag = tag.lower()
-            if tag in dead:
-                break  # unclosed subtree swallows the rest (as html.parser)
-            cm = _CLOSE_RES[tag].search(doc, m.end())
-            if cm is None:
-                dead.add(tag)
-                break
-            pos = cm.end()
-            continue
-        tok = m.group(0)
-        if tok == "<!--" or tok == "<![CDATA[":
-            closer = "-->" if tok == "<!--" else "]]>"
-            if closer in dead:
-                end = -1
-            else:
-                end = doc.find(closer, m.end())
-            if end == -1:
-                dead.add(closer)
-                # unclosed: the opener stays in the document as text
-                out.append(doc[pos : m.end()])
-                pos = m.end()
-            else:
-                out.append(doc[pos : m.start()])
-                out.append(" ")
-                pos = end + 3
-            continue
-        # <!...> declaration or <?...> PI — self-delimited by the match
         out.append(doc[pos : m.start()])
         out.append(" ")
-        pos = m.end()
+        tok = m.group(0)
+        tag = m.group(1)
+        if tag is not None:  # <script ...> et al.
+            if tok.endswith("/>"):  # self-closed: no subtree to strip
+                pos = m.end()
+                continue
+            cm = _CLOSE_RES[tag.lower()].search(doc, m.end())
+            if cm is None:
+                break  # unclosed subtree swallows the rest
+            pos = cm.end()
+        elif tok == "<!--":
+            end = doc.find("-->", m.end())
+            if end == -1:
+                break  # HTML5: an unclosed comment runs to EOF
+            pos = end + 3
+        elif tok == "<![CDATA[":
+            end = doc.find("]]>", m.end())
+            if end == -1:
+                break
+            pos = end + 3
+        else:
+            # <!...> declaration or <?...> PI — self-delimited by the match
+            pos = m.end()
     return "".join(out)
 # attribute values may contain '>' — skip quoted runs instead of stopping
 # at the first '>' (the r1 divergence vs parse_blocks_std on real-web

@@ -56,11 +56,15 @@ def sessionize_batch_oracle(events: DataFrame, gap_seconds: int = 300) -> DataFr
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts")
+    # timestamp_diff in MICROSECONDS, not cast('long'): the long cast
+    # truncates to whole seconds, which would merge sessions whose true
+    # gap is fractionally over the limit (session_window compares at full
+    # precision)
     flagged = events.select("user_id", "ts").withColumn(
         "new_session",
         (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_seconds
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+            > gap_seconds * 1_000_000
         )
         .cast("int")
         .alias("new_session"),

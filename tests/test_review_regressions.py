@@ -293,3 +293,29 @@ def test_strip_scanner_linear_on_flood_inputs():
         t0 = time.perf_counter()
         extract.parse_blocks(s)
         assert time.perf_counter() - t0 < 1.0, s[:30]
+
+
+def test_self_closed_notext_openers_do_not_swallow(spark):
+    """<svg/> and XHTML-style <script src=x/> open no subtree: only the
+    tag itself is stripped (the first scanner version searched for a
+    closer and swallowed the rest of the document)."""
+    cases = [
+        "<p>a</p><svg/><p>hello world</p>",
+        '<p>a</p><script src="x"/><p>hello world</p>',
+        "<p>a</p><title/><p>hello world</p>",
+        "<p>a</p><svg/>x</svg><p>b</p>",  # stray closer stays inert
+    ]
+    for html in cases:
+        std = [b.text for b in extract.parse_blocks_std(html)]
+        fast = [b.text for b in extract.parse_blocks(html)]
+        assert fast == std, (html, std, fast)
+        assert "hello world" in " ".join(fast) or "b" in " ".join(fast)
+
+
+def test_unclosed_comment_comments_out_remainder():
+    """HTML5 semantics (documented divergence from html.parser's replay
+    quirk): an unclosed <!-- or <![CDATA[ swallows the rest."""
+    assert [b.text for b in extract.parse_blocks(
+        "<p>a</p><!-- x <script>drop()</script> tail")] == ["a"]
+    assert [b.text for b in extract.parse_blocks(
+        "<p>a</p><![CDATA[ tail words here")] == ["a"]
