@@ -42,3 +42,53 @@ def host_expr(url_col) -> Column:
     """Host component of a url column (JVM-side)."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.element_at(F.split(F.element_at(F.split(c, "://"), -1), "/"), 1)
+
+
+def lang_cols(text_col, stops_de, stops_en) -> dict[str, Column]:
+    """Stopword-hit language-ID columns (P5 analog) — ONE definition shared
+    by the batch operator (operators/textstats.lang_id, DuckDB
+    oracle-checked) and the streaming curation gate, so the two can never
+    drift. Returns de_hits/en_hits/lang_guess/lang_conf columns; callers
+    derive lang_pass with their own threshold."""
+    toks = tokens_expr(text_col)
+    de_arr = F.array(*[F.lit(w) for w in stops_de])
+    en_arr = F.array(*[F.lit(w) for w in stops_en])
+    de_hits = F.size(F.filter(toks, lambda t: F.array_contains(de_arr, t)))
+    en_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    guess = (
+        F.when(de_hits > en_hits, "de")
+        .when(en_hits > de_hits, "en")
+        .otherwise("unk")
+    )
+    conf = F.round(
+        F.greatest(de_hits, en_hits) / F.greatest(F.size(toks), F.lit(1)), 6
+    )
+    return {
+        "de_hits": de_hits,
+        "en_hits": en_hits,
+        "lang_guess": guess,
+        "lang_conf": conf,
+    }
+
+
+def quality_cols(text_col) -> dict[str, Column]:
+    """Quality-heuristic columns — shared between operators/textstats
+    .quality_score and the streaming curation gate (same sharing rationale
+    as lang_cols)."""
+    toks = tokens_expr(text_col)
+    n_toks = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
+    alpha_ratio = F.round(
+        alpha_chars / F.greatest(F.length(text_col), F.lit(1)), 4
+    )
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    return {
+        "n_tokens": n_toks,
+        "alpha_ratio": alpha_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_keep": ((n_toks >= 10) & (alpha_ratio > 0.6)).cast("int"),
+    }

@@ -41,52 +41,36 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame
     (cli_preproc.py's `prob > 0.999` langid filter, VERDICT r1 missing #4):
     winning-stopword hits per token. lang_pass = confident non-tie — the
     P5 filter bit a pipeline applies."""
+    from ..functions.exprs import lang_cols
+
     d = _base_docs(spark, sf_dir, docs)
-    toks = _tokens(F.col("text"))
-    de_arr = F.array(*[F.lit(w) for w in DE_STOPS])
-    en_arr = F.array(*[F.lit(w) for w in EN_STOPS])
-    de_hits = F.size(F.filter(toks, lambda t: F.array_contains(de_arr, t)))
-    en_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
-    guess = (
-        F.when(de_hits > en_hits, "de")
-        .when(en_hits > de_hits, "en")
-        .otherwise("unk")
-    )
-    conf = F.round(
-        F.greatest(de_hits, en_hits) / F.greatest(F.size(toks), F.lit(1)), 6
-    )
+    c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
     return d.select(
         "doc_id",
         "lang",
-        de_hits.alias("de_hits"),
-        en_hits.alias("en_hits"),
-        guess.alias("lang_guess"),
-        conf.alias("lang_conf"),
-        ((guess != "unk") & (conf >= conf_threshold)).cast("int").alias("lang_pass"),
+        c["de_hits"].alias("de_hits"),
+        c["en_hits"].alias("en_hits"),
+        c["lang_guess"].alias("lang_guess"),
+        c["lang_conf"].alias("lang_conf"),
+        ((c["lang_guess"] != "unk") & (c["lang_conf"] >= conf_threshold))
+        .cast("int")
+        .alias("lang_pass"),
     )
 
 
 def quality_score(spark, sf_dir, docs=None) -> DataFrame:
     """Quality heuristics: alpha-char ratio, token count, mean token length;
     the keep/drop verdict a pretraining filter would apply."""
+    from ..functions.exprs import quality_cols
+
     d = _base_docs(spark, sf_dir, docs)
-    toks = _tokens(F.col("text"))
-    n_toks = F.size(toks)
-    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-    alpha_ratio = F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4)
-    mean_tok_len = F.round(
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-        / F.greatest(n_toks, F.lit(1)),
-        4,
-    )
+    c = quality_cols(F.col("text"))
     return d.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        (
-            (n_toks >= 10) & (alpha_ratio > 0.6)
-        ).cast("int").alias("quality_keep"),
+        c["n_tokens"].alias("n_tokens"),
+        c["alpha_ratio"].alias("alpha_ratio"),
+        c["mean_token_len"].alias("mean_token_len"),
+        c["quality_keep"].alias("quality_keep"),
     )
 
 

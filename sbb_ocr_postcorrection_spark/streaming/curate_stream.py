@@ -1,0 +1,62 @@
+"""Streaming curation gate: extraction kernel → per-document content
+filters, inline on the stream.
+
+The stateless half of the curation pipeline (operators/curation.py) lifted
+to Structured Streaming: language-ID and quality heuristics are pure
+column expressions over the extracted text, so they run inside the same
+micro-batch as the kernel with NO state, NO watermark, NO extra shuffle —
+each arriving page leaves the query already labeled keep/drop. The
+stateful stages (cross-batch dedup) compose downstream via
+dedup_stream, exactly as in extract_dedup_stream; corpus-level stages
+(LSH near-dup, decontamination, LM rarity — they need global relations)
+stay batch jobs over the landed output.
+
+The gate expressions are THE SAME builders the oracle-checked batch
+operators use (functions/exprs.lang_cols / quality_cols), so the
+stream's verdicts are pinned to the batch semantics by construction; the
+test additionally asserts stream == batch on the same pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.exprs import lang_cols, quality_cols
+from ..operators.textstats import DE_STOPS, EN_STOPS
+
+
+def curate_gate(extracted: DataFrame, conf_threshold: float = 0.05) -> DataFrame:
+    """(url, warc_ts, lang, extracted_text, ...) → + lang/quality columns
+    and a keep/reason verdict. Works identically on a stream or a batch
+    frame (pure column expressions), which the test exploits."""
+    lc = lang_cols(F.col("extracted_text"), DE_STOPS, EN_STOPS)
+    qc = quality_cols(F.col("extracted_text"))
+    lang_pass = (
+        (lc["lang_guess"] != "unk") & (lc["lang_conf"] >= conf_threshold)
+    ).cast("int")
+    reason = (
+        F.when(lang_pass == 0, "lang_filtered")
+        .when(qc["quality_keep"] == 0, "low_quality")
+        .otherwise("kept")
+    )
+    return extracted.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "extracted_text",
+        lc["lang_guess"].alias("lang_guess"),
+        lc["lang_conf"].alias("lang_conf"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["alpha_ratio"].alias("alpha_ratio"),
+        (reason == "kept").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def extract_curate_stream(
+    pages_stream: DataFrame, conf_threshold: float = 0.05
+) -> DataFrame:
+    """Kernel + curation gate in ONE streaming query."""
+    from .ingest import extract_stream
+
+    return curate_gate(extract_stream(pages_stream), conf_threshold)

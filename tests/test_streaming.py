@@ -225,3 +225,60 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         for r in sessionize_stream(batch, gap="5 minutes").collect()
     )
     assert direct == expected
+
+
+def test_extract_curate_stream_equals_batch_gate(spark, tmp_path):
+    """Kernel + stateless curation gate in one streaming query: the
+    stream's keep/reason verdicts equal applying the same gate to the
+    batch extraction of the same pages, and the gate itself reuses the
+    oracle-checked batch expression builders."""
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.kernels_spark import extract_pages
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        curate_gate,
+        extract_curate_stream,
+    )
+
+    import dataclasses
+
+    d = tmp_path / "cur_in"
+    os.makedirs(d)
+    pages = generate_pages(60, seed=33)
+    # crafted failures so each gate actually fires: no-stopword text (lang
+    # gate) and a stopword-rich but 5-token page (quality gate)
+    no_stop = dataclasses.replace(
+        pages[0], url="http://x.test/nostop",
+        html=b"<html><body><p>zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo</p></body></html>",
+    )
+    tiny = dataclasses.replace(
+        pages[1], url="http://x.test/tiny",
+        html=b"<html><body><p>der die und das ist aber ein Text hier</p></body></html>",
+    )
+    pq.write_table(pages_to_arrow(list(pages[:30]) + [no_stop]), str(d / "a.parquet"))
+    pq.write_table(pages_to_arrow(list(pages[30:]) + [tiny]), str(d / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        extract_curate_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = curate_gate(extract_pages(spark.read.parquet(str(d))))
+    expected = {r["url"]: (r["keep"], r["reason"], r["lang_conf"]) for r in batch.collect()}
+    got = {r["url"]: (r["keep"], r["reason"], r["lang_conf"]) for r in seen}
+    assert got == expected and len(got) == 62
+    # every gate fires somewhere: crafted pages hit lang and quality
+    assert got["http://x.test/nostop"][1] == "lang_filtered"
+    assert got["http://x.test/tiny"][1] == "low_quality"
+    assert sum(1 for v in got.values() if v[1] == "kept") >= 50
