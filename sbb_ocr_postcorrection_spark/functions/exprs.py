@@ -44,13 +44,19 @@ def host_expr(url_col) -> Column:
     return F.element_at(F.split(F.element_at(F.split(c, "://"), -1), "/"), 1)
 
 
-def lang_cols(text_col, stops_de, stops_en) -> dict[str, Column]:
+def lang_cols(
+    text_col, stops_de, stops_en, conf_threshold: float = 0.05, toks=None
+) -> dict[str, Column]:
     """Stopword-hit language-ID columns (P5 analog) — ONE definition shared
     by the batch operator (operators/textstats.lang_id, DuckDB
     oracle-checked) and the streaming curation gate, so the two can never
-    drift. Returns de_hits/en_hits/lang_guess/lang_conf columns; callers
-    derive lang_pass with their own threshold."""
-    toks = tokens_expr(text_col)
+    drift — INCLUDING the lang_pass verdict and its threshold. Pass a
+    precomputed ``toks`` column to share one tokenization across several
+    builders (higher-order-function exprs are excluded from codegen
+    subexpression elimination, so unshared builders re-split the text per
+    derived column)."""
+    if toks is None:
+        toks = tokens_expr(text_col)
     de_arr = F.array(*[F.lit(w) for w in stops_de])
     en_arr = F.array(*[F.lit(w) for w in stops_en])
     de_hits = F.size(F.filter(toks, lambda t: F.array_contains(de_arr, t)))
@@ -68,14 +74,16 @@ def lang_cols(text_col, stops_de, stops_en) -> dict[str, Column]:
         "en_hits": en_hits,
         "lang_guess": guess,
         "lang_conf": conf,
+        "lang_pass": ((guess != "unk") & (conf >= conf_threshold)).cast("int"),
     }
 
 
-def quality_cols(text_col) -> dict[str, Column]:
+def quality_cols(text_col, toks=None) -> dict[str, Column]:
     """Quality-heuristic columns — shared between operators/textstats
     .quality_score and the streaming curation gate (same sharing rationale
-    as lang_cols)."""
-    toks = tokens_expr(text_col)
+    and ``toks`` parameter as lang_cols)."""
+    if toks is None:
+        toks = tokens_expr(text_col)
     n_toks = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
     alpha_ratio = F.round(

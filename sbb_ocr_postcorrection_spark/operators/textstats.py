@@ -44,7 +44,7 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame
     from ..functions.exprs import lang_cols
 
     d = _base_docs(spark, sf_dir, docs)
-    c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
+    c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS, conf_threshold)
     return d.select(
         "doc_id",
         "lang",
@@ -52,9 +52,7 @@ def lang_id(spark, sf_dir, conf_threshold: float = 0.05, docs=None) -> DataFrame
         c["en_hits"].alias("en_hits"),
         c["lang_guess"].alias("lang_guess"),
         c["lang_conf"].alias("lang_conf"),
-        ((c["lang_guess"] != "unk") & (c["lang_conf"] >= conf_threshold))
-        .cast("int")
-        .alias("lang_pass"),
+        c["lang_pass"].alias("lang_pass"),
     )
 
 

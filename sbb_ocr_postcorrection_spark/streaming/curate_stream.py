@@ -28,18 +28,27 @@ from ..operators.textstats import DE_STOPS, EN_STOPS
 def curate_gate(extracted: DataFrame, conf_threshold: float = 0.05) -> DataFrame:
     """(url, warc_ts, lang, extracted_text, ...) → + lang/quality columns
     and a keep/reason verdict. Works identically on a stream or a batch
-    frame (pure column expressions), which the test exploits."""
-    lc = lang_cols(F.col("extracted_text"), DE_STOPS, EN_STOPS)
-    qc = quality_cols(F.col("extracted_text"))
-    lang_pass = (
-        (lc["lang_guess"] != "unk") & (lc["lang_conf"] >= conf_threshold)
-    ).cast("int")
+    frame (pure column expressions), which the test exploits.
+
+    The text is tokenized ONCE into an intermediate column shared by both
+    builders — higher-order-function exprs are excluded from codegen
+    subexpression elimination, so inlining the tokenizer into each derived
+    column would re-split the document several times per row; Catalyst's
+    CollapseProject keeps the non-cheap shared column materialized."""
+    from ..functions.exprs import tokens_expr
+
+    with_toks = extracted.withColumn("_toks", tokens_expr(F.col("extracted_text")))
+    toks = F.col("_toks")
+    lc = lang_cols(
+        F.col("extracted_text"), DE_STOPS, EN_STOPS, conf_threshold, toks=toks
+    )
+    qc = quality_cols(F.col("extracted_text"), toks=toks)
     reason = (
-        F.when(lang_pass == 0, "lang_filtered")
+        F.when(lc["lang_pass"] == 0, "lang_filtered")
         .when(qc["quality_keep"] == 0, "low_quality")
         .otherwise("kept")
     )
-    return extracted.select(
+    return with_toks.select(
         "url",
         "warc_ts",
         "lang",

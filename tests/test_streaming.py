@@ -245,7 +245,7 @@ def test_extract_curate_stream_equals_batch_gate(spark, tmp_path):
     os.makedirs(d)
     pages = generate_pages(60, seed=33)
     # crafted failures so each gate actually fires: no-stopword text (lang
-    # gate) and a stopword-rich but 5-token page (quality gate)
+    # gate) and a stopword-rich 9-token page (quality gate needs >= 10)
     no_stop = dataclasses.replace(
         pages[0], url="http://x.test/nostop",
         html=b"<html><body><p>zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo</p></body></html>",
