@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
-from typing import NamedTuple
 
 from .correct import best_correction
 from .wordlists import DICTIONARY
@@ -33,17 +32,12 @@ _HAS_DIGIT_RE = re.compile(r"\d")
 _HAS_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 _STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
 
-
-class SpanFlag(NamedTuple):
-    """One token span inside a block's text: [start, end) char offsets.
-
-    NamedTuple, not a dataclass: constructed once per token in the hot
-    kernel loop, and tuple allocation is ~3× cheaper than dataclass
-    __init__ (same immutability/attribute surface)."""
-
-    start: int
-    end: int
-    flagged: bool
+# One token span inside a block's text is a PLAIN tuple
+# ``(start, end, flagged)`` — [start, end) char offsets. It was a NamedTuple;
+# profiling showed the namedtuple constructor (an eval'd lambda wrapping
+# tuple.__new__) cost ~4× a literal tuple at ~116 spans/document, ~10% of
+# the whole kernel. Consumers index s[0]/s[1]/s[2].
+SpanFlag = tuple  # kept as an alias for annotations/back-compat
 
 
 def core_token(token: str) -> str:
@@ -67,8 +61,12 @@ def is_noisy_token(token: str) -> bool:
     return best_correction(core) is not None
 
 
-def flag_spans(text: str) -> list[SpanFlag]:
+def flag_spans_counted(text: str) -> tuple[list[tuple[int, int, bool]], int]:
     """Tokenize by whitespace, flag noisy tokens; offsets into `text`.
+    Returns ``(spans, n_flagged)`` — the flagged count is accumulated here
+    where the flag is already a local, so callers (correct_document's
+    unflagged-block fast path, the host-metrics rollup) never re-scan the
+    span list just to count.
 
     str.split + an advancing C-level find recovers each token's offset
     without allocating a Match per token (~18% faster than the regex scan
@@ -76,12 +74,20 @@ def flag_spans(text: str) -> list[SpanFlag]:
     per-token predicate is lru_cached — token distributions are Zipfian, so
     the hit rate is high on real corpora too."""
     noisy = is_noisy_token
-    res: list[SpanFlag] = []
+    res: list[tuple[int, int, bool]] = []
     append = res.append
     pos = 0
+    nf = 0
     find = text.find
     for tok in text.split():
         start = find(tok, pos)
         pos = start + len(tok)
-        append(SpanFlag(start, pos, noisy(tok)))
-    return res
+        f = noisy(tok)
+        nf += f
+        append((start, pos, f))
+    return res, nf
+
+
+def flag_spans(text: str) -> list[tuple[int, int, bool]]:
+    """Spans only (see flag_spans_counted)."""
+    return flag_spans_counted(text)[0]

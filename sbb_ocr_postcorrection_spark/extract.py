@@ -231,6 +231,18 @@ _TAG_RE = _re.compile(
     r"""((?:=\s*+"[^"]*+"|=\s*+'[^']*+'|/(?!>)|[^>/])*+)(/?)>"""
 )
 
+# tag-name → action bitmask, cached on the RAW (pre-lowercase) token so
+# the hot loop does ONE dict hit instead of lower() + up to three set
+# probes per tag. BITS, not an enum: the boiler ancestors (nav/header/
+# footer/aside/form) are ALSO block tags, so a tag can be both. The cache
+# is module-level (shared across documents in a worker) and SIZE-CAPPED:
+# tag names are attacker-controlled on web HTML, so an unbounded memo
+# would be a memory leak under a flood of distinct fake tags — past the
+# cap, unknown names are classified without caching.
+_CLS_BLOCK, _CLS_ANCHOR, _CLS_BOILER = 1, 2, 4
+_TAG_CLASS_CAP = 4096
+_TAG_CLASS: dict[str, int] = {}
+
 
 def parse_blocks(html: bytes | str) -> list[Block]:
     """Fast regex-tokenizer parse: identical Block semantics to
@@ -259,6 +271,7 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     unescape = _htmllib.unescape
     block_tags = _BLOCK_TAGS
     boiler_tags = _BOILER_ANCESTORS
+    klass = _TAG_CLASS
 
     def emit() -> None:
         # only called with non-empty parts (~13×/doc, not per boundary)
@@ -292,25 +305,38 @@ def parse_blocks(html: bytes | str) -> list[Block]:
         if i >= n:
             break
         closing = toks[i]
-        tag = toks[i + 1].lower()
+        raw_tag = toks[i + 1]
         self_closing = toks[i + 3]
         i += 4
+        cls = klass.get(raw_tag)
+        if cls is None:
+            t = raw_tag.lower()
+            cls = 0
+            if t in block_tags:
+                cls = _CLS_BLOCK
+            if t == "a":
+                cls |= _CLS_ANCHOR
+            elif t in boiler_tags:
+                cls |= _CLS_BOILER
+            if len(klass) < _TAG_CLASS_CAP:
+                klass[raw_tag] = cls
         if not closing:
             tag_count += 1
-        if tag in block_tags:
-            if parts:
-                emit()
-            else:
-                link_chars = 0
-                tag_count = 0
-        # a self-closed <nav/> / <a/> must not leave a dangling depth: it
-        # would mark the whole rest of the document as boiler/link text
-        # (parse_blocks_std balances these via handle_startendtag)
-        if not self_closing:
-            if tag == "a":
-                anchor_depth = max(0, anchor_depth + (-1 if closing else 1))
-            elif tag in boiler_tags:
-                boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
+        if cls:
+            if cls & _CLS_BLOCK:
+                if parts:
+                    emit()
+                else:
+                    link_chars = 0
+                    tag_count = 0
+            # a self-closed <nav/> / <a/> must not leave a dangling depth:
+            # it would mark the whole rest of the document as boiler/link
+            # text (parse_blocks_std balances these via handle_startendtag)
+            if cls > _CLS_BLOCK and not self_closing:
+                if cls & _CLS_ANCHOR:
+                    anchor_depth = max(0, anchor_depth + (-1 if closing else 1))
+                else:
+                    boiler_depth = max(0, boiler_depth + (-1 if closing else 1))
     if parts:
         emit()
     return blocks

@@ -24,17 +24,20 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .correct import correct_token
-from .detect import SpanFlag, flag_spans
+from .detect import flag_spans_counted
 from .extract import content_text, extract_blocks
 
 
 @dataclass(frozen=True)
 class BlockDetection:
-    """Stage-1 output for one content block."""
+    """Stage-1 output for one content block; spans are plain
+    ``(start, end, flagged)`` tuples, n_flagged their flagged count
+    (accumulated during flagging, so downstream never re-scans to count)."""
 
     block_index: int
     text: str
-    spans: tuple[SpanFlag, ...]
+    spans: tuple[tuple[int, int, bool], ...]
+    n_flagged: int = 0
 
 
 @dataclass(frozen=True)
@@ -62,11 +65,12 @@ def detect_document(html: bytes | str) -> tuple[list[BlockDetection], int, int]:
     """
     blocks = extract_blocks(html)
     chars_in = len(html) if isinstance(html, (bytes, bytearray)) else len(html.encode("utf-8"))
-    detections = [
-        BlockDetection(b.index, b.text, tuple(flag_spans(b.text)))
-        for b in blocks
-        if b.is_content
-    ]
+    detections = []
+    append = detections.append
+    for b in blocks:
+        if b.is_content:
+            spans, nf = flag_spans_counted(b.text)
+            append(BlockDetection(b.index, b.text, tuple(spans), nf))
     return detections, len(blocks), chars_in
 
 
@@ -84,9 +88,9 @@ def correct_document(detections: list[BlockDetection]) -> tuple[str, list[tuple[
         # and every output span is the input span shifted by the running
         # offset (most blocks on a real corpus take this path; measured ~2×
         # on the correct stage)
-        if not any(sp.flagged for sp in det.spans):
+        if not det.n_flagged:
             out_spans.extend(
-                (offset + sp.start, offset + sp.end, False) for sp in det.spans
+                (offset + s, offset + e, False) for s, e, _ in det.spans
             )
             out_blocks.append(text)
             offset += len(text) + 1  # +1 for the joining newline
@@ -94,16 +98,16 @@ def correct_document(detections: list[BlockDetection]) -> tuple[str, list[tuple[
         pieces: list[str] = []
         cursor = 0
         block_out_len = 0
-        for sp in det.spans:
-            gap = text[cursor:sp.start]
-            token = text[sp.start:sp.end]
-            fixed = correct_token(token) if sp.flagged else token
+        for start, end, flagged in det.spans:
+            gap = text[cursor:start]
+            token = text[start:end]
+            fixed = correct_token(token) if flagged else token
             pieces.append(gap)
             start_out = offset + block_out_len + len(gap)
             pieces.append(fixed)
-            out_spans.append((start_out, start_out + len(fixed), sp.flagged))
+            out_spans.append((start_out, start_out + len(fixed), flagged))
             block_out_len += len(gap) + len(fixed)
-            cursor = sp.end
+            cursor = end
         pieces.append(text[cursor:])
         block_text = "".join(pieces)
         out_blocks.append(block_text)
@@ -116,7 +120,7 @@ def run_document(html: bytes | str) -> ExtractionResult:
     detections, n_blocks, chars_in = detect_document(html)
     text, spans = correct_document(detections)
     n_spans = sum(len(d.spans) for d in detections)
-    n_flagged = sum(1 for d in detections for s in d.spans if s.flagged)
+    n_flagged = sum(d.n_flagged for d in detections)
     return ExtractionResult(
         extracted_text=text,
         spans=tuple(spans),

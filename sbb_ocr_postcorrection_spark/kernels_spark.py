@@ -25,7 +25,6 @@ from collections.abc import Iterator
 import pandas as pd
 
 from .kernel import correct_document, detect_document, BlockDetection
-from .detect import SpanFlag
 
 # stage-1 output schema: html is dropped, detections carried as JSON
 DETECT_SCHEMA = (
@@ -61,7 +60,7 @@ def detect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 bytes(html) if html is not None else b""
             )
             n_spans = sum(len(d.spans) for d in detections)
-            n_flagged = sum(1 for d in detections for s in d.spans if s.flagged)
+            n_flagged = sum(d.n_flagged for d in detections)
             rows.append(
                 {
                     "url": url,
@@ -69,11 +68,9 @@ def detect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "host": _host_of(url),
                     "lang": lang,
                     "detections": json.dumps(
-                        [
-                            [d.block_index, d.text,
-                             [[s.start, s.end, s.flagged] for s in d.spans]]
-                            for d in detections
-                        ],
+                        # spans are plain tuples; json serializes them as
+                        # [start, end, flagged] arrays directly
+                        [[d.block_index, d.text, d.spans] for d in detections],
                         ensure_ascii=False,
                     ),
                     "n_blocks": n_blocks,
@@ -102,7 +99,8 @@ def correct_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 BlockDetection(
                     block_index=bi,
                     text=text,
-                    spans=tuple(SpanFlag(s, e, f) for s, e, f in spans),
+                    spans=tuple((s, e, f) for s, e, f in spans),
+                    n_flagged=sum(1 for s in spans if s[2]),
                 )
                 for bi, text, spans in json.loads(det_json)
             ]

@@ -103,7 +103,7 @@ def _two_step_kernel(batches):
             clean_toks = clean.split()
             raw_toks = raw_text.split()
             corr_toks = corrected.split()
-            flags = [s.flagged for d in detections for s in d.spans]
+            flags = [s[2] for d in detections for s in d.spans]
             if len(raw_toks) == len(clean_toks) == len(flags) == len(corr_toks):
                 wrong = [r != c for r, c in zip(raw_toks, clean_toks)]
                 row.update(

@@ -91,14 +91,14 @@ def test_corrector_inverts_single_noise(word, sub_idx):
 def test_flag_spans_cover_all_tokens(text):
     spans = flag_spans(text)
     # spans are disjoint, ordered, and cover exactly the non-space runs
-    rebuilt = [text[s.start:s.end] for s in spans]
+    rebuilt = [text[s[0]:s[1]] for s in spans]
     assert rebuilt == text.split()
     # the find-based offsets must match the regex tokenization exactly
     # (split+find can in principle land on an earlier identical substring;
     # the advancing pos makes that impossible — pin it)
     import re
 
-    assert [(s.start, s.end) for s in spans] == [
+    assert [(s[0], s[1]) for s in spans] == [
         m.span() for m in re.finditer(r"\S+", text)
     ]
 

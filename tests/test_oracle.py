@@ -55,8 +55,8 @@ def test_corrector_restores_confusions():
 
 def test_flag_spans_offsets():
     spans = flag_spans("das wasscr ist")
-    assert [(s.start, s.end) for s in spans] == [(0, 3), (4, 10), (11, 14)]
-    assert [s.flagged for s in spans] == [False, True, False]
+    assert [(s[0], s[1]) for s in spans] == [(0, 3), (4, 10), (11, 14)]
+    assert [bool(s[2]) for s in spans] == [False, True, False]
 
 
 def test_clean_page_extracts_byte_exact():
