@@ -103,6 +103,73 @@ def split_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def line_dedup(
+    spark, sf_dir, n_line_toks: int = 3, hot_df: int = 5, docs=None
+) -> DataFrame:
+    """Inter-document repeated-line removal (the RefinedWeb/CCNet-style
+    boilerplate-line filter): a line occurring in ≥ hot_df distinct
+    documents is dropped from EVERY document, and each document is
+    reassembled from its surviving lines in order.
+
+    Lines are consecutive ``n_line_toks``-token chunks of the lowercased
+    token stream — deterministic and SQL-expressible on both engines (the
+    same convention pdf_layout uses), standing in for newline-split lines
+    the synthetic corpus doesn't have.
+
+    Scale design (100 TB): the line relation is an explode bounded by
+    document length; the hot-line set is a two-phase aggregation whose
+    RESULT is tiny by construction (lines repeated across ≥ hot_df docs —
+    boilerplate vocabulary, not corpus-sized), so the removal join is a
+    broadcast anti-join: no shuffle of the line table on line keys for the
+    join, one shuffle for the per-doc reassembly. Documents losing every
+    line stay in the output with empty cleaned text via the left join
+    (ADVICE r1 #3: degenerate rows must surface, not vanish).
+    """
+    from ..functions.exprs import tokens_expr
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = n_line_toks
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1)
+    )
+    base = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
+        ).alias("lines"),
+    )
+    rows = base.select("doc_id", F.posexplode("lines").alias("pos", "line"))
+    hot = (
+        rows.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= hot_df)
+        .select("line")
+    )
+    kept = rows.join(F.broadcast(hot), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", F.size("lines").alias("n_lines"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def split_roundtrip_flags(spark, sf_dir) -> DataFrame:
     """Driver-facing projection of split_roundtrip: (parent_id,
     roundtrip_ok). The greedy packing itself is not SQL-expressible, but

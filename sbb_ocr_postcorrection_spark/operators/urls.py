@@ -1,0 +1,100 @@
+"""URL canonicalization + URL-level deduplication.
+
+The first dedup stage of every web-scale corpus build runs BEFORE content
+hashing: collapse re-crawls of the same page whose URLs differ only in
+scheme/case/www/query-tracking/fragment/trailing-slash noise. This is the
+URL analog of the file-exclusion / page-ID remap steps the reference runs
+before corpus assembly (preprocessing/cli_preproc.py page-id filtering,
+SURVEY.md §2.2 P11), generalized to the Common-Crawl-style input of
+BASELINE.json's north rule.
+
+Scale design (100 TB): canonicalization is a pure column projection (zero
+shuffle, whole-stage codegen); the dedup itself is ONE hash aggregation on
+the canonical key with map-side partial aggregation. No joins, no windows.
+Hot hosts do not skew this: the aggregation key is the full canonical URL,
+whose cardinality is ~the corpus size.
+
+The `documents` test table has no URL column, so the driver query
+synthesizes one deterministically from doc_id (same arithmetic in the
+DuckDB oracle) with scheme/case/www/query/fragment/trailing-slash variants
+that collide post-canonicalization — the operator's input contract is just
+a (doc_id, url) relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .relational import load
+
+
+def synth_url_expr(doc_id) -> Column:
+    """Deterministic URL with canonicalization-relevant noise, derived from
+    doc_id alone (mirrored verbatim in the DuckDB oracle):
+
+    * scheme   http / https / HTTP          (doc_id % 3)
+    * www.     present iff doc_id % 2 == 0
+    * host     site{doc_id % 7}.example.com, uppercased iff doc_id % 5 == 0
+    * path     /p/{doc_id % 13}, trailing '/' iff doc_id % 4 == 0
+    * query    ?utm_source=feed&ref=rss iff doc_id % 6 == 0
+    * fragment #sec iff doc_id % 9 == 0
+
+    7 × 13 = 91 canonical targets, so any few hundred docs guarantee
+    duplicate groups (non-vacuous dedup — the round-2 vacuous-test lesson).
+    """
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    scheme = (
+        F.when(d % 3 == 0, "http://")
+        .when(d % 3 == 1, "https://")
+        .otherwise("HTTP://")
+    )
+    host = F.concat(F.lit("site"), (d % 7).cast("string"), F.lit(".example.com"))
+    return F.concat(
+        scheme,
+        F.when(d % 2 == 0, "www.").otherwise(""),
+        F.when(d % 5 == 0, F.upper(host)).otherwise(host),
+        F.lit("/p/"),
+        (d % 13).cast("string"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+        F.when(d % 6 == 0, "?utm_source=feed&ref=rss").otherwise(""),
+        F.when(d % 9 == 0, "#sec").otherwise(""),
+    )
+
+
+def canonical_url_expr(url) -> Column:
+    """url string → canonical form `host/path`:
+
+    fragment and query stripped, scheme dropped (http≡https for identity),
+    host lowercased with a leading 'www.' removed, trailing '/' removed.
+    Assumes a well-formed absolute URL (exactly one '://'); pure string
+    expressions, JVM-side.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    no_q = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
+    rest = F.substring_index(no_q, "://", -1)
+    host_raw = F.substring_index(rest, "/", 1)
+    host = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    path = F.regexp_replace(
+        rest.substr(F.length(host_raw) + 1, F.length(rest)), "/$", ""
+    )
+    return F.concat(host, path)
+
+
+def url_dedup(spark, sf_dir, docs=None) -> DataFrame:
+    """One row per canonical URL: how many raw rows collapsed onto it, how
+    many distinct raw spellings, and the kept representative (min doc_id —
+    with a crawl-timestamp column the same max_by keeps the latest capture).
+    """
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    with_urls = d.select(
+        "doc_id", synth_url_expr(F.col("doc_id")).alias("url")
+    )
+    return (
+        with_urls.withColumn("canon_url", canonical_url_expr(F.col("url")))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )

@@ -26,6 +26,7 @@ from .operators import (
     similarity,
     temporal,
     textstats,
+    urls,
 )
 from .operators.textstats import DE_STOPS, EN_STOPS
 
@@ -344,6 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded-LSH candidate generation and the composite keep/drop flow)
         # is DuckDB-oracle-checked
         "dedup_exact": pinned(dedup.exact_groups),
+        # URL-level dedup (the stage BEFORE content hashing in a web
+        # pipeline): canonicalize scheme/case/www/query/fragment/slash
+        # noise, one hash-agg on the canonical key
+        "url_dedup": pinned(urls.url_dedup),
+        # inter-document repeated-line removal (RefinedWeb/CCNet-style
+        # boilerplate-line filter): tiny hot-line set → broadcast anti-join
+        "line_dedup": pinned(lines.line_dedup),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
@@ -614,6 +622,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_copies,
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
+        """,
+        "url_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE doc_id % 3 WHEN 0 THEN 'http://'
+                           WHEN 1 THEN 'https://' ELSE 'HTTP://' END)
+                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                           THEN upper('site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+                           ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END)
+                     || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents
+            ), c AS (
+              SELECT doc_id, url,
+                     split_part(split_part(split_part(url, '#', 1), '?', 1),
+                                '://', 2) AS rest
+              FROM u
+            ), canon AS (
+              SELECT doc_id, url,
+                     regexp_replace(lower(split_part(rest, '/', 1)), '^www\\.', '')
+                     || regexp_replace(substr(rest, length(split_part(rest, '/', 1)) + 1),
+                                       '/$', '') AS canon_url
+              FROM c
+            )
+            SELECT canon_url, count(*) AS n_dupes,
+                   count(DISTINCT url) AS n_variants,
+                   min(doc_id) AS keeper_id
+            FROM canon GROUP BY canon_url
+        """,
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+            ), lns AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(CAST(ceil(len(l) / 3.0) AS BIGINT), 1) + 1),
+                       i -> array_to_string(list_slice(l, (i-1)*3 + 1, (i-1)*3 + 3), ' ')
+                     ) AS lines
+              FROM toks
+            ), inst AS (
+              SELECT DISTINCT doc_id, line
+              FROM (SELECT doc_id, unnest(lines) AS line FROM lns)
+            ), hot AS (
+              SELECT line FROM inst GROUP BY line HAVING count(*) >= 5
+            ), hotlist AS (
+              SELECT coalesce(list(line), []) AS hl FROM hot
+            )
+            SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept,
+                   -- array_to_string(
+                   --   []) is NULL in DuckDB; Spark concat_ws gives ''
+                   coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+            FROM (
+              SELECT doc_id, lines,
+                     list_filter(lines, x -> NOT list_contains(hl, x)) AS kept
+              FROM lns, hotlist
+            )
         """,
         "dedup_jaccard_pairs": f"""
             WITH toks AS (

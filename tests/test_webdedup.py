@@ -1,0 +1,121 @@
+"""URL-level and line-level dedup operators: semantics on crafted corpora
+(non-vacuous by construction) + the broadcast-anti-join plan contract."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sbb_ocr_postcorrection_spark.operators import lines as L, urls as U
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- url dedup
+
+CANON_CASES = [
+    # scheme case + www + query + fragment + trailing slash all collapse
+    ("HTTP://WWW.Site3.Example.com/p/7/?utm_source=x#frag",
+     "site3.example.com/p/7"),
+    ("https://site3.example.com/p/7", "site3.example.com/p/7"),
+    ("http://www.site3.example.com/p/7/", "site3.example.com/p/7"),
+    # host-only URL: empty path, no trailing-slash to strip
+    ("https://Example.ORG", "example.org"),
+    ("https://example.org/", "example.org"),
+    # www only stripped as a leading label, not inside the host
+    ("http://wwwx.example.org/a", "wwwx.example.org/a"),
+    ("http://sub.www.example.org/a", "sub.www.example.org/a"),
+    # query/fragment stripped even without a path slash
+    ("http://example.org?q=1", "example.org"),
+    ("http://example.org#sec", "example.org"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], "i long, url string"
+    ).select("i", U.canonical_url_expr("url").alias("canon"))
+    got = {r["i"]: r["canon"] for r in df.collect()}
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{raw!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_url_dedup_groups(spark):
+    rows = U.url_dedup(spark, SF_DIR).collect()
+    # 7 hosts x 13 paths, all hit at 500 docs
+    assert len(rows) == 91
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_dupes"] for r in rows) == n_docs
+    # non-vacuous: every group actually collapsed something, and raw
+    # spellings genuinely differed inside groups
+    assert all(r["n_dupes"] > 1 for r in rows)
+    assert all(r["n_variants"] > 1 for r in rows)
+    # keeper is the min doc_id of its group: recompute independently
+    with_urls = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", U.synth_url_expr(F.col("doc_id")).alias("url")
+    )
+    canon = with_urls.select(
+        "doc_id", U.canonical_url_expr("url").alias("canon_url")
+    ).collect()
+    mins = {}
+    for r in canon:
+        mins[r["canon_url"]] = min(mins.get(r["canon_url"], 1 << 62), r["doc_id"])
+    assert {r["canon_url"]: r["keeper_id"] for r in rows} == mins
+
+
+# --------------------------------------------------------------- line dedup
+
+BOILER = "cookie notice applies here"  # 4 tokens -> 2 lines at n=2
+
+
+def _crafted_docs(spark):
+    rows = []
+    # 6 docs sharing the boilerplate line prefix (>= hot_df=5), each with
+    # unique tail content; line length 2 tokens
+    for i in range(6):
+        rows.append((i, f"{BOILER} unique{i}a unique{i}b unique{i}c unique{i}d"))
+    # a doc that is ONLY boilerplate -> loses everything
+    rows.append((100, BOILER))
+    # an empty doc -> one '' line, must stay in the output
+    rows.append((101, ""))
+    # a doc with no hot lines at all
+    rows.append((102, "plain content words only here today"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_crafted(spark):
+    docs = _crafted_docs(spark)
+    out = {
+        r["doc_id"]: r
+        for r in L.line_dedup(
+            spark, SF_DIR, n_line_toks=2, hot_df=5, docs=docs
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5, 100, 101, 102}
+    # the shared docs lose exactly the two boilerplate lines, keep tails in
+    # order
+    for i in range(6):
+        r = out[i]
+        assert r["n_lines"] == 4 and r["n_kept"] == 2
+        assert r["cleaned_text"] == f"unique{i}a unique{i}b unique{i}c unique{i}d"
+    # all-boilerplate doc surfaces with empty cleaned text (not dropped)
+    assert out[100]["n_lines"] == 2
+    assert out[100]["n_kept"] == 0 and out[100]["cleaned_text"] == ""
+    # empty doc: single '' line, not hot (df('')=1), kept as-is
+    assert out[101]["n_lines"] == 1 and out[101]["n_kept"] == 1
+    assert out[101]["cleaned_text"] == ""
+    # untouched doc
+    assert out[102]["n_kept"] == out[102]["n_lines"] == 3
+    assert out[102]["cleaned_text"] == "plain content words only here today"
+
+
+def test_line_dedup_plan_broadcast_anti(spark):
+    """The hot-line removal must be a broadcast anti-join (tiny hot set),
+    never a sort-merge join shuffling the full line relation."""
+    plan = plan_of(L.line_dedup(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
