@@ -33,11 +33,13 @@ _HAS_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 _STRIP_PUNCT_RE = re.compile(r"^\W+|\W+$", re.UNICODE)
 
 # One token span inside a block's text is a PLAIN tuple
-# ``(start, end, flagged)`` — [start, end) char offsets. It was a NamedTuple;
-# profiling showed the namedtuple constructor (an eval'd lambda wrapping
-# tuple.__new__) cost ~4× a literal tuple at ~116 spans/document, ~10% of
-# the whole kernel. Consumers index s[0]/s[1]/s[2].
-SpanFlag = tuple  # kept as an alias for annotations/back-compat
+# ``(start, end, flagged)`` — [start, end) char offsets. It was a NamedTuple
+# (SpanFlag); profiling showed the namedtuple constructor (an eval'd lambda
+# wrapping tuple.__new__) cost ~4× a literal tuple at ~116 spans/document,
+# ~10% of the whole kernel. Consumers index s[0]/s[1]/s[2]. The SpanFlag
+# name is gone on purpose: an alias would let old constructor/attribute
+# call sites import fine and then fail (or worse, half-work) at runtime —
+# an ImportError at the call site is the honest failure.
 
 
 def core_token(token: str) -> str:

@@ -37,7 +37,10 @@ class BlockDetection:
     block_index: int
     text: str
     spans: tuple[tuple[int, int, bool], ...]
-    n_flagged: int = 0
+    # REQUIRED, not defaulted: correct_document uses this as the
+    # skip-corrections fast-path gate, so a forgotten count would silently
+    # emit uncorrected text — constructors must pass the real count
+    n_flagged: int
 
 
 @dataclass(frozen=True)

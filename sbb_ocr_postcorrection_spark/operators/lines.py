@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from .relational import load
+from .relational import load, persist_slot
 
 MAX_LEN = 40
 
@@ -103,8 +103,15 @@ def split_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+# line_dedup defaults — the DuckDB oracle in queries.py interpolates THESE
+# constants, so one definition drives both engines
+LINE_TOKS = 3
+HOT_LINE_DF = 5
+
+
 def line_dedup(
-    spark, sf_dir, n_line_toks: int = 3, hot_df: int = 5, docs=None
+    spark, sf_dir, n_line_toks: int = LINE_TOKS, hot_df: int = HOT_LINE_DF,
+    docs=None,
 ) -> DataFrame:
     """Inter-document repeated-line removal (the RefinedWeb/CCNet-style
     boilerplate-line filter): a line occurring in ≥ hot_df distinct
@@ -117,13 +124,18 @@ def line_dedup(
     the synthetic corpus doesn't have.
 
     Scale design (100 TB): the line relation is an explode bounded by
-    document length; the hot-line set is a two-phase aggregation whose
-    RESULT is tiny by construction (lines repeated across ≥ hot_df docs —
-    boilerplate vocabulary, not corpus-sized), so the removal join is a
-    broadcast anti-join: no shuffle of the line table on line keys for the
-    join, one shuffle for the per-doc reassembly. Documents losing every
-    line stay in the output with empty cleaned text via the left join
-    (ADVICE r1 #3: degenerate rows must surface, not vanish).
+    document length, persisted ONCE (it feeds both the hot-line
+    aggregation and the removal join — without the persist the
+    corpus-wide tokenize+explode would execute twice; Spark reuses
+    exchanges, not arbitrary lineage). The hot-line set is a two-phase
+    aggregation whose RESULT is tiny by construction (lines repeated
+    across ≥ hot_df docs — boilerplate vocabulary, not corpus-sized), so
+    removal is a broadcast LEFT join + conditional aggregation in the ONE
+    per-doc reassembly shuffle: collect_list skips the nulled-out hot
+    lines, n_kept counts the survivors, and since every document emits at
+    least one line row (empty docs produce a single '' line), degenerate
+    docs surface with empty cleaned text instead of vanishing (ADVICE r1
+    #3) — no second scan, no extra join.
     """
     from ..functions.exprs import tokens_expr
 
@@ -133,39 +145,40 @@ def line_dedup(
     n_lines = F.greatest(
         F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1)
     )
-    base = d.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), n_lines),
-            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
-        ).alias("lines"),
+    rows = persist_slot(
+        "line_dedup_rows",
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_lines),
+                    lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
+                )
+            ).alias("pos", "line"),
+        ),
     )
-    rows = base.select("doc_id", F.posexplode("lines").alias("pos", "line"))
     hot = (
         rows.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("line_df"))
         .filter(F.col("line_df") >= hot_df)
-        .select("line")
+        .select("line", F.lit(True).alias("is_hot"))
     )
-    kept = rows.join(F.broadcast(hot), "line", "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("cleaned_text"),
-    )
+    keep_struct = F.when(
+        F.col("is_hot").isNull(), F.struct("pos", "line")
+    )  # no otherwise → NULL for hot rows; collect_list drops NULLs
     return (
-        base.select("doc_id", F.size("lines").alias("n_lines"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        rows.join(F.broadcast(hot), "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.count(keep_struct).cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned_text"),
         )
     )
 

@@ -66,12 +66,19 @@ def canonical_url_expr(url) -> Column:
 
     fragment and query stripped, scheme dropped (http≡https for identity),
     host lowercased with a leading 'www.' removed, trailing '/' removed.
-    Assumes a well-formed absolute URL (exactly one '://'); pure string
-    expressions, JVM-side.
+    Pure string expressions, JVM-side.
+
+    The scheme is whatever precedes the FIRST '://' (instr, not
+    substring_index(…, -1) which takes the LAST — archive/proxy URLs like
+    web.archive.org/web/2020/https://example.com embed a second scheme in
+    the path and must NOT collapse onto the embedded target; the DuckDB
+    oracle's split_part(…, 2) is first-occurrence too). A URL with no
+    scheme at all is treated as host/path from its first character.
     """
     u = F.col(url) if isinstance(url, str) else url
     no_q = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
-    rest = F.substring_index(no_q, "://", -1)
+    p = F.instr(no_q, "://")
+    rest = F.when(p > 0, no_q.substr(p + 3, F.length(no_q))).otherwise(no_q)
     host_raw = F.substring_index(rest, "/", 1)
     host = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
     path = F.regexp_replace(
@@ -82,13 +89,21 @@ def canonical_url_expr(url) -> Column:
 
 def url_dedup(spark, sf_dir, docs=None) -> DataFrame:
     """One row per canonical URL: how many raw rows collapsed onto it, how
-    many distinct raw spellings, and the kept representative (min doc_id —
-    with a crawl-timestamp column the same max_by keeps the latest capture).
+    many distinct raw spellings, and the kept representative (min(doc_id)
+    here; with a crawl-timestamp column, swap in max_by(doc_id, crawl_ts)
+    to keep the latest capture instead).
+
+    A caller-supplied ``docs`` relation that already carries a ``url``
+    column is deduped on THAT column; the deterministic synth URL is only
+    a stand-in for the url-less test table.
     """
     d = docs if docs is not None else load(spark, sf_dir, "documents")
-    with_urls = d.select(
-        "doc_id", synth_url_expr(F.col("doc_id")).alias("url")
-    )
+    if "url" in d.columns:
+        with_urls = d.select("doc_id", "url")
+    else:
+        with_urls = d.select(
+            "doc_id", synth_url_expr(F.col("doc_id")).alias("url")
+        )
     return (
         with_urls.withColumn("canon_url", canonical_url_expr(F.col("url")))
         .groupBy("canon_url")

@@ -654,28 +654,34 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM canon GROUP BY canon_url
         """,
+        # the per-line coalesce matters: DuckDB's array_to_string over an
+        # EMPTY slice (a zero-token document's single line) yields NULL,
+        # which list_filter would silently drop — Spark's concat_ws yields
+        # '' and keeps the line. Same at the end for all-lines-dropped
+        # docs. Constants interpolated from lines.LINE_TOKS/HOT_LINE_DF so
+        # one definition drives both engines.
         "line_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL} AS l FROM documents
             ), lns AS (
               SELECT doc_id,
                      list_transform(
-                       range(1, greatest(CAST(ceil(len(l) / 3.0) AS BIGINT), 1) + 1),
-                       i -> array_to_string(list_slice(l, (i-1)*3 + 1, (i-1)*3 + 3), ' ')
+                       range(1, greatest(CAST(ceil(len(l) / {lines.LINE_TOKS}.0) AS BIGINT), 1) + 1),
+                       i -> coalesce(array_to_string(
+                              list_slice(l, (i-1)*{lines.LINE_TOKS} + 1,
+                                         (i-1)*{lines.LINE_TOKS} + {lines.LINE_TOKS}), ' '), '')
                      ) AS lines
               FROM toks
             ), inst AS (
               SELECT DISTINCT doc_id, line
               FROM (SELECT doc_id, unnest(lines) AS line FROM lns)
             ), hot AS (
-              SELECT line FROM inst GROUP BY line HAVING count(*) >= 5
+              SELECT line FROM inst GROUP BY line HAVING count(*) >= {lines.HOT_LINE_DF}
             ), hotlist AS (
               SELECT coalesce(list(line), []) AS hl FROM hot
             )
             SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
                    CAST(len(kept) AS INTEGER) AS n_kept,
-                   -- array_to_string(
-                   --   []) is NULL in DuckDB; Spark concat_ws gives ''
                    coalesce(array_to_string(kept, ' '), '') AS cleaned_text
             FROM (
               SELECT doc_id, lines,

@@ -31,6 +31,12 @@ CANON_CASES = [
     # query/fragment stripped even without a path slash
     ("http://example.org?q=1", "example.org"),
     ("http://example.org#sec", "example.org"),
+    # scheme = before the FIRST '://': an archive/proxy URL embedding a
+    # second scheme must NOT collapse onto the embedded target
+    ("https://web.archive.org/web/2020/https://example.com/x",
+     "web.archive.org/web/2020/https://example.com/x"),
+    # scheme-less input: host/path from the first character
+    ("WWW.Example.org/a/", "example.org/a"),
 ]
 
 
@@ -64,6 +70,24 @@ def test_url_dedup_groups(spark):
     for r in canon:
         mins[r["canon_url"]] = min(mins.get(r["canon_url"], 1 << 62), r["doc_id"])
     assert {r["canon_url"]: r["keeper_id"] for r in rows} == mins
+
+
+def test_url_dedup_uses_caller_url_column(spark):
+    """A docs relation that already carries urls is deduped on THEM, not on
+    re-synthesized stand-ins."""
+    docs = spark.createDataFrame(
+        [
+            (10, "http://www.a.test/x"),
+            (11, "https://A.test/x/"),
+            (12, "https://b.test/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canon_url"]: r for r in U.url_dedup(spark, SF_DIR, docs=docs).collect()}
+    assert set(rows) == {"a.test/x", "b.test/y"}
+    assert rows["a.test/x"]["n_dupes"] == 2
+    assert rows["a.test/x"]["n_variants"] == 2
+    assert rows["a.test/x"]["keeper_id"] == 10
 
 
 # --------------------------------------------------------------- line dedup
@@ -112,10 +136,40 @@ def test_line_dedup_crafted(spark):
     assert out[102]["cleaned_text"] == "plain content words only here today"
 
 
-def test_line_dedup_plan_broadcast_anti(spark):
-    """The hot-line removal must be a broadcast anti-join (tiny hot set),
-    never a sort-merge join shuffling the full line relation."""
+def test_line_dedup_plan_broadcast_single_pass(spark):
+    """The hot-line removal must be a broadcast join (tiny hot set), never
+    a sort-merge join shuffling the full line relation; the line explode is
+    persisted so the corpus-wide tokenize runs once (the removal side reads
+    the cache, not a second scan)."""
     plan = plan_of(L.line_dedup(spark, SF_DIR))
-    assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_line_dedup_matches_duckdb_on_crafted_corpus(spark):
+    """The oracle SQL and the Spark operator must agree on the corpus
+    classes the shipped testdata lacks: empty docs (DuckDB's
+    array_to_string over the empty slice is NULL without the coalesce) and
+    all-lines-dropped docs."""
+    import duckdb
+
+    rows = [(i, "shared boiler line " + f"tail{i}a tail{i}b tail{i}c") for i in range(6)]
+    rows += [(100, "shared boiler line"), (101, ""), (102, "   "),
+             (103, "totally unique content here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned_text"])
+        for r in L.line_dedup(spark, SF_DIR, docs=docs).collect()
+    }
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(em.oracle_sql()["line_dedup"]).fetchall()}
+    assert got == want
+    # and the crafted classes actually exercised what they claim
+    assert got[101] == (1, 1, "")          # empty doc kept, not dropped
+    assert got[102] == (1, 1, "")          # whitespace-only ≡ empty
+    assert got[100][1] == 0                # all lines dropped, still present
