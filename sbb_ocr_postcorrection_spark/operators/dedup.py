@@ -73,6 +73,78 @@ def exact_groups(spark, sf_dir) -> DataFrame:
     )
 
 
+def incremental_dedup(spark, sf_dir, docs=None) -> DataFrame:
+    """Cross-snapshot incremental dedup: a NEW crawl batch arrives on top
+    of an already-deduped HISTORY, and each new document is kept iff its
+    content hash is (a) unseen in history and (b) the first occurrence
+    within its own batch. This is how a web corpus actually grows — the
+    full-corpus re-dedup of exact_groups is the bootstrap, this is the
+    steady state.
+
+    Scale design (100 TB): history contributes only DISTINCT digests (not
+    text); both the history probe and the in-batch first-occurrence window
+    shuffle on the SAME key (content_hash), so the planner reuses one
+    exchange for both (in production the history digest table would be
+    bucketed on the digest, making the probe co-located). Verdicts are
+    emitted for every new doc — dropped rows surface with keep=0 and the
+    reason split across in_history/first_in_batch, never silently vanish.
+
+    The test corpus has no duplicate texts, so the driver query first
+    remaps content deterministically (a self-join on arithmetic base ids —
+    groups of documents share one text) to make every verdict combination
+    non-vacuous: docs ≡7 (mod 10) share the text of their ≡7 (mod 100)
+    base (odd-only groups → in-batch dups with no history hit), docs ≡0
+    (mod 5) share the text of their (mod 20) base (mixed-parity groups →
+    history hits). A caller-supplied ``docs`` relation is used as-is.
+    """
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    if docs is None:
+        i = F.col("doc_id")
+        base_id = (
+            F.when(i % 10 == 7, i - (i % 100) + 7)
+            .when(i % 5 == 0, i - (i % 20))
+            .otherwise(i)
+        )
+        base = d.select(
+            F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+        )
+        d = (
+            d.select("doc_id", base_id.alias("base_id"))
+            .join(base, "base_id")
+            .select("doc_id", F.col("base_text").alias("text"))
+        )
+    hashed = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    history = (
+        hashed.filter(F.col("doc_id") % 2 == 0)
+        .select("content_hash")
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        batch.join(history, "content_hash", "left")
+        .withColumn(
+            "first_in_batch",
+            (F.row_number().over(w) == 1).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce(F.col("in_hist"), F.lit(0)).alias("in_history"),
+            "first_in_batch",
+            (
+                (F.coalesce(F.col("in_hist"), F.lit(0)) == 0)
+                & (F.col("first_in_batch") == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def shingle_table(spark, sf_dir) -> DataFrame:
     """(doc_id, lang, shingle) exploded distinct-shingle relation — the
     shared input of jaccard/minhash.

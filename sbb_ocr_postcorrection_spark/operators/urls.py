@@ -87,6 +87,71 @@ def canonical_url_expr(url) -> Column:
     return F.concat(host, path)
 
 
+# host gate default — the DuckDB oracle interpolates THIS constant. 65
+# splits the sf0.01 driver corpus into passing AND failing hosts (per-host
+# lang-pass rates there span ~0.56-0.68), keeping the driver row
+# non-vacuous; the threshold-splitting semantics themselves are pinned on
+# a crafted corpus in tests/test_webdedup.py.
+HOST_MIN_PASS_PCT = 65
+
+
+def host_reputation_gate(
+    spark, sf_dir, min_pass_pct: int = HOST_MIN_PASS_PCT, docs=None
+) -> DataFrame:
+    """Host-level reputation gating (the RefinedWeb-style second pass over
+    a per-document verdict): aggregate the document language-pass bit per
+    host, then gate EVERY document of a host whose pass rate falls below
+    ``min_pass_pct`` percent — an off-language or junk host loses all its
+    pages, not one at a time. The per-doc bit is the lang_pass verdict
+    from the SAME lang_cols builder the oracle-checked lang_id stage uses
+    (on the synthetic corpus the quality bit is constant-1, so language
+    purity is the verdict that actually varies by host; the aggregation
+    shape is identical for any per-doc bit).
+
+    Scale design (100 TB): per-host stats are one two-phase aggregation
+    (hot hosts are exactly what map-side partial aggregation absorbs); the
+    host relation is tiny (hosts ≪ docs), so rejoining it onto documents
+    is a broadcast join — no shuffle of the document table at all. The
+    gate compares integers (pass_cnt·100 ≥ pct·n_docs), never a float
+    threshold, so the verdict is engine-exact.
+
+    Host comes from the caller's ``url`` column when present (canonical
+    host = first label run of canonical_url_expr), else from the synth-URL
+    host arithmetic.
+    """
+    from ..functions.exprs import lang_cols
+    from .textstats import DE_STOPS, EN_STOPS
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    if "url" in d.columns:
+        host = F.substring_index(canonical_url_expr(F.col("url")), "/", 1)
+    else:
+        host = F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        )
+    c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
+    per_doc = d.select(
+        "doc_id", host.alias("host"), c["lang_pass"].alias("lang_pass")
+    )
+    host_stats = per_doc.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_docs"),
+        F.sum("lang_pass").alias("host_pass_cnt"),
+    )
+    return per_doc.join(F.broadcast(host_stats), "host").select(
+        "doc_id",
+        "host",
+        "lang_pass",
+        "host_docs",
+        F.round(F.col("host_pass_cnt") / F.col("host_docs"), 6).alias(
+            "host_pass_rate"
+        ),
+        (F.col("host_pass_cnt") * 100 >= F.lit(min_pass_pct) * F.col("host_docs"))
+        .cast("int")
+        .alias("host_pass"),
+    )
+
+
 def url_dedup(spark, sf_dir, docs=None) -> DataFrame:
     """One row per canonical URL: how many raw rows collapsed onto it, how
     many distinct raw spellings, and the kept representative (min(doc_id)

@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inter-document repeated-line removal (RefinedWeb/CCNet-style
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
         "line_dedup": pinned(lines.line_dedup),
+        # host-level reputation gate: per-host lang-pass rate, integer
+        # threshold, broadcast rejoin
+        "host_reputation_gate": pinned(urls.host_reputation_gate),
+        # cross-snapshot incremental dedup: history digest probe +
+        # in-batch first-occurrence window on one shared hash key
+        "dedup_incremental": pinned(dedup.incremental_dedup),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
@@ -688,6 +694,39 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(lines, x -> NOT list_contains(hl, x)) AS kept
               FROM lns, hotlist
             )
+        """,
+        # content remap (self-join on arithmetic base ids) synthesizes the
+        # duplicate groups the corpus lacks — mirrored exactly in the
+        # Spark operator's driver path; see dedup.incremental_dedup
+        "dedup_incremental": """
+            WITH remap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7 THEN doc_id - (doc_id % 100) + 7
+                          WHEN doc_id % 5 = 0 THEN doc_id - (doc_id % 20)
+                          ELSE doc_id END AS base_id
+              FROM documents
+            ), c AS (
+              SELECT r.doc_id, b.text
+              FROM remap r JOIN documents b ON b.doc_id = r.base_id
+            ), hashed AS (
+              SELECT doc_id, md5(text) AS content_hash FROM c
+            ), hist AS (
+              SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT doc_id, content_hash FROM hashed WHERE doc_id % 2 = 1
+            ), fl AS (
+              SELECT b.doc_id, b.content_hash,
+                     CAST(CASE WHEN h.content_hash IS NULL THEN 0 ELSE 1 END
+                          AS INTEGER) AS in_history,
+                     CAST(CASE WHEN row_number() OVER (
+                            PARTITION BY b.content_hash ORDER BY b.doc_id) = 1
+                          THEN 1 ELSE 0 END AS INTEGER) AS first_in_batch
+              FROM batch b LEFT JOIN hist h USING (content_hash)
+            )
+            SELECT doc_id, content_hash, in_history, first_in_batch,
+                   CAST(CASE WHEN in_history = 0 AND first_in_batch = 1
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM fl
         """,
         "dedup_jaccard_pairs": f"""
             WITH toks AS (
@@ -1247,6 +1286,30 @@ def oracle_sql() -> dict[str, str]:
     # supports nested WITH inside a CTE body)
     # quality-weighted sampling reuses the quality_score oracle as a CTE;
     # the md5-derived coin mirrors operators.dedup.md5_60 exactly
+    # the host gate reuses the lang_id oracle as its per-doc stage; the
+    # threshold constant interpolates from the operator module so one
+    # definition drives both engines
+    sql["host_reputation_gate"] = f"""
+        WITH lng AS ({sql["lang_id"]}),
+        h AS (
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+          FROM documents
+        ), j AS (
+          SELECT h.doc_id, h.host, lng.lang_pass
+          FROM h JOIN lng ON h.doc_id = lng.doc_id
+        ), st AS (
+          SELECT host, count(*) AS host_docs,
+                 sum(lang_pass) AS host_pass_cnt
+          FROM j GROUP BY host
+        )
+        SELECT j.doc_id, j.host, j.lang_pass, st.host_docs,
+               round(host_pass_cnt / host_docs, 6) AS host_pass_rate,
+               CAST(CASE WHEN host_pass_cnt * 100 >=
+                              {urls.HOST_MIN_PASS_PCT} * host_docs
+                    THEN 1 ELSE 0 END AS INTEGER) AS host_pass
+        FROM j JOIN st ON j.host = st.host
+    """
     sql["corpus_sample"] = f"""
         WITH ql AS ({sql["quality_score"]})
         SELECT doc_id, quality_keep,

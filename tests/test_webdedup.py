@@ -90,6 +90,71 @@ def test_url_dedup_uses_caller_url_column(spark):
     assert rows["a.test/x"]["keeper_id"] == 10
 
 
+GOOD_DE = "der die das und ist ein hier heute morgen abend"  # stopword-rich
+JUNK = "zzz qqq xxx vvv kkk jjj www uuu ttt sss"  # no stopwords -> lang unk
+
+
+def test_host_reputation_gate_splits_hosts(spark):
+    """Crafted corpus: hosts 0-2 are junk farms (every doc fails lang),
+    hosts 3-6 are clean — the gate must fail exactly the junk hosts, and
+    every document of a host shares its host verdict."""
+    rows = []
+    for i in range(70):
+        h = i % 7
+        rows.append((i, JUNK if h < 3 else GOOD_DE))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = U.host_reputation_gate(spark, SF_DIR, docs=docs).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 7
+    for h, rs in by_host.items():
+        want = 0 if int(h.removeprefix("site")[0]) < 3 else 1
+        assert {r["host_pass"] for r in rs} == {want}, h
+        # the verdict is the integer-threshold fact, recomputed
+        n, passed = len(rs), sum(r["lang_pass"] for r in rs)
+        assert rs[0]["host_pass"] == int(passed * 100 >= U.HOST_MIN_PASS_PCT * n)
+
+
+def test_host_reputation_gate_consistent_on_corpus(spark):
+    """On the shipped table: one verdict per host, verdict == the integer
+    threshold fact, rates in [0,1]."""
+    rows = U.host_reputation_gate(spark, SF_DIR).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 7
+    for h, rs in by_host.items():
+        assert len({r["host_pass"] for r in rs}) == 1
+        n, passed = len(rs), sum(r["lang_pass"] for r in rs)
+        assert rs[0]["host_pass"] == int(passed * 100 >= U.HOST_MIN_PASS_PCT * n)
+        assert 0.0 <= rs[0]["host_pass_rate"] <= 1.0
+        assert rs[0]["host_docs"] == n
+
+
+def test_incremental_dedup_all_verdict_combos(spark):
+    """The remapped corpus must exercise every verdict class: new-unique
+    (keep), already-in-history, in-batch duplicate without history, and
+    both-at-once."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D
+
+    rows = D.incremental_dedup(spark, SF_DIR).collect()
+    # only odd doc_ids (the new batch), every new doc gets a verdict
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert len(rows) == 250
+    combos = {(r["in_history"], r["first_in_batch"]) for r in rows}
+    assert combos == {(0, 1), (1, 1), (1, 0), (0, 0)}
+    for r in rows:
+        assert r["keep"] == int(r["in_history"] == 0 and r["first_in_batch"] == 1)
+    # doc 7 leads its odd-only group: kept; doc 17 is its in-batch dup
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[7]["keep"] == 1 and by_id[7]["in_history"] == 0
+    assert by_id[17]["first_in_batch"] == 0 and by_id[17]["keep"] == 0
+    assert by_id[17]["content_hash"] == by_id[7]["content_hash"]
+    # doc 5 shares doc 0's text → history hit
+    assert by_id[5]["in_history"] == 1 and by_id[5]["keep"] == 0
+
+
 # --------------------------------------------------------------- line dedup
 
 BOILER = "cookie notice applies here"  # 4 tokens -> 2 lines at n=2
