@@ -91,15 +91,15 @@ def _make_dedup_fn(ttl_minutes: int | None):
     return dedup_fn
 
 
-def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
-    """Streaming exact-dedup verdicts per page.
-
-    Input: a streaming (url, warc_ts, text, ...) DataFrame. Output: one row
-    per input row with is_first / n_seen_before. State per distinct digest;
-    ``ttl_minutes`` bounds the store for unbounded runs (None = keep state
-    for the lifetime of the query — fine for tests and bounded backfills)."""
-    keyed = pages_stream.select(
-        F.md5(F.col("text")).alias("content_hash"), "url", "warc_ts"
+def _stateful_first_seen(
+    stream: DataFrame, key_expr, ttl_minutes: int | None
+) -> DataFrame:
+    """Shared stateful tail: key the stream on ``key_expr`` (aliased to
+    content_hash — the state key column), run the per-key seen-count
+    transition. Both dedup keys (content digest, canonical URL) share ONE
+    state-transition function so their first-seen semantics cannot drift."""
+    keyed = stream.select(
+        key_expr.alias("content_hash"), "url", "warc_ts"
     ).groupBy("content_hash")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -109,6 +109,35 @@ def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> Dat
     return keyed.applyInPandasWithState(
         _make_dedup_fn(ttl_minutes), OUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )
+
+
+def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """Streaming exact-dedup verdicts per page.
+
+    Input: a streaming (url, warc_ts, text, ...) DataFrame. Output: one row
+    per input row with is_first / n_seen_before. State per distinct digest;
+    ``ttl_minutes`` bounds the store for unbounded runs (None = keep state
+    for the lifetime of the query — fine for tests and bounded backfills)."""
+    return _stateful_first_seen(
+        pages_stream, F.md5(F.col("text")), ttl_minutes
+    )
+
+
+def url_dedup_stream(
+    pages_stream: DataFrame, ttl_minutes: int | None = None
+) -> DataFrame:
+    """First-seen-wins CANONICAL-URL dedup across micro-batches: the
+    streaming form of operators/urls.url_dedup. Re-crawls and spelling
+    variants (scheme/case/www/query/fragment/slash noise) of a page
+    already ingested are flagged BEFORE the extraction kernel pays for
+    them — in a continuous crawl this gate sits upstream of the kernel,
+    whereas content dedup must sit downstream (extract_dedup_stream).
+    State is one long per distinct canonical URL, same TTL bound."""
+    from ..operators.urls import canonical_url_expr
+
+    return _stateful_first_seen(
+        pages_stream, canonical_url_expr(F.col("url")), ttl_minutes
+    ).withColumnRenamed("content_hash", "canon_url")
 
 
 def extract_dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:

@@ -103,6 +103,58 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert sum(1 for r in seen if r["is_first"]) == 3
 
 
+def test_url_dedup_stream_across_microbatches(spark, tmp_path):
+    """Canonical-URL first-seen dedup: a LATER batch's re-crawl under a
+    different spelling (scheme case, www, query tracking, trailing slash)
+    of an already-seen page is flagged — state keyed on the canonical
+    form, not the raw string."""
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import url_dedup_stream
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    _text_batch(
+        d / "b1.parquet",
+        [
+            ("http://www.a.test/x", t0, "ignored"),
+            ("https://b.test/y", t0 + datetime.timedelta(seconds=1), "ignored"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    verdicts = url_dedup_stream(stream)
+    seen = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(batch_df.collect())
+
+    q = verdicts.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    # batch 2: same page as b1's first row, different spelling + a new page
+    _text_batch(
+        d / "b2.parquet",
+        [
+            ("HTTPS://A.test/x/?utm_source=f", t0 + datetime.timedelta(seconds=2), "ignored"),
+            ("https://c.test/z", t0 + datetime.timedelta(seconds=3), "ignored"),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    by_url = {r["url"]: r for r in seen}
+    assert len(by_url) == 4
+    assert by_url["http://www.a.test/x"]["is_first"]
+    assert by_url["http://www.a.test/x"]["canon_url"] == "a.test/x"
+    recrawl = by_url["HTTPS://A.test/x/?utm_source=f"]
+    assert recrawl["canon_url"] == "a.test/x"
+    assert not recrawl["is_first"] and recrawl["n_seen_before"] == 1
+    assert by_url["https://b.test/y"]["is_first"]
+    assert by_url["https://c.test/z"]["is_first"]
+
+
 def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
     """Kernel + stateful dedup composed in ONE streaming query, with
     CRAFTED duplicates: re-crawls of page 0 (same html bytes → same
