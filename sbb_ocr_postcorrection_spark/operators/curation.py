@@ -3,12 +3,15 @@ in one keep/drop verdict.
 
 This is the flow a pretraining-data user actually runs over a crawl:
 exact + near dedup → benchmark decontamination → language gate (P5
-analog) → quality heuristics → repetition filter (Gopher-style) →
-unigram-LM rarity filter (CCNet analog), producing one row per document
-with `keep` and the FIRST reason it was dropped (precedence: duplicates
-beat everything — a duplicate's content verdict is irrelevant, its keeper
-carries it; contamination beats content filters — an eval-overlapping doc
-must go regardless of quality).
+analog) → host-reputation gate (whole-host filtering) → quality
+heuristics → repetition filter (Gopher-style) → unigram-LM rarity filter
+(CCNet analog), producing one row per document with `keep` and the FIRST
+reason it was dropped (precedence: duplicates beat everything — a
+duplicate's content verdict is irrelevant, its keeper carries it;
+contamination beats content filters — an eval-overlapping doc must go
+regardless of quality; a doc's OWN failed language gate beats its host's
+bad reputation, so bad_host marks exactly the individually-fine pages
+dragged down by their neighbors).
 
 Composition is deliberate: each stage is the already-oracle-checked
 operator, joined on doc_id (equality-keyed, AQE-coalesced). The DuckDB
@@ -27,13 +30,14 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import decontaminate, deduplicate_corpus, shingle_table
 from .relational import load, persist_slot
 from .textstats import lang_id, lm_unigram_score, quality_score, repetition_stats
+from .urls import host_reputation_gate
 
 
 def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     """(doc_id, lang, source, keep, reason) — the end-to-end curation
     verdict. Reason precedence: exact_dup / near_dup (from the dedup
-    composite) > contaminated > lang_filtered > low_quality > repetitive >
-    lm_rare_tokens > kept."""
+    composite) > contaminated > lang_filtered > bad_host > low_quality >
+    repetitive > lm_rare_tokens > kept."""
     # projected BEFORE the persist: the cache holds only the columns the
     # content stages read (source/n_chars would bloat it and the persist
     # boundary blocks column pruning)
@@ -64,12 +68,16 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         "doc_id", "contaminated"
     )
     lang = lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass")
+    host = host_reputation_gate(spark, sf_dir, docs=docs).select(
+        "doc_id", "host_pass"
+    )
     qual = quality_score(spark, sf_dir, docs=docs).select("doc_id", "quality_keep")
     rep = repetition_stats(spark, sf_dir, docs=docs).select("doc_id", "repetition_keep")
     lm = lm_unigram_score(spark, sf_dir, docs=docs).select("doc_id", "lm_keep")
     joined = (
         dd.join(dec, "doc_id")
         .join(lang, "doc_id")
+        .join(host, "doc_id")
         .join(qual, "doc_id")
         .join(rep, "doc_id")
         .join(lm, "doc_id")
@@ -78,6 +86,7 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         F.when(F.col("dedup_keep") == 0, F.col("dedup_reason"))
         .when(F.col("contaminated") == 1, F.lit("contaminated"))
         .when(F.col("lang_pass") == 0, F.lit("lang_filtered"))
+        .when(F.col("host_pass") == 0, F.lit("bad_host"))
         .when(F.col("quality_keep") == 0, F.lit("low_quality"))
         .when(F.col("repetition_keep") == 0, F.lit("repetitive"))
         .when(F.col("lm_keep") == 0, F.lit("lm_rare_tokens"))

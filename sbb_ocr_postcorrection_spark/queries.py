@@ -1326,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dd AS ({sql["dedup_corpus_keep"]}),
         dc AS ({sql["decontaminate"]}),
         lng AS ({sql["lang_id"]}),
+        hg AS ({sql["host_reputation_gate"]}),
         ql AS ({sql["quality_score"]}),
         rp AS ({sql["quality_repetition"]}),
         lm AS ({sql["lm_unigram_score"]}),
@@ -1335,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
                       WHEN dc.role = 'train' AND dc.n_overlap >= 8
                            THEN 'contaminated'
                       WHEN lng.lang_pass = 0 THEN 'lang_filtered'
+                      WHEN hg.host_pass = 0 THEN 'bad_host'
                       WHEN ql.quality_keep = 0 THEN 'low_quality'
                       WHEN rp.repetition_keep = 0 THEN 'repetitive'
                       WHEN lm.lm_keep = 0 THEN 'lm_rare_tokens'
@@ -1342,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
           FROM dd
           JOIN dc ON dd.doc_id = dc.doc_id
           JOIN lng ON dd.doc_id = lng.doc_id
+          JOIN hg ON dd.doc_id = hg.doc_id
           JOIN ql ON dd.doc_id = ql.doc_id
           JOIN rp ON dd.doc_id = rp.doc_id
           JOIN lm ON dd.doc_id = lm.doc_id)

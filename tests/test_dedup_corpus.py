@@ -160,7 +160,9 @@ def test_curation_new_stages_fire(spark, tmp_path):
     """Every branch of the extended verdict fires on a crafted corpus:
     exact_dup beats contamination; a heavy-overlap non-dup is
     'contaminated'; a corpus-unique token triggers 'lm_rare_tokens';
-    reordered pool docs are 'kept'."""
+    a clean page on a majority-junk host is 'bad_host' (while the junk
+    neighbors keep their own 'lang_filtered' — a doc's own gate beats the
+    host verdict); reordered pool docs are 'kept'."""
     from sbb_ocr_postcorrection_spark.operators.curation import curate_corpus
 
     pool = ("the river stone light green tree bird song wind cloud rain "
@@ -168,24 +170,33 @@ def test_curation_new_stages_fire(spark, tmp_path):
     A = " ".join(pool)                                   # doc 0: benchmark
     run12 = " ".join(pool[:12])                          # 12-token run of A
     tail8 = "lake sun water moon and star hill morning"
-    docs = [
-        A,                                               # 0 benchmark, kept
-        run12 + " " + tail8,                             # 1 contaminated
-        "and the water sun moon star lake hill morning rain zzzuniq "
-        "cloud wind song bird tree green light stone river",  # 2 lm_rare
-        A,                                               # 3 exact_dup of 0
-        "green tree the bird and song water cloud rain wind field "
-        "morning star moon sun lake hill river stone light",  # 4 kept
-        "hill lake star the moon sun and water morning field wind rain "
-        "cloud song bird tree green light river stone",       # 5 kept
-    ]
+    # two token-disjoint junk texts (shared shingles would make them
+    # near-dups of each other, and dedup precedes the language gate)
+    junk_a = "zzz qqq xxx vvv kkk jjj wwz uuz ttz ssz"   # no stopwords
+    junk_b = "yyp ppq rrx nnv mmk llj wwq uux ttv ssw"   # no stopwords
+    docs = {
+        0: A,                                            # benchmark, kept
+        1: run12 + " " + tail8,                          # contaminated
+        2: "and the water sun moon star lake hill morning rain zzzuniq "
+           "cloud wind song bird tree green light stone river",  # lm_rare
+        3: A,                                            # exact_dup of 0
+        # host 4 = docs {4, 11, 18}: doc 4 is clean but its two neighbors
+        # fail the language gate → host rate 1/3 < threshold → bad_host
+        4: "green tree the bird and song water cloud rain wind field "
+           "morning star moon sun lake hill river stone light",
+        11: junk_a,                                      # lang_filtered
+        18: junk_b,                                      # lang_filtered
+        5: "hill lake star the moon sun and water morning field wind rain "
+           "cloud song bird tree green light river stone",       # kept
+    }
+    ids = sorted(docs)
     pdf = pd.DataFrame(
         {
-            "doc_id": range(len(docs)),
-            "text": docs,
-            "lang": ["en"] * len(docs),
-            "source": ["s"] * len(docs),
-            "n_chars": [len(t) for t in docs],
+            "doc_id": ids,
+            "text": [docs[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [len(docs[i]) for i in ids],
         }
     )
     d = str(tmp_path)
@@ -195,4 +206,6 @@ def test_curation_new_stages_fire(spark, tmp_path):
     assert got[3] == "exact_dup"     # duplicate beats contamination
     assert got[1] == "contaminated"  # 12-token run shared, not a near-dup
     assert got[2] == "lm_rare_tokens"
-    assert got[4] == "kept" and got[5] == "kept"
+    assert got[4] == "bad_host"      # clean page, majority-junk host
+    assert got[11] == "lang_filtered" and got[18] == "lang_filtered"
+    assert got[5] == "kept"
