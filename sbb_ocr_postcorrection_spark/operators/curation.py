@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import decontaminate, deduplicate_corpus, shingle_table
 from .relational import load, persist_slot
 from .textstats import lang_id, lm_unigram_score, quality_score, repetition_stats
-from .urls import host_reputation_gate
+from .urls import host_reputation_gate, synth_host_expr
 
 
 def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
@@ -67,10 +67,22 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     dec = decontaminate(spark, sf_dir, min_overlap=8, sh=sh, docs=docs).select(
         "doc_id", "contaminated"
     )
-    lang = lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass")
-    host = host_reputation_gate(spark, sf_dir, docs=docs).select(
-        "doc_id", "host_pass"
+    # persisted: the lang bit is read three times (the verdict join, the
+    # host-stats aggregation, the host rejoin) — two ints per doc, so the
+    # cache is tiny and the tokenize+stopword pass runs ONCE
+    lang = persist_slot(
+        "curation_lang",
+        lang_id(spark, sf_dir, docs=docs).select("doc_id", "lang_pass"),
     )
+    # the host gate reuses the lang relation's bit (per_doc injection, the
+    # sh=/docs= convention) — no third tokenize+stopword pass
+    host = host_reputation_gate(
+        spark,
+        sf_dir,
+        per_doc=lang.select(
+            "doc_id", synth_host_expr(F.col("doc_id")).alias("host"), "lang_pass"
+        ),
+    ).select("doc_id", "host_pass")
     qual = quality_score(spark, sf_dir, docs=docs).select("doc_id", "quality_keep")
     rep = repetition_stats(spark, sf_dir, docs=docs).select("doc_id", "repetition_keep")
     lm = lm_unigram_score(spark, sf_dir, docs=docs).select("doc_id", "lm_keep")

@@ -73,7 +73,7 @@ def exact_groups(spark, sf_dir) -> DataFrame:
     )
 
 
-def incremental_dedup(spark, sf_dir, docs=None) -> DataFrame:
+def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
     """Cross-snapshot incremental dedup: a NEW crawl batch arrives on top
     of an already-deduped HISTORY, and each new document is kept iff its
     content hash is (a) unseen in history and (b) the first occurrence
@@ -81,24 +81,31 @@ def incremental_dedup(spark, sf_dir, docs=None) -> DataFrame:
     full-corpus re-dedup of exact_groups is the bootstrap, this is the
     steady state.
 
+    ``history`` and ``batch`` are (doc_id, text) relations supplied
+    together by a real caller. When BOTH are omitted (the driver/test
+    fixture path), they are synthesized from the documents table: the
+    corpus has no duplicate texts, so content is first remapped
+    deterministically (a self-join on arithmetic base ids — groups of
+    documents share one text; docs whose base id is absent keep their own
+    text via the left join, so no verdict row can vanish on a sparse
+    doc_id range) and then split by doc_id parity into history (even) and
+    batch (odd). The remap makes every verdict combination non-vacuous:
+    docs ≡7 (mod 10) share the text of their ≡7 (mod 100) base (odd-only
+    groups → in-batch dups with no history hit), docs ≡0 (mod 5) share
+    the text of their (mod 20) base (mixed-parity groups → history hits).
+
     Scale design (100 TB): history contributes only DISTINCT digests (not
     text); both the history probe and the in-batch first-occurrence window
     shuffle on the SAME key (content_hash), so the planner reuses one
     exchange for both (in production the history digest table would be
     bucketed on the digest, making the probe co-located). Verdicts are
-    emitted for every new doc — dropped rows surface with keep=0 and the
+    emitted for every batch doc — dropped rows surface with keep=0 and the
     reason split across in_history/first_in_batch, never silently vanish.
-
-    The test corpus has no duplicate texts, so the driver query first
-    remaps content deterministically (a self-join on arithmetic base ids —
-    groups of documents share one text) to make every verdict combination
-    non-vacuous: docs ≡7 (mod 10) share the text of their ≡7 (mod 100)
-    base (odd-only groups → in-batch dups with no history hit), docs ≡0
-    (mod 5) share the text of their (mod 20) base (mixed-parity groups →
-    history hits). A caller-supplied ``docs`` relation is used as-is.
     """
-    d = docs if docs is not None else load(spark, sf_dir, "documents")
-    if docs is None:
+    if (history is None) != (batch is None):
+        raise ValueError("supply history and batch together, or neither")
+    if history is None:
+        d = load(spark, sf_dir, "documents")
         i = F.col("doc_id")
         base_id = (
             F.when(i % 10 == 7, i - (i % 100) + 7)
@@ -108,24 +115,28 @@ def incremental_dedup(spark, sf_dir, docs=None) -> DataFrame:
         base = d.select(
             F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
         )
-        d = (
-            d.select("doc_id", base_id.alias("base_id"))
-            .join(base, "base_id")
-            .select("doc_id", F.col("base_text").alias("text"))
+        remapped = (
+            d.select("doc_id", "text", base_id.alias("base_id"))
+            .join(base, "base_id", "left")
+            .select(
+                "doc_id", F.coalesce(F.col("base_text"), F.col("text")).alias("text")
+            )
         )
-    hashed = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
-    history = (
-        hashed.filter(F.col("doc_id") % 2 == 0)
-        .select("content_hash")
+        history = remapped.filter(F.col("doc_id") % 2 == 0)
+        batch = remapped.filter(F.col("doc_id") % 2 == 1)
+    hist_digests = (
+        history.select(F.md5(F.col("text")).alias("content_hash"))
         .distinct()
         .withColumn("in_hist", F.lit(1))
     )
-    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    batch = batch.select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return (
-        batch.join(history, "content_hash", "left")
+        batch.join(hist_digests, "content_hash", "left")
         .withColumn(
             "first_in_batch",
             (F.row_number().over(w) == 1).cast("int"),

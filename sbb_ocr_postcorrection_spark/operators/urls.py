@@ -28,6 +28,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .relational import load
 
 
+def synth_host_expr(doc_id) -> Column:
+    """The ONE definition of the synthetic host (site{doc_id % 7}
+    .example.com) — shared by synth_url_expr and host_reputation_gate's
+    fallback so the two can never drift."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.concat(
+        F.lit("site"), (d % 7).cast("string"), F.lit(".example.com")
+    )
+
+
 def synth_url_expr(doc_id) -> Column:
     """Deterministic URL with canonicalization-relevant noise, derived from
     doc_id alone (mirrored verbatim in the DuckDB oracle):
@@ -48,7 +58,7 @@ def synth_url_expr(doc_id) -> Column:
         .when(d % 3 == 1, "https://")
         .otherwise("HTTP://")
     )
-    host = F.concat(F.lit("site"), (d % 7).cast("string"), F.lit(".example.com"))
+    host = synth_host_expr(d)
     return F.concat(
         scheme,
         F.when(d % 2 == 0, "www.").otherwise(""),
@@ -96,7 +106,8 @@ HOST_MIN_PASS_PCT = 65
 
 
 def host_reputation_gate(
-    spark, sf_dir, min_pass_pct: int = HOST_MIN_PASS_PCT, docs=None
+    spark, sf_dir, min_pass_pct: int = HOST_MIN_PASS_PCT, docs=None,
+    per_doc=None,
 ) -> DataFrame:
     """Host-level reputation gating (the RefinedWeb-style second pass over
     a per-document verdict): aggregate the document language-pass bit per
@@ -116,29 +127,36 @@ def host_reputation_gate(
     threshold, so the verdict is engine-exact.
 
     Host comes from the caller's ``url`` column when present (canonical
-    host = first label run of canonical_url_expr), else from the synth-URL
-    host arithmetic.
-    """
-    from ..functions.exprs import lang_cols
-    from .textstats import DE_STOPS, EN_STOPS
+    host = first label run of canonical_url_expr), else from the shared
+    synth-host arithmetic. A caller that already computed the per-doc bit
+    (the curation pipeline has the lang relation in hand) injects it as
+    ``per_doc`` = (doc_id, host, lang_pass) — the sh=/docs= sharing
+    convention — so the tokenize+stopword pass is not recomputed here.
 
-    d = docs if docs is not None else load(spark, sf_dir, "documents")
-    if "url" in d.columns:
-        host = F.substring_index(canonical_url_expr(F.col("url")), "/", 1)
-    else:
-        host = F.concat(
-            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
-            F.lit(".example.com"),
+    The host_stats side carries NO broadcast hint: with the synthetic
+    hosts it is trivially tiny and the planner broadcasts it on its own
+    stats, but a caller-supplied url column can have near-unique hosts
+    (long-tail subdomains), where a forced corpus-sized broadcast would
+    OOM the driver — AQE picks the right join at runtime instead.
+    """
+    if per_doc is None:
+        from ..functions.exprs import lang_cols
+        from .textstats import DE_STOPS, EN_STOPS
+
+        d = docs if docs is not None else load(spark, sf_dir, "documents")
+        if "url" in d.columns:
+            host = F.substring_index(canonical_url_expr(F.col("url")), "/", 1)
+        else:
+            host = synth_host_expr(F.col("doc_id"))
+        c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
+        per_doc = d.select(
+            "doc_id", host.alias("host"), c["lang_pass"].alias("lang_pass")
         )
-    c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
-    per_doc = d.select(
-        "doc_id", host.alias("host"), c["lang_pass"].alias("lang_pass")
-    )
     host_stats = per_doc.groupBy("host").agg(
         F.count(F.lit(1)).alias("host_docs"),
         F.sum("lang_pass").alias("host_pass_cnt"),
     )
-    return per_doc.join(F.broadcast(host_stats), "host").select(
+    return per_doc.join(host_stats, "host").select(
         "doc_id",
         "host",
         "lang_pass",

@@ -700,14 +700,16 @@ def oracle_sql() -> dict[str, str]:
         # Spark operator's driver path; see dedup.incremental_dedup
         "dedup_incremental": """
             WITH remap AS (
-              SELECT doc_id,
+              SELECT doc_id, text,
                      CASE WHEN doc_id % 10 = 7 THEN doc_id - (doc_id % 100) + 7
                           WHEN doc_id % 5 = 0 THEN doc_id - (doc_id % 20)
                           ELSE doc_id END AS base_id
               FROM documents
             ), c AS (
-              SELECT r.doc_id, b.text
-              FROM remap r JOIN documents b ON b.doc_id = r.base_id
+              -- left join: a doc whose arithmetic base id is absent keeps
+              -- its own text (sparse doc_id ranges must not lose rows)
+              SELECT r.doc_id, coalesce(b.text, r.text) AS text
+              FROM remap r LEFT JOIN documents b ON b.doc_id = r.base_id
             ), hashed AS (
               SELECT doc_id, md5(text) AS content_hash FROM c
             ), hist AS (

@@ -155,6 +155,37 @@ def test_incremental_dedup_all_verdict_combos(spark):
     assert by_id[5]["in_history"] == 1 and by_id[5]["keep"] == 0
 
 
+def test_incremental_dedup_real_relations(spark):
+    """The production path: caller-supplied history and batch relations —
+    no synthetic remap, no parity split, every batch doc gets a verdict."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D
+    import pytest as _pytest
+
+    history = spark.createDataFrame(
+        [(1, "old page one"), (2, "old page two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "brand new page"),      # keep
+            (101, "old page two"),        # in history
+            (102, "another new page"),    # keep (first of in-batch pair)
+            (103, "another new page"),    # in-batch dup
+            (104, "old page two"),        # in history (not first either)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            D.incremental_dedup(spark, SF_DIR, history=history, batch=batch).collect()}
+    assert set(rows) == {100, 101, 102, 103, 104}
+    assert rows[100]["keep"] == 1
+    assert rows[101]["in_history"] == 1 and rows[101]["keep"] == 0
+    assert rows[102]["keep"] == 1 and rows[102]["first_in_batch"] == 1
+    assert rows[103]["first_in_batch"] == 0 and rows[103]["keep"] == 0
+    assert rows[104]["in_history"] == 1 and rows[104]["first_in_batch"] == 0
+    with _pytest.raises(ValueError):
+        D.incremental_dedup(spark, SF_DIR, history=history)
+
+
 # --------------------------------------------------------------- line dedup
 
 BOILER = "cookie notice applies here"  # 4 tokens -> 2 lines at n=2
