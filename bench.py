@@ -44,6 +44,14 @@ HEADLINE = [
     # the r1 scale-killer, now candidate-only verification — benched to
     # prove the composite flow carries no hidden all-pairs cost
     "dedup_corpus_keep",
+    # round-3 web-pipeline family: canonical-URL dedup (one hash agg),
+    # repeated-line removal (persisted explode + broadcast join),
+    # cross-snapshot incremental dedup (shared-key probe + window),
+    # host-reputation gate (two-phase agg + tiny rejoin)
+    "url_dedup",
+    "line_dedup",
+    "dedup_incremental",
+    "host_reputation_gate",
     "ann_brute_force",
     "quality_score",
     "fingerprints",
