@@ -95,10 +95,12 @@ def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
     the text of their (mod 20) base (mixed-parity groups → history hits).
 
     Scale design (100 TB): history contributes only DISTINCT digests (not
-    text); both the history probe and the in-batch first-occurrence window
-    shuffle on the SAME key (content_hash), so the planner reuses one
-    exchange for both (in production the history digest table would be
-    bucketed on the digest, making the probe co-located). Verdicts are
+    text); the history probe and the in-batch first-occurrence window run
+    on the SAME key (content_hash), so the window executes directly on the
+    probe join's output partitioning — two hash exchanges total (batch +
+    history), none for the window (plan-asserted; in production the
+    history digest table would be bucketed on the digest, making the
+    probe co-located). Verdicts are
     emitted for every batch doc — dropped rows surface with keep=0 and the
     reason split across in_history/first_in_batch, never silently vanish.
     """

@@ -155,6 +155,75 @@ def test_incremental_dedup_all_verdict_combos(spark):
     assert by_id[5]["in_history"] == 1 and by_id[5]["keep"] == 0
 
 
+def test_incremental_dedup_plan_shared_key(spark):
+    """Two hash exchanges total (batch + history digests) — the
+    first-occurrence window must run on the probe join's output
+    partitioning, not add a third shuffle."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D
+
+    plan = plan_of(D.incremental_dedup(spark, SF_DIR))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(content_hash") == 2
+
+
+def test_canonical_url_randomized_cross_check(spark):
+    """300 seeded-random URLs through the Spark expression vs an
+    independent pure-Python reference; plus structural invariants (no
+    query/fragment survives, lowercase host, no www. prefix, no trailing
+    slash, idempotence)."""
+    import random
+    import re as _re
+
+    def canon_py(u: str) -> str:
+        u = u.split("#", 1)[0].split("?", 1)[0]
+        i = u.find("://")
+        rest = u[i + 3:] if i >= 0 else u
+        host_raw = rest.split("/", 1)[0]
+        host = host_raw.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        path = _re.sub("/$", "", rest[len(host_raw):])
+        return host + path
+
+    rng = random.Random(99)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", ""]
+    urls = []
+    for _ in range(300):
+        host = ".".join(
+            rng.choice(["www", "WWW", "sub", "Site3", "archive", "a1"])
+            for _ in range(rng.randint(1, 3))
+        ) + ".example.org"
+        path = "".join(
+            "/" + rng.choice(["p", "x9", "https://e.com", "W W"])
+            for _ in range(rng.randint(0, 3))
+        )
+        u = (
+            rng.choice(schemes) + host + path
+            + rng.choice(["", "/", "?q=1&r=2", "?u=http://f.org"])
+            + rng.choice(["", "#frag", "#a?b"])
+        )
+        urls.append(u)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    ).select("i", U.canonical_url_expr("url").alias("canon"))
+    got = {r["i"]: r["canon"] for r in df.collect()}
+    for i, u in enumerate(urls):
+        c = got[i]
+        assert c == canon_py(u), (u, c, canon_py(u))
+        assert "#" not in c.split("/", 1)[0] and "?" not in c.split("/", 1)[0]
+        # exactly ONE leading www. label is stripped (stripping repeatedly
+        # would merge the genuinely distinct host www.www.x with x)
+        if "www.www." not in u.lower():
+            assert not c.startswith("www.")
+        assert not c.endswith("/")
+        h = c.split("/", 1)[0]
+        assert h == h.lower()
+        # idempotence: canonicalizing a canonical URL is a no-op (except
+        # the stacked-www case above, where each pass strips one label)
+        if "www.www." not in u.lower():
+            assert canon_py("http://" + c) == c
+
+
 def test_incremental_dedup_real_relations(spark):
     """The production path: caller-supplied history and batch relations —
     no synthetic remap, no parity split, every batch doc gets a verdict."""
