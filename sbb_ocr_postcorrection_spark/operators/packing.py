@@ -1,0 +1,109 @@
+"""Sequence packing: lay the corpus token stream into fixed-length
+training context windows.
+
+The last step of a training-data pipeline: documents are concatenated (an
+EOS slot after each) and the stream is cut into fixed-size windows
+(seq_len tokens). A window usually spans several short documents or a
+slice of one long document. This operator computes the layout — which
+window(s) each document lands in and per-window occupancy — from token
+COUNTS only (pure integer arithmetic, so the whole layout is
+DuckDB-oracle-checkable; materializing the token ids themselves is the
+kernel-side wordpiece encode of functions/wordpiece.py applied per slice).
+
+Scale design (100 TB): the naive layout needs a GLOBAL running offset per
+document — `sum(len) OVER (ORDER BY doc_id)` — which Spark executes as a
+single-partition window: the whole corpus funnels through one task. Here
+the prefix sum is TWO-LEVEL instead: documents are bucketed by doc_id
+range; per-bucket totals (a tiny two-phase aggregation) get their own
+running offsets; each document's offset = its bucket's offset + a
+within-bucket cumsum, where the window is partitioned BY BUCKET — every
+partition-level window is parallel and bounded by the bucket size. The
+bucket-offset relation has |corpus|/bucket_docs rows (recurse the same
+trick if that is ever too large; at one level it is ~16M rows for a
+trillion docs — a small window). The within-bucket window and the final
+per-window aggregation shuffle on different keys (bucket, then window_id)
+— two exchanges plus the tiny bucket rollup, no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .relational import load
+
+# defaults — the DuckDB oracle interpolates THESE constants
+SEQ_LEN = 128
+BUCKET_DOCS = 64
+
+
+def sequence_pack(
+    spark, sf_dir, seq_len: int = SEQ_LEN, bucket_docs: int = BUCKET_DOCS,
+    docs=None,
+) -> DataFrame:
+    """Per context window: (window_id, n_tokens, n_docs, first_doc,
+    last_doc). n_tokens == seq_len for every window except the last
+    (n_tokens counts occupied slots: document tokens + one EOS slot per
+    document, truncated at the stream end).
+    """
+    from ..functions.exprs import tokens_expr
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    # +1: the EOS slot after every document
+    counts = d.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / bucket_docs).alias("bkt"),
+        (F.size(tokens_expr(F.col("text"))) + 1).alias("n_slots"),
+    )
+    # level 1: per-bucket totals → running bucket offsets (tiny relation)
+    bkt_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        counts.groupBy("bkt")
+        .agg(F.sum("n_slots").alias("bkt_slots"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bkt_slots").over(bkt_w), F.lit(0)).alias("bkt_off"),
+        )
+    )
+    # level 2: within-bucket cumsum, parallel across buckets
+    doc_w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        counts.withColumn(
+            "in_bkt_off", F.coalesce(F.sum("n_slots").over(doc_w), F.lit(0))
+        )
+        .join(F.broadcast(bucket_offsets), "bkt")
+        .select(
+            "doc_id",
+            "n_slots",
+            (F.col("bkt_off") + F.col("in_bkt_off")).alias("off"),
+        )
+    )
+    # each doc spans windows floor(off/W) .. floor((off+n_slots-1)/W);
+    # slots of doc in window w = overlap of [off, off+n) with [wW, (w+1)W)
+    w0 = F.floor(F.col("off") / seq_len)
+    w1 = F.floor((F.col("off") + F.col("n_slots") - 1) / seq_len)
+    spans = placed.select(
+        "doc_id",
+        "off",
+        "n_slots",
+        F.explode(F.sequence(w0, w1)).alias("window_id"),
+    ).select(
+        "doc_id",
+        "window_id",
+        (
+            F.least(
+                F.col("off") + F.col("n_slots"),
+                (F.col("window_id") + 1) * seq_len,
+            )
+            - F.greatest(F.col("off"), F.col("window_id") * seq_len)
+        ).alias("slots_here"),
+    )
+    return spans.groupBy("window_id").agg(
+        F.sum("slots_here").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

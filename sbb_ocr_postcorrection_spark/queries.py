@@ -22,6 +22,7 @@ from .operators import (
     evaluation,
     lines,
     multimodal,
+    packing,
     relational as R,
     similarity,
     temporal,
@@ -358,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-snapshot incremental dedup: history digest probe +
         # in-batch first-occurrence window on one shared hash key
         "dedup_incremental": pinned(dedup.incremental_dedup),
+        # training-sequence packing layout: two-level prefix sum (bucket
+        # cumsum + broadcast bucket offsets), no global-sort window
+        "seq_pack": pinned(packing.sequence_pack),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
@@ -694,6 +698,38 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(lines, x -> NOT list_contains(hl, x)) AS kept
               FROM lns, hotlist
             )
+        """,
+        # the oracle computes the SAME layout with the naive global-prefix
+        # window (equivalent because buckets are doc_id ranges: bucket
+        # offset + within-bucket cumsum == global cumsum); constants
+        # interpolate from packing.SEQ_LEN/BUCKET_DOCS
+        "seq_pack": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+            ), counts AS (
+              SELECT doc_id, len(l) + 1 AS n_slots FROM toks
+            ), placed AS (
+              SELECT doc_id, n_slots,
+                     -- sum() is HUGEINT in DuckDB; range() needs BIGINT
+                     CAST(coalesce(sum(n_slots) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS off
+              FROM counts
+            ), spans AS (
+              SELECT doc_id, off, n_slots,
+                     unnest(range(off // {packing.SEQ_LEN},
+                                  (off + n_slots - 1) // {packing.SEQ_LEN} + 1))
+                     AS window_id
+              FROM placed
+            )
+            SELECT window_id,
+                   CAST(sum(least(off + n_slots, (window_id + 1) * {packing.SEQ_LEN})
+                            - greatest(off, window_id * {packing.SEQ_LEN}))
+                        AS BIGINT) AS n_tokens,
+                   count(*) AS n_docs,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM spans GROUP BY window_id
         """,
         # content remap (self-join on arithmetic base ids) synthesizes the
         # duplicate groups the corpus lacks — mirrored exactly in the
