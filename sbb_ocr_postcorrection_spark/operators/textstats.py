@@ -72,6 +72,26 @@ def quality_score(spark, sf_dir, docs=None) -> DataFrame:
     )
 
 
+def length_percentiles(spark, sf_dir, docs=None) -> DataFrame:
+    """Per-source EXACT length percentiles (p50/p90/p99 of n_chars) — the
+    distribution sanity-check a corpus build prints per slice (the
+    run_dataset_statistics.py reporting surface, extended to quantiles).
+
+    Exact `percentile` materializes each group's values (fine per-source;
+    groups ≪ corpus) and its linear interpolation is bit-identical to
+    DuckDB's quantile_cont, so the driver row is hash-checked. At 100 TB
+    with huge groups, swap in approx_percentile (t-digest-style, bounded
+    memory) — the approximate values are engine-specific, so that variant
+    stays outside the oracle projection by design."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.5), 6).alias("p50"),
+        F.round(F.percentile("n_chars", 0.9), 6).alias("p90"),
+        F.round(F.percentile("n_chars", 0.99), 6).alias("p99"),
+    )
+
+
 def token_stats(spark, sf_dir) -> DataFrame:
     """Per-source token accounting (the corpus-level stats the reference
     prints per scope, run_dataset_statistics.py:45-110)."""

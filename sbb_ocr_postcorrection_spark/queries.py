@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": pinned(textstats.quality_score),
         "quality_repetition": pinned(textstats.repetition_stats),
         "token_stats": pinned(textstats.token_stats),
+        # exact per-source length quantiles (interpolation bit-identical
+        # to DuckDB quantile_cont; approx_percentile is the 100-TB path)
+        "length_percentiles": pinned(textstats.length_percentiles),
         "bpe_token_stats": pinned(textstats.bpe_token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
@@ -698,6 +701,13 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(lines, x -> NOT list_contains(hl, x)) AS kept
               FROM lns, hotlist
             )
+        """,
+        "length_percentiles": """
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY source
         """,
         # the oracle computes the SAME layout with the naive global-prefix
         # window (equivalent because buckets are doc_id ranges: bucket
