@@ -18,11 +18,15 @@ range; per-bucket totals (a tiny two-phase aggregation) get their own
 running offsets; each document's offset = its bucket's offset + a
 within-bucket cumsum, where the window is partitioned BY BUCKET — every
 partition-level window is parallel and bounded by the bucket size. The
-bucket-offset relation has |corpus|/bucket_docs rows (recurse the same
-trick if that is ever too large; at one level it is ~16M rows for a
-trillion docs — a small window). The within-bucket window and the final
-per-window aggregation shuffle on different keys (bucket, then window_id)
-— two exchanges plus the tiny bucket rollup, no global sort anywhere.
+bucket-offset relation has |corpus|/bucket_docs rows — size bucket_docs
+to ~sqrt(corpus) so BOTH levels are ~sqrt(n) (a trillion docs at
+bucket_docs=1M → 1M bucket rows; the toy default of 64 keeps the
+test-scale plan multi-bucket), and recurse the same trick if one level
+is ever not enough. The within-bucket window and the final per-window
+aggregation shuffle on different keys (bucket, then window_id) — two
+exchanges plus the small bucket rollup, no global sort anywhere. All
+id/offset arithmetic is integer DIV, exact at any long magnitude (a
+double-based floor(x/y) loses exactness past 2^53).
 """
 
 from __future__ import annotations
@@ -46,13 +50,21 @@ def sequence_pack(
     document, truncated at the stream end).
     """
     from ..functions.exprs import tokens_expr
+    from .relational import persist_slot
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
+    # repartition before the CPU-heavy tokenize (the shingle_table rule: a
+    # single-split toy parquet must not run it single-threaded), and
+    # persist: counts feeds BOTH the bucket rollup and the placement — the
+    # corpus-wide tokenize is the dominant cost and must run once.
     # +1: the EOS slot after every document
-    counts = d.select(
-        "doc_id",
-        F.floor(F.col("doc_id") / bucket_docs).alias("bkt"),
-        (F.size(tokens_expr(F.col("text"))) + 1).alias("n_slots"),
+    counts = persist_slot(
+        "seq_pack_counts",
+        d.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id",
+            F.expr(f"doc_id DIV {int(bucket_docs)}").alias("bkt"),
+            (F.size(tokens_expr(F.col("text"))) + 1).alias("n_slots"),
+        ),
     )
     # level 1: per-bucket totals → running bucket offsets (tiny relation)
     bkt_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -70,11 +82,14 @@ def sequence_pack(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # no forced broadcast hint: at sane bucket_docs the offsets relation
+    # is tiny and the planner broadcasts it on stats; a forced hint would
+    # OOM if a caller mis-sizes bucket_docs on a huge corpus
     placed = (
         counts.withColumn(
             "in_bkt_off", F.coalesce(F.sum("n_slots").over(doc_w), F.lit(0))
         )
-        .join(F.broadcast(bucket_offsets), "bkt")
+        .join(bucket_offsets, "bkt")
         .select(
             "doc_id",
             "n_slots",
@@ -83,8 +98,8 @@ def sequence_pack(
     )
     # each doc spans windows floor(off/W) .. floor((off+n_slots-1)/W);
     # slots of doc in window w = overlap of [off, off+n) with [wW, (w+1)W)
-    w0 = F.floor(F.col("off") / seq_len)
-    w1 = F.floor((F.col("off") + F.col("n_slots") - 1) / seq_len)
+    w0 = F.expr(f"off DIV {int(seq_len)}")
+    w1 = F.expr(f"(off + n_slots - 1) DIV {int(seq_len)}")
     spans = placed.select(
         "doc_id",
         "off",

@@ -72,3 +72,6 @@ def test_sequence_pack_plan_two_level_prefix(spark):
     assert plan.count("Exchange SinglePartition") == 1
     assert "hashpartitioning(bkt" in plan
     assert "BroadcastExchange" in plan
+    # counts is persisted: the corpus-wide tokenize feeds both the bucket
+    # rollup and the placement from ONE in-memory relation
+    assert "InMemoryTableScan" in plan
