@@ -274,9 +274,11 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     klass = _TAG_CLASS
 
     def emit() -> None:
-        # only called with non-empty parts (~13×/doc, not per boundary)
+        # only called with non-empty parts (~13×/doc, not per boundary);
+        # single-part blocks (most of them) skip the first join
         nonlocal parts, link_chars, tag_count
-        text = " ".join(" ".join(parts).split())
+        joined = parts[0] if len(parts) == 1 else " ".join(parts)
+        text = " ".join(joined.split())
         if text:
             blocks.append(
                 Block(
@@ -296,7 +298,9 @@ def parse_blocks(html: bytes | str) -> list[Block]:
     while True:
         data = toks[i]
         if data:
-            data = unescape(data)
+            # inline guard: unescape's own '&' check costs a call per slot
+            if "&" in data:
+                data = unescape(data)
             if data:
                 parts.append(data)
                 if anchor_depth:
