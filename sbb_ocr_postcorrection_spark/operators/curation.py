@@ -111,3 +111,24 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         (reason == "kept").cast("int").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def curation_report(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
+    """Per-(source, reason) rollup of the curation verdict with the share
+    of the source it represents — the acceptance report a corpus build
+    prints per slice. The window runs over the ALREADY-AGGREGATED
+    (source × reason) relation (≤ sources × 8 rows), so its shuffle is
+    trivial; the heavy lifting is the verdict itself."""
+    from pyspark.sql import Window
+
+    v = curate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold)
+    agg = v.groupBy("source", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "reason",
+        "n_docs",
+        F.round(F.col("n_docs") * 100.0 / F.sum("n_docs").over(tot), 6).alias(
+            "pct_of_source"
+        ),
+    )

@@ -277,6 +277,12 @@ def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(spark, sf_dir)
 
 
+def _curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import curation_report
+
+    return curation_report(spark, sf_dir)
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -375,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the end-to-end curation verdict (lang + quality + repetition +
         # dedup composed) — oracle composes the stage SQLs as CTEs
         "curation_pipeline": pinned(_curation),
+        # per-(source, reason) acceptance report over the composite verdict
+        "curation_report": pinned(_curation_report),
         # benchmark decontamination (broadcast eval-shingle semi join)
         "decontaminate": pinned(dedup.decontaminate),
         # unigram-LM quality score (CCNet perplexity-filter analog,
@@ -1401,5 +1409,19 @@ def oracle_sql() -> dict[str, str]:
                  AS keep,
                reason
         FROM v
+    """
+    # acceptance report = GROUP BY over the composite verdict CTE; the
+    # share window runs over the already-aggregated (source × reason) rows
+    sql["curation_report"] = f"""
+        WITH cp AS ({sql["curation_pipeline"]}),
+        agg AS (
+          SELECT source, reason, count(*) AS n_docs
+          FROM cp GROUP BY source, reason
+        )
+        SELECT source, reason, n_docs,
+               round(n_docs * 100.0 /
+                     sum(n_docs) OVER (PARTITION BY source), 6)
+                 AS pct_of_source
+        FROM agg
     """
     return sql
