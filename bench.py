@@ -52,6 +52,9 @@ HEADLINE = [
     "line_dedup",
     "dedup_incremental",
     "host_reputation_gate",
+    # sequence packing (two-level prefix sum) + exact length quantiles
+    "seq_pack",
+    "length_percentiles",
     "ann_brute_force",
     "quality_score",
     "fingerprints",
