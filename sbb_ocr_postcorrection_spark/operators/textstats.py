@@ -327,6 +327,49 @@ def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFr
     )
 
 
+# unicode punctuation folding: fancy quotes/dashes/nbsp → ASCII. ONE
+# translate map shared by the operator and (verbatim, char for char) the
+# DuckDB oracle. 1:1 codepoint translate — no regex, no UDF.
+NORM_FROM = "’‘‚“”„–—−\u00a0"
+NORM_TO = "'''\"\"\"--- "
+# deterministic fancy-punctuation fixtures (appended per doc_id
+# arithmetic; interpolated verbatim into the DuckDB oracle)
+NORM_FIX_A = " “quoted” it’s a–b—c x y"
+NORM_FIX_B = " „foo‚ bar−baz"
+
+
+def text_normalize(spark, sf_dir, docs=None) -> DataFrame:
+    """Webtext punctuation normalization (the CCNet/cc_net-style cleanup
+    every crawl pipeline runs before hashing): curly quotes → straight,
+    en/em-dash/minus → hyphen, NBSP → space, whitespace runs collapsed.
+    Pure JVM translate + regexp_replace — trivially data-parallel.
+
+    The synthetic documents are ASCII-only, so the query first APPENDS
+    deterministic fancy-punctuation fixtures keyed on doc_id arithmetic —
+    identically in the Spark plan and the DuckDB oracle (the pii_redact
+    convention) — so the folding is exercised on text that actually
+    changes; n_changed certifies how many codepoints folded."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(NORM_FIX_A)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(NORM_FIX_B)).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    norm = F.regexp_replace(
+        F.translate(F.col("t"), NORM_FROM, NORM_TO), r"\s+", " "
+    )
+    return t.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("t") - F.length(norm)).alias("n_chars_delta"),
+        (
+            F.length("t")
+            - F.length(F.translate(F.col("t"), NORM_FROM, ""))
+        ).alias("n_folded"),
+    )
+
+
 def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     """Unigram-LM quality score — the deterministic analog of CCNet's
     KenLM perplexity filter (docs dominated by corpus-rare tokens score

@@ -89,6 +89,11 @@ def _sql_list(words) -> str:
 
 
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _sq(s: str) -> str:
+    """Python string → SQL single-quoted literal (quote doubling)."""
+    return "'" + s.replace("'", "''") + "'"
 _SHINGLES_SQL = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len(l) - 2, 1)), "
@@ -410,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact per-source length quantiles (interpolation bit-identical
         # to DuckDB quantile_cont; approx_percentile is the 100-TB path)
         "length_percentiles": pinned(textstats.length_percentiles),
+        # unicode punctuation folding (translate map shared with the
+        # oracle; deterministic fancy-char augmentation)
+        "text_normalize": pinned(textstats.text_normalize),
         "bpe_token_stats": pinned(textstats.bpe_token_stats),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
@@ -716,6 +724,33 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 6) AS p90,
                    round(quantile_cont(n_chars, 0.99), 6) AS p99
             FROM documents GROUP BY source
+        """,
+        # the translate map and the augmentation fixtures interpolate from
+        # the SAME module constants the Spark operator uses
+        "text_normalize": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text ||
+                     (CASE WHEN doc_id % 3 = 0 THEN {_sq(textstats.NORM_FIX_A)}
+                           ELSE '' END) ||
+                     (CASE WHEN doc_id % 5 = 0 THEN {_sq(textstats.NORM_FIX_B)}
+                           ELSE '' END) AS t
+              FROM documents
+            ), n AS (
+              SELECT doc_id, t,
+                     regexp_replace(
+                       translate(t, {_sq(textstats.NORM_FROM)},
+                                 {_sq(textstats.NORM_TO)}),
+                       '\\s+', ' ', 'g') AS norm_text
+              FROM t
+            )
+            SELECT doc_id, norm_text,
+                   CAST(length(t) - length(norm_text) AS INTEGER)
+                     AS n_chars_delta,
+                   CAST(length(t) -
+                        length(translate(t, {_sq(textstats.NORM_FROM)}, ''))
+                        AS INTEGER) AS n_folded
+            FROM n
         """,
         # the oracle computes the SAME layout with the naive global-prefix
         # window (equivalent because buckets are doc_id ranges: bucket
