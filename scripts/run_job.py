@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit entry point for the extraction job.
+"""spark-submit entry point for the extraction job and the query registry.
 
 Cluster use (north_rule contract):
     python scripts/make_pyfiles.py dist/pkg.zip
@@ -9,6 +9,13 @@ Cluster use (north_rule contract):
 Local sandbox use (this container):
     python scripts/run_job.py --input <pages.parquet> --output <dir> \
         [--cores 32] [--lang de] [--no-resume] [--generate N]
+
+Any registry operator (dedup, curation, ANN, packing, …) runs the same
+way — the full library surface is cluster-submittable, not just the
+extraction flagship:
+    spark-submit --py-files dist/pkg.zip scripts/run_job.py \
+        --query curation_report --sf-dir /data/tables --output /data/out \
+        [--format parquet|jsonl]
 """
 
 from __future__ import annotations
@@ -32,6 +39,14 @@ def main() -> int:
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic pages as input first (demo mode)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--query", default=None,
+                    help="run this registry query (__spark_entry__.queries()) "
+                         "instead of the extraction job")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="table directory for --query mode")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    help="--query output format")
     args = ap.parse_args()
 
     from sbb_ocr_postcorrection_spark.pipeline import (
@@ -39,6 +54,29 @@ def main() -> int:
         job_metrics,
         run_extraction_job,
     )
+
+    if args.query:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.query not in qs:
+            ap.error(
+                f"unknown query {args.query!r}; one of: {', '.join(sorted(qs))}"
+            )
+        spark = build_session(app=f"sbb-query-{args.query}", cores=args.cores)
+        spark.sparkContext.setLogLevel("WARN")
+        out = os.path.join(args.output, args.query)
+        df = qs[args.query](spark, args.sf_dir)
+        if args.format == "jsonl":
+            df.write.mode("overwrite").json(out)
+            n = spark.read.json(out).count()
+        else:
+            df.write.mode("overwrite").parquet(out)
+            n = spark.read.parquet(out).count()
+        print(json.dumps({"query": args.query, "rows": n, "output": out,
+                          "format": args.format}))
+        spark.stop()
+        return 0
 
     input_path = args.input
     if args.generate:
