@@ -64,6 +64,40 @@ def test_sequence_pack_crafted_layout(spark):
     assert (rows[2]["first_doc"], rows[2]["last_doc"]) == (2, 2)
 
 
+def test_sequence_pack_randomized_cross_check(spark):
+    """120 docs with seeded-random token counts (including empties and
+    window-sized and window-straddling lengths) against an independent
+    pure-Python packer, at an odd seq_len/bucket size."""
+    import random
+
+    rng = random.Random(7)
+    texts = []
+    for i in range(120):
+        n = rng.choice([0, 1, 5, 12, 13, 25, 26, 40, rng.randint(0, 60)])
+        texts.append((i, " ".join(f"w{j}" for j in range(n))))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    seq_len, bucket = 13, 7
+    got = {
+        r["window_id"]: (r["n_tokens"], r["n_docs"], r["first_doc"], r["last_doc"])
+        for r in P.sequence_pack(
+            spark, SF_DIR, seq_len=seq_len, bucket_docs=bucket, docs=docs
+        ).collect()
+    }
+    # reference packer
+    want: dict[int, list] = {}
+    off = 0
+    for i, t in texts:
+        n = len(t.split()) + 1
+        for w in range(off // seq_len, (off + n - 1) // seq_len + 1):
+            slots = min(off + n, (w + 1) * seq_len) - max(off, w * seq_len)
+            e = want.setdefault(w, [0, 0, i, i])
+            e[0] += slots
+            e[1] += 1
+            e[3] = i
+        off += n
+    assert got == {w: tuple(e) for w, e in want.items()}
+
+
 def test_sequence_pack_plan_two_level_prefix(spark):
     """The doc-level cumsum must be partitioned by bucket (parallel); the
     ONLY single-partition exchange is the tiny bucket rollup, and the
