@@ -302,6 +302,59 @@ def compact_extractions(
     }
 
 
+def export_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    max_records_per_file: int = 50_000,
+) -> dict:
+    """The pipeline's end product: run the composite curation verdict and
+    materialize the KEPT documents as sharded JSONL (the interchange
+    format training stacks ingest) plus an audit manifest.
+
+    Shape: verdict ⋈ documents is an equality join on doc_id; the writer
+    bounds shard size with maxRecordsPerFile (a shard maps to one loader
+    work item downstream). The manifest accounts for every input document
+    — the per-reason histogram means dropped docs are auditable, never
+    silently gone — and records the export so a resumed/downstream job
+    can verify counts without rescanning the corpus.
+
+    Returns the manifest dict: {n_input, n_exported, reasons, output}.
+    """
+    import json as _json
+
+    from .functions.exprs import tokens_expr
+    from .operators.curation import curate_corpus
+
+    v = curate_corpus(spark, sf_dir)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = (
+        v.filter(F.col("keep") == 1)
+        .select("doc_id", "source", "lang")
+        .join(d.select("doc_id", "text"), "doc_id")
+        .withColumn("n_tokens", F.size(tokens_expr(F.col("text"))))
+    )
+    out = os.path.join(output_dir, "corpus")
+    (
+        kept.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(out)
+    )
+    hist = {
+        r["reason"]: r["n"]
+        for r in v.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "n_input": int(sum(hist.values())),
+        "n_exported": int(hist.get("kept", 0)),
+        "reasons": hist,
+        "output": out,
+    }
+    with open(os.path.join(output_dir, "export_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
 def job_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     """Aggregate job metrics from the manifest: chars in/out, detector hit
     rate (A10 analog of the reference's corpus-level stats)."""

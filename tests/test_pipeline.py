@@ -106,3 +106,31 @@ def test_salted_host_agg_matches_plain(spark, pages_parquet):
 
 def test_manifest_empty_when_absent(spark, tmp_path):
     assert load_manifest(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_export_training_corpus(spark, tmp_path):
+    """End-product export: kept docs land in sharded JSONL, the manifest
+    accounts for every input doc, and no dropped doc leaks through."""
+    import glob
+    import json
+
+    from sbb_ocr_postcorrection_spark.pipeline import export_training_corpus
+
+    sf = "/root/testdata/sf0.001"
+    m = export_training_corpus(spark, sf, str(tmp_path))
+    n_input = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert m["n_input"] == n_input
+    assert m["n_exported"] == m["reasons"]["kept"] > 0
+    assert sum(m["reasons"].values()) == n_input
+    back = spark.read.json(m["output"])
+    assert back.count() == m["n_exported"]
+    assert {"doc_id", "source", "lang", "text", "n_tokens"} <= set(back.columns)
+    # every exported doc is verdict-kept (no leak of dropped docs)
+    from sbb_ocr_postcorrection_spark.operators.curation import curate_corpus
+
+    kept_ids = {r["doc_id"] for r in curate_corpus(spark, sf).filter("keep = 1").collect()}
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == kept_ids
+    # the on-disk manifest matches the returned one
+    disk = json.loads((tmp_path / "export_manifest.json").read_text())
+    assert disk == m
+    assert glob.glob(str(tmp_path / "corpus" / "part-*.json"))
