@@ -336,6 +336,10 @@ NORM_TO = "'''\"\"\"--- "
 # arithmetic; interpolated verbatim into the DuckDB oracle)
 NORM_FIX_A = " “quoted” it’s a–b—c x y"
 NORM_FIX_B = " „foo‚ bar−baz"
+# the whitespace-collapse class, EXPLICIT and shared with the oracle:
+# Java's \s includes vertical tab (U+000B) but RE2's does not, so a
+# bare \s+ would silently diverge on a \x0B in the input
+NORM_WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def text_normalize(spark, sf_dir, docs=None) -> DataFrame:
@@ -357,7 +361,7 @@ def text_normalize(spark, sf_dir, docs=None) -> DataFrame:
     )
     t = d.select("doc_id", aug.alias("t"))
     norm = F.regexp_replace(
-        F.translate(F.col("t"), NORM_FROM, NORM_TO), r"\s+", " "
+        F.translate(F.col("t"), NORM_FROM, NORM_TO), NORM_WS_RE, " "
     )
     return t.select(
         "doc_id",

@@ -326,8 +326,13 @@ def export_training_corpus(
     from .functions.exprs import tokens_expr
     from .operators.curation import curate_corpus
 
-    v = curate_corpus(spark, sf_dir)
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from .operators.relational import load
+
+    # persist: the verdict feeds BOTH the kept-docs write and the reason
+    # histogram — without it the whole curation DAG (dedup, verification,
+    # decontamination, the seven-way join) would execute twice
+    v = curate_corpus(spark, sf_dir).persist()
+    d = load(spark, sf_dir, "documents")
     kept = (
         v.filter(F.col("keep") == 1)
         .select("doc_id", "source", "lang")
@@ -344,6 +349,7 @@ def export_training_corpus(
         r["reason"]: r["n"]
         for r in v.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    v.unpersist()
     manifest = {
         "n_input": int(sum(hist.values())),
         "n_exported": int(hist.get("kept", 0)),

@@ -741,7 +741,7 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        translate(t, {_sq(textstats.NORM_FROM)},
                                  {_sq(textstats.NORM_TO)}),
-                       '\\s+', ' ', 'g') AS norm_text
+                       {_sq(textstats.NORM_WS_RE)}, ' ', 'g') AS norm_text
               FROM t
             )
             SELECT doc_id, norm_text,

@@ -66,13 +66,16 @@ def main() -> int:
         spark = build_session(app=f"sbb-query-{args.query}", cores=args.cores)
         spark.sparkContext.setLogLevel("WARN")
         out = os.path.join(args.output, args.query)
-        df = qs[args.query](spark, args.sf_dir)
+        # persist: counted AND written from one evaluation; counting via a
+        # read-back would crash on empty JSONL output (no part files → no
+        # inferable schema) and pay a second full scan
+        df = qs[args.query](spark, args.sf_dir).persist()
+        n = df.count()
         if args.format == "jsonl":
             df.write.mode("overwrite").json(out)
-            n = spark.read.json(out).count()
         else:
             df.write.mode("overwrite").parquet(out)
-            n = spark.read.parquet(out).count()
+        df.unpersist()
         print(json.dumps({"query": args.query, "rows": n, "output": out,
                           "format": args.format}))
         spark.stop()

@@ -260,3 +260,29 @@ def test_asof_join_plan_is_single_shuffle(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the user_id window shuffle
+
+
+def test_text_normalize_ws_class_cross_engine(spark):
+    """Java \\s includes vertical tab, RE2's does not — the explicit
+    NORM_WS_RE class must make both engines agree on \\x0B/tab/double-space
+    inputs (and the fixture chars all fold)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from sbb_ocr_postcorrection_spark.operators import textstats as T
+
+    rows = [(0, "a\x0bb  c"), (3, "plain text"), (5, "x\ty")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_text"], r["n_chars_delta"], r["n_folded"])
+        for r in T.text_normalize(spark, None, docs=docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(em.oracle_sql()["text_normalize"]).fetchall()
+    }
+    assert got == want
+    assert got[0][0].startswith("a b c ")  # \x0B collapsed on both sides
