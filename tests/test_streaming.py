@@ -103,6 +103,61 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert sum(1 for r in seen if r["is_first"]) == 3
 
 
+def test_stateful_dedup_survives_query_restart(spark, tmp_path):
+    """The production resume story for streams (the batch job has
+    SIGKILL-resume; this is the streaming analog): STOP the query after
+    batch 1, start a NEW query from the same checkpointLocation, and the
+    per-digest state store must come back — a later duplicate of a
+    batch-1 document is flagged by the restarted query, and already-read
+    input files are not re-emitted."""
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import dedup_stream
+
+    d = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    _text_batch(d / "b1.parquet", [("u1", t0, "alpha beta gamma")])
+
+    def start(sink):
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        return (
+            dedup_stream(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    first = []
+    q1 = start(lambda df, _e: first.extend(df.collect()))
+    q1.processAllAvailable()
+    q1.stop()
+    assert [r["url"] for r in first] == ["u1"] and first[0]["is_first"]
+
+    # the query is GONE; new files arrive while nothing is running
+    _text_batch(
+        d / "b2.parquet",
+        [
+            ("u2", t0 + datetime.timedelta(seconds=1), "alpha beta gamma"),
+            ("u3", t0 + datetime.timedelta(seconds=2), "delta epsilon"),
+        ],
+    )
+    second = []
+    q2 = start(lambda df, _e: second.extend(df.collect()))
+    q2.processAllAvailable()
+    q2.stop()
+    by_url = {r["url"]: r for r in second}
+    # u1 was consumed before the restart — not re-emitted
+    assert set(by_url) == {"u2", "u3"}
+    # state recovered: u2 duplicates u1 ACROSS the restart
+    assert not by_url["u2"]["is_first"] and by_url["u2"]["n_seen_before"] == 1
+    assert by_url["u3"]["is_first"]
+
+
 def test_url_dedup_stream_across_microbatches(spark, tmp_path):
     """Canonical-URL first-seen dedup: a LATER batch's re-crawl under a
     different spelling (scheme case, www, query tracking, trailing slash)
