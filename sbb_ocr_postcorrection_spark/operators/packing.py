@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .relational import load
+from .relational import load, persist_slot
 
 # defaults — the DuckDB oracle interpolates THESE constants
 SEQ_LEN = 128
@@ -50,7 +50,6 @@ def sequence_pack(
     document, truncated at the stream end).
     """
     from ..functions.exprs import tokens_expr
-    from .relational import persist_slot
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     # repartition before the CPU-heavy tokenize (the shingle_table rule: a

@@ -325,7 +325,6 @@ def export_training_corpus(
 
     from .functions.exprs import tokens_expr
     from .operators.curation import curate_corpus
-
     from .operators.relational import load
 
     # persist: the verdict feeds BOTH the kept-docs write and the reason
