@@ -25,7 +25,7 @@ re-scanning parquet per stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import decontaminate, deduplicate_corpus, shingle_table
 from .relational import load, persist_slot
@@ -117,10 +117,8 @@ def curation_report(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
     """Per-(source, reason) rollup of the curation verdict with the share
     of the source it represents — the acceptance report a corpus build
     prints per slice. The window runs over the ALREADY-AGGREGATED
-    (source × reason) relation (≤ sources × 8 rows), so its shuffle is
-    trivial; the heavy lifting is the verdict itself."""
-    from pyspark.sql import Window
-
+    (source × reason) relation (≤ sources × 9 reasons rows), so its
+    shuffle is trivial; the heavy lifting is the verdict itself."""
     v = curate_corpus(spark, sf_dir, jaccard_threshold=jaccard_threshold)
     agg = v.groupBy("source", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = Window.partitionBy("source")

@@ -21,7 +21,7 @@ next-step #2). 15 hex chars = 60 bits < 2^63 — no ANSI long overflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .relational import load
 
@@ -126,16 +126,25 @@ def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
         )
         history = remapped.filter(F.col("doc_id") % 2 == 0)
         batch = remapped.filter(F.col("doc_id") % 2 == 1)
+    # null text carries NO content identity: md5(NULL) is NULL, and a null
+    # hash would (a) group unrelated null-text batch docs into one window
+    # partition, dropping all but one as "duplicates" of each other, and
+    # (b) never match in history anyway. Null-text docs get a per-doc
+    # sentinel hash instead — each keeps its own identity and is never
+    # cross-deduplicated; history nulls are dropped (nothing can match).
+    batch = batch.select(
+        "doc_id",
+        F.coalesce(
+            F.md5(F.col("text")),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("content_hash"),
+    )
     hist_digests = (
         history.select(F.md5(F.col("text")).alias("content_hash"))
+        .filter(F.col("content_hash").isNotNull())
         .distinct()
         .withColumn("in_hist", F.lit(1))
     )
-    batch = batch.select(
-        "doc_id", F.md5(F.col("text")).alias("content_hash")
-    )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return (
         batch.join(hist_digests, "content_hash", "left")
@@ -361,9 +370,9 @@ def minhash_lsh_candidates_salted(
     intra + both self-join sides, and the pushed-down join filters defeat
     ReuseExchange (the signature pipeline would run 3×)."""
     bt = _band_table(minhash_signatures(spark, sf_dir))
-    from pyspark.sql import Window as W
-
     from .relational import persist_slot
+
+    W = Window
 
     # deterministic chunk assignment: rank within the bucket by doc_id;
     # bucket size rides along so the cap matches the plain form exactly

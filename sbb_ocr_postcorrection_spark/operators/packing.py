@@ -62,7 +62,13 @@ def sequence_pack(
         d.repartition(spark.sparkContext.defaultParallelism).select(
             "doc_id",
             F.expr(f"doc_id DIV {int(bucket_docs)}").alias("bkt"),
-            (F.size(tokens_expr(F.col("text"))) + 1).alias("n_slots"),
+            # null text ≡ empty doc (1 EOS slot): size(NULL) is NULL under
+            # ANSI and a null count would silently DROP the doc from the
+            # layout (null offsets explode to nothing) — every document
+            # must occupy stream space
+            F.coalesce(
+                F.size(tokens_expr(F.col("text"))) + 1, F.lit(1)
+            ).alias("n_slots"),
         ),
     )
     # level 1: per-bucket totals → running bucket offsets (tiny relation)

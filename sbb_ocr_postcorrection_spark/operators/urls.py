@@ -141,16 +141,30 @@ def host_reputation_gate(
     """
     if per_doc is None:
         from ..functions.exprs import lang_cols
+        from .relational import persist_slot
         from .textstats import DE_STOPS, EN_STOPS
 
         d = docs if docs is not None else load(spark, sf_dir, "documents")
         if "url" in d.columns:
-            host = F.substring_index(canonical_url_expr(F.col("url")), "/", 1)
+            # null urls group under a sentinel pseudo-host: a null join key
+            # would silently drop those docs from the output (the stats
+            # join never matches null), violating the every-doc-surfaces
+            # contract
+            host = F.coalesce(
+                F.substring_index(canonical_url_expr(F.col("url")), "/", 1),
+                F.lit("<no-host>"),
+            )
         else:
             host = synth_host_expr(F.col("doc_id"))
         c = lang_cols(F.col("text"), DE_STOPS, EN_STOPS)
-        per_doc = d.select(
-            "doc_id", host.alias("host"), c["lang_pass"].alias("lang_pass")
+        # persisted: per_doc feeds BOTH the stats aggregation and the
+        # rejoin probe — without it the corpus-wide tokenize+stopword
+        # pass (the dominant cost) executes twice
+        per_doc = persist_slot(
+            "host_gate_per_doc",
+            d.select(
+                "doc_id", host.alias("host"), c["lang_pass"].alias("lang_pass")
+            ),
         )
     host_stats = per_doc.groupBy("host").agg(
         F.count(F.lit(1)).alias("host_docs"),

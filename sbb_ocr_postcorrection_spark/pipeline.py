@@ -329,26 +329,32 @@ def export_training_corpus(
 
     # persist: the verdict feeds BOTH the kept-docs write and the reason
     # histogram — without it the whole curation DAG (dedup, verification,
-    # decontamination, the seven-way join) would execute twice
+    # decontamination, the seven-way join) would execute twice. finally:
+    # a failed write must not leave the verdict cached for the session
+    # lifetime (the orphaned-cache hazard persist_slot exists to bound)
     v = curate_corpus(spark, sf_dir).persist()
-    d = load(spark, sf_dir, "documents")
-    kept = (
-        v.filter(F.col("keep") == 1)
-        .select("doc_id", "source", "lang")
-        .join(d.select("doc_id", "text"), "doc_id")
-        .withColumn("n_tokens", F.size(tokens_expr(F.col("text"))))
-    )
-    out = os.path.join(output_dir, "corpus")
-    (
-        kept.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .json(out)
-    )
-    hist = {
-        r["reason"]: r["n"]
-        for r in v.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    v.unpersist()
+    try:
+        d = load(spark, sf_dir, "documents")
+        kept = (
+            v.filter(F.col("keep") == 1)
+            .select("doc_id", "source", "lang")
+            .join(d.select("doc_id", "text"), "doc_id")
+            .withColumn("n_tokens", F.size(tokens_expr(F.col("text"))))
+        )
+        out = os.path.join(output_dir, "corpus")
+        (
+            kept.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .json(out)
+        )
+        hist = {
+            r["reason"]: r["n"]
+            for r in v.groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        v.unpersist()
     manifest = {
         "n_input": int(sum(hist.values())),
         "n_exported": int(hist.get("kept", 0)),

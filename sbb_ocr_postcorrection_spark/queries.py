@@ -760,7 +760,8 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL} AS l FROM documents
             ), counts AS (
-              SELECT doc_id, len(l) + 1 AS n_slots FROM toks
+              -- null text ≡ empty doc (1 EOS slot), as in the operator
+              SELECT doc_id, coalesce(len(l) + 1, 1) AS n_slots FROM toks
             ), placed AS (
               SELECT doc_id, n_slots,
                      -- sum() is HUGEINT in DuckDB; range() needs BIGINT

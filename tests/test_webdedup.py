@@ -255,6 +255,42 @@ def test_incremental_dedup_real_relations(spark):
         D.incremental_dedup(spark, SF_DIR, history=history)
 
 
+def test_null_inputs_never_drop_rows(spark):
+    """Null url / null text must surface with a verdict, not vanish or
+    cross-deduplicate (real crawl data has both)."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D, packing as P
+
+    # host gate: null url groups under the sentinel pseudo-host
+    docs = spark.createDataFrame(
+        [(0, "http://a.test/x", "der die das und ist"),
+         (1, None, "der die das und ist"),
+         (2, None, "zzz qqq xxx")],
+        "doc_id long, url string, text string",
+    )
+    rows = {r["doc_id"]: r for r in U.host_reputation_gate(spark, SF_DIR, docs=docs).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1]["host"] == "<no-host>" and rows[2]["host"] == "<no-host>"
+    # seq_pack: null text occupies one EOS slot, still in the layout
+    pdocs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    out = P.sequence_pack(spark, SF_DIR, seq_len=8, bucket_docs=2, docs=pdocs).collect()
+    assert sum(r["n_tokens"] for r in out) == 4 + 1 + 3  # null doc = 1 slot
+    assert {r["first_doc"] for r in out} | {r["last_doc"] for r in out} >= {0, 2}
+    # incremental dedup: two distinct null-text batch docs are NOT
+    # duplicates of each other, and never match history
+    hist = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, None), (103, None), (105, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            D.incremental_dedup(spark, SF_DIR, history=hist, batch=batch).collect()}
+    assert set(rows) == {101, 103, 105}
+    assert rows[101]["keep"] == 1 and rows[103]["keep"] == 1  # own identity
+    assert rows[101]["in_history"] == 0 and rows[103]["in_history"] == 0
+    assert rows[105]["in_history"] == 1 and rows[105]["keep"] == 0
+
+
 # --------------------------------------------------------------- line dedup
 
 BOILER = "cookie notice applies here"  # 4 tokens -> 2 lines at n=2
