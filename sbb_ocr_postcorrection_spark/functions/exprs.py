@@ -13,8 +13,13 @@ CER_BANDS = ("0.00", "<0.02", "<0.04", "<0.06", "<0.08", "<0.10", ">=0.10")
 
 def tokens_expr(col) -> Column:
     """Whitespace tokens, lowercased, empties dropped (F2 semantics;
-    identical to the oracle-side list_filter(string_split(lower(...))))."""
-    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+    identical to the oracle-side list_filter(string_split(lower(...)))).
+    NULL text tokenizes as the empty document — a NULL token array would
+    propagate NULL into every derived count/ratio/verdict downstream, and
+    a NULL verdict silently falls through when-chains (a null-text doc
+    would pass gates it should fail)."""
+    c = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != "")
 
 
 def cer_band_expr(col) -> Column:
@@ -84,6 +89,9 @@ def quality_cols(text_col, toks=None) -> dict[str, Column]:
     and ``toks`` parameter as lang_cols)."""
     if toks is None:
         toks = tokens_expr(text_col)
+    # null ≡ empty here too: length(NULL) would make alpha_ratio — and
+    # with it quality_keep — NULL instead of a definite fail verdict
+    text_col = F.coalesce(text_col, F.lit(""))
     n_toks = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
     alpha_ratio = F.round(

@@ -354,8 +354,10 @@ def text_normalize(spark, sf_dir, docs=None) -> DataFrame:
     convention) — so the folding is exercised on text that actually
     changes; n_changed certifies how many codepoints folded."""
     d = docs if docs is not None else load(spark, sf_dir, "documents")
+    # null ≡ empty: concat null-propagates, so a null-text doc would emit
+    # an all-NULL row instead of a normalized empty one
     aug = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 3 == 0, F.lit(NORM_FIX_A)).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0, F.lit(NORM_FIX_B)).otherwise(F.lit("")),
     )

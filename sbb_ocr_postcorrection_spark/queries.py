@@ -88,7 +88,10 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# coalesce mirrors tokens_expr: NULL text ≡ empty document
+_TOKS_SQL = (
+    "list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '')"
+)
 
 
 def _sq(s: str) -> str:
@@ -730,7 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": f"""
             WITH t AS (
               SELECT doc_id,
-                     text ||
+                     coalesce(text, '') ||
                      (CASE WHEN doc_id % 3 = 0 THEN {_sq(textstats.NORM_FIX_A)}
                            ELSE '' END) ||
                      (CASE WHEN doc_id % 5 = 0 THEN {_sq(textstats.NORM_FIX_B)}
@@ -921,7 +924,8 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "quality_score": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+                              {_TOKS_SQL} AS toks FROM documents),
             m AS (
               SELECT doc_id,
                      CAST(len(toks) AS INTEGER) AS n_tokens,

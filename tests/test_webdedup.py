@@ -256,9 +256,26 @@ def test_incremental_dedup_real_relations(spark):
 
 
 def test_null_inputs_never_drop_rows(spark):
-    """Null url / null text must surface with a verdict, not vanish or
-    cross-deduplicate (real crawl data has both)."""
-    from sbb_ocr_postcorrection_spark.operators import dedup as D, packing as P
+    """Null url / null text must surface with a DEFINITE verdict, not
+    vanish, cross-deduplicate, or emit NULL keep-bits that fall through
+    when-chains (real crawl data has both)."""
+    from sbb_ocr_postcorrection_spark.operators import (
+        dedup as D, packing as P, textstats as T,
+    )
+
+    # verdict operators: null text ≡ empty doc, keep-bits are 0/1 never
+    # NULL (a NULL bit silently passes curation's when-chain)
+    vdocs = spark.createDataFrame(
+        [(1, None, "de", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert T.lang_id(spark, SF_DIR, docs=vdocs).collect()[0]["lang_pass"] == 0
+    q = T.quality_score(spark, SF_DIR, docs=vdocs).collect()[0]
+    assert q["quality_keep"] == 0 and q["n_tokens"] == 0
+    r = T.repetition_stats(spark, SF_DIR, docs=vdocs).collect()[0]
+    assert r["repetition_keep"] == 0
+    n = T.text_normalize(spark, SF_DIR, docs=vdocs).collect()[0]
+    assert n["norm_text"] == "" and n["n_folded"] == 0
 
     # host gate: null url groups under the sentinel pseudo-host
     docs = spark.createDataFrame(
