@@ -129,11 +129,20 @@ def stratified_split(alignments: DataFrame, train: int = 8, test: int = 1) -> Da
     """split-dataset (cli_preproc.py:714-888): CER-bucket-stratified
     deterministic split via arithmetic hash of (doc_id, line_id) — seeded
     and shuffle-free instead of the reference's seed-49 list shuffling.
-    Returns per (bucket, split) counts for verification."""
+    Returns per (bucket, split) counts for verification.
+
+    The split coin is the repo's md5-60 hash (operators/dedup.md5_60) of
+    'doc_id|line_id', NOT xxhash64: DuckDB reproduces md5 bit-for-bit, so
+    the whole split table is a hash-checked driver row instead of a
+    rows-only one (the r2-verdict invariant-projection ask, taken all the
+    way to full-relation parity)."""
     from ..functions.exprs import cer_band_expr
+    from .dedup import md5_60
 
     bucket = cer_band_expr("cer").alias("cer_bucket")
-    h = F.pmod(F.xxhash64("doc_id", "line_id"), F.lit(10))
+    h = F.pmod(
+        md5_60(F.concat_ws("|", F.col("doc_id"), F.col("line_id"))), F.lit(10)
+    )
     split = (
         F.when(h < train, "train")
         .when(h < train + test, "test")

@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame, functions as F
 from .relational import load
 
 
+def _quoted(table: str) -> str:
+    """Backtick-quote a (possibly db-qualified) identifier for SQL."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in table.split("."))
+
+
 def write_bucketed(
     df: DataFrame, table: str, buckets: int = 8, key: str = "doc_id"
 ) -> str:
@@ -40,16 +45,35 @@ def write_bucketed(
     (LOCATION_ALREADY_EXISTS). The cleanup goes through the Hadoop
     FileSystem API so it works for hdfs://s3a:// warehouses, not just
     local paths, and the name is lowercased to match what the metastore
-    actually writes."""
+    actually writes. The stale location is RESOLVED, never string-joined
+    from warehouse.dir: a metastore-registered table reports its own
+    location (DESCRIBE EXTENDED), and an orphan directory is looked up
+    under the owning database's locationUri — so a qualified 'db.tbl'
+    name or a non-default current database never deletes the wrong path
+    (ADVICE r2 #5). Identifiers are backtick-quoted throughout."""
     table = table.lower()
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark._jvm
-    stale = jvm.org.apache.hadoop.fs.Path(
-        f'{spark.conf.get("spark.sql.warehouse.dir")}/{table}'
-    )
-    fs = stale.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(stale, True)
+    if spark.catalog.tableExists(table):
+        loc = next(
+            (
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {_quoted(table)}").collect()
+                if r["col_name"] == "Location"
+            ),
+            None,
+        )
+    else:
+        db, _, name = table.rpartition(".")
+        dbloc = spark.catalog.getDatabase(
+            db or spark.catalog.currentDatabase()
+        ).locationUri
+        loc = f"{dbloc.rstrip('/')}/{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {_quoted(table)}")
+    if loc is not None:
+        jvm = spark._jvm
+        stale = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = stale.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(stale, True)
     (
         df.write.format("parquet")
         .bucketBy(buckets, key)

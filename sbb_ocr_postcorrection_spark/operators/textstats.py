@@ -168,16 +168,27 @@ def repetition_stats(spark, sf_dir, docs=None) -> DataFrame:
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def bpe_token_stats(spark, sf_dir) -> DataFrame:
+def bpe_token_stats(spark, sf_dir, docs=None) -> DataFrame:
     """Token counting, BPE-pre-tokenizer flavor: whitespace tokens vs
     GPT-2-style regex pieces per document, plus the pieces/words ratio a
     training-cost estimator needs. JVM-side regexp_extract_all; the DuckDB
     oracle runs the same pattern through RE2."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
+    # NULL text ≡ empty document (repo-wide convention): _tokens coalesces
+    # internally, but regexp_extract_all(NULL) would null-propagate into
+    # n_bpe_pieces and the ratio
     ws = F.size(_tokens(F.col("text")))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
+        )
+    )
     return d.select(
         "doc_id",
         ws.alias("n_ws_tokens"),
@@ -289,7 +300,9 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
 
 
-def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFrame:
+def pii_redact(
+    spark, sf_dir, email_mod: int = 7, phone_mod: int = 11, docs=None
+) -> DataFrame:
     """PII detection + redaction, fully JVM-side (regexp_count /
     regexp_replace — no Python in the hot path, trivially data-parallel at
     100 TB).
@@ -301,7 +314,7 @@ def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFr
     contains matches, including docs carrying both kinds. Emails are
     redacted before phones on both sides (a fixed order keeps overlapping
     matches deterministic)."""
-    d = load(spark, sf_dir, "documents")
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     email_fix = F.concat(
         F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
     )
@@ -309,8 +322,10 @@ def pii_redact(spark, sf_dir, email_mod: int = 7, phone_mod: int = 11) -> DataFr
         F.lit(" call +1 555 "),
         F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
     )
+    # NULL text ≡ empty document: without the coalesce a NULL text
+    # null-propagates through concat into an all-NULL verdict row
     aug = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % email_mod == 0, email_fix).otherwise(F.lit("")),
         F.when(F.col("doc_id") % phone_mod == 0, phone_fix).otherwise(F.lit("")),
     )

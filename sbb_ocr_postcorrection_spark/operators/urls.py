@@ -81,9 +81,12 @@ def canonical_url_expr(url) -> Column:
     The scheme is whatever precedes the FIRST '://' (instr, not
     substring_index(…, -1) which takes the LAST — archive/proxy URLs like
     web.archive.org/web/2020/https://example.com embed a second scheme in
-    the path and must NOT collapse onto the embedded target; the DuckDB
-    oracle's split_part(…, 2) is first-occurrence too). A URL with no
-    scheme at all is treated as host/path from its first character.
+    the path and must NOT collapse onto the embedded target). The DuckDB
+    oracle mirrors this via strpos-based substr (CANON_REST_SQL below —
+    split_part(…, '://', 2) would TRUNCATE at the embedded scheme); the
+    two engines' agreement on exactly the archive-URL case is pinned in
+    tests/test_webdedup.py::test_canonical_url_oracle_parity. A URL with
+    no scheme at all is treated as host/path from its first character.
     """
     u = F.col(url) if isinstance(url, str) else url
     no_q = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
@@ -95,6 +98,26 @@ def canonical_url_expr(url) -> Column:
         rest.substr(F.length(host_raw) + 1, F.length(rest)), "/$", ""
     )
     return F.concat(host, path)
+
+
+# The ONE DuckDB definition of canonical_url_expr, interpolated into the
+# url_dedup oracle AND the parity test so the SQL form can never drift from
+# the Spark form. {u} is the raw url expression. Everything-after-the-FIRST
+# '://' via strpos+substr — NOT split_part(…, '://', 2), which returns only
+# the segment BETWEEN the first and second '://' and truncates archive/proxy
+# URLs with an embedded scheme.
+CANON_REST_SQL = (
+    "(CASE WHEN strpos(split_part(split_part({u}, '#', 1), '?', 1), '://') > 0"
+    " THEN substr(split_part(split_part({u}, '#', 1), '?', 1),"
+    " strpos(split_part(split_part({u}, '#', 1), '?', 1), '://') + 3)"
+    " ELSE split_part(split_part({u}, '#', 1), '?', 1) END)"
+)
+
+CANON_URL_SQL = (
+    "(regexp_replace(lower(split_part(" + CANON_REST_SQL + ", '/', 1)), '^www\\.', '')"
+    " || regexp_replace(substr(" + CANON_REST_SQL + ","
+    " length(split_part(" + CANON_REST_SQL + ", '/', 1)) + 1), '/$', ''))"
+)
 
 
 # host gate default — the DuckDB oracle interpolates THIS constant. 65

@@ -242,6 +242,25 @@ def run_extraction_job(
     }
 
 
+def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every *.parquet under `path`, via the Hadoop
+    FileSystem API — local glob would silently see an empty sink on
+    hdfs:// / s3a:// deployments (ADVICE r2 #4; same reason
+    operators/bucketing.write_bucketed uses this API)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
 def compact_extractions(
     spark: SparkSession, output_dir: str, target_mb: int = 256
 ) -> dict:
@@ -266,11 +285,9 @@ def compact_extractions(
     swap-in.
 
     Returns {files_before, files_after, partitions, skipped}."""
-    import glob
-
     out_path = os.path.join(output_dir, "extractions")
-    files_before = glob.glob(os.path.join(out_path, "*", "*", "*.parquet"))
-    sizes = [os.path.getsize(f) for f in files_before]
+    files_before = _list_parquet_files(spark, out_path)
+    sizes = [s for _, s in files_before]
     bytes_total = sum(sizes)
     df = spark.read.parquet(out_path)
     n_parts = df.select("dt", "bkt").distinct().count()
@@ -293,7 +310,7 @@ def compact_extractions(
         .partitionBy("dt", "bkt")
         .parquet(out_path)
     )
-    files_after = glob.glob(os.path.join(out_path, "*", "*", "*.parquet"))
+    files_after = _list_parquet_files(spark, out_path)
     return {
         "files_before": len(files_before),
         "files_after": len(files_after),

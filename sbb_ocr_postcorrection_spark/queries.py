@@ -93,6 +93,13 @@ _TOKS_SQL = (
     "list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '')"
 )
 
+# the ONE DuckDB form of canonical_url_expr (operators/urls.py) applied to a
+# column named url — strpos-based first-'://' semantics, NOT split_part
+_CANON_URL_SQL = urls.CANON_URL_SQL.format(u="url")
+
+# the synthesized page url (synth_pages_from_documents) in DuckDB form
+_URL_SQL = "'https://docs.example.org/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
 
 def _sq(s: str) -> str:
     """Python string → SQL single-quoted literal (quote doubling)."""
@@ -185,6 +192,15 @@ _PAGE_TMPL = (
     "<footer><a href='/i'>imprint</a> <a href='/p'>privacy terms</a></footer>"
     "</body></html>"
 )
+# boilerplate injected between the two content paragraphs (shared by the
+# page synth and the chars_in oracle arithmetic below)
+_PROMO = "</p><div class='promo'><a href='/x'>subscribe newsletter</a></div><p>"
+# bytes of synthesized html beyond the 2×len(text) payload (ASCII template,
+# so bytes == chars); interpolated into the extract oracles so chars_in is
+# hash-checked, not hand-pinned
+_PAGE_OVERHEAD = (
+    len(_PAGE_TMPL) - len("{paras}") + len("<p>") + len(_PROMO) + len("</p>")
+)
 
 
 def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +216,7 @@ def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     paras = F.concat(
         F.lit("<p>"),
         F.col("text"),
-        F.lit("</p><div class='promo'><a href='/x'>subscribe newsletter</a></div><p>"),
+        F.lit(_PROMO),
         F.reverse(F.col("text")),
         F.lit("</p>"),
     )
@@ -655,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
         """,
-        "url_dedup": """
+        "url_dedup": f"""
             WITH u AS (
               SELECT doc_id,
                      (CASE doc_id % 3 WHEN 0 THEN 'http://'
@@ -669,17 +685,10 @@ def oracle_sql() -> dict[str, str]:
                      || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
                      || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
               FROM documents
-            ), c AS (
-              SELECT doc_id, url,
-                     split_part(split_part(split_part(url, '#', 1), '?', 1),
-                                '://', 2) AS rest
-              FROM u
             ), canon AS (
               SELECT doc_id, url,
-                     regexp_replace(lower(split_part(rest, '/', 1)), '^www\\.', '')
-                     || regexp_replace(substr(rest, length(split_part(rest, '/', 1)) + 1),
-                                       '/$', '') AS canon_url
-              FROM c
+                     {_CANON_URL_SQL} AS canon_url
+              FROM u
             )
             SELECT canon_url, count(*) AS n_dupes,
                    count(DISTINCT url) AS n_variants,
@@ -974,7 +983,8 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      len({_TOKS_SQL}) AS ws,
-                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                     len(regexp_extract_all(coalesce(text, ''),
+                                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                        AS bpe
               FROM documents)
             SELECT doc_id,
@@ -1185,7 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": r"""
             WITH aug AS (
-              SELECT doc_id, text ||
+              SELECT doc_id, coalesce(text, '') ||
                 CASE WHEN doc_id % 7 = 0
                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
                           || '@example.com'
@@ -1370,9 +1380,107 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d CROSS JOIN dims dm
             LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.dim = dm.dim
         """,
-        # no oracle (rows-only): extract_pipeline, extract_host_metrics,
-        # corpus_* (NW-alignment kernel), ann_ivf (k-means-style centroid
-        # collect + argmax assignment is not SQL)
+        # ------------------------------------------------------------------
+        # flagship + corpus family: the synthetic page fixture is simple
+        # enough that the KERNEL OUTPUTS THEMSELVES are SQL-derivable — the
+        # extraction recovers exactly text + '\n' + reverse(text) (content
+        # blocks of the synth template), and the NW alignment of the two
+        # recovered lines against the one gt line has a closed form (the
+        # exact-match line pairs diagonally, the reversed line pairs with a
+        # gap; no synthetic text is a palindrome or contains '\n' — both
+        # properties the parity probe asserts). So the former rows-only
+        # family is hash-checked end-to-end: any kernel regression breaks
+        # these value hashes. Verified round-3 at sf0.001/0.01/0.1.
+        # round_even = Python round() (banker's) for allowed_dist.
+        "extract_pipeline": f"""
+            SELECT {_URL_SQL} AS url,
+                   'docs.example.org' AS host, lang,
+                   md5(text || chr(10) || reverse(text)) AS content_md5,
+                   CAST(7 AS INTEGER) AS n_blocks,
+                   CAST(2 AS INTEGER) AS n_content_blocks,
+                   CAST(2 * len(string_split(text, ' ')) AS INTEGER) AS n_spans,
+                   CAST(0 AS INTEGER) AS n_flagged,
+                   CAST(2 * length(text) + {_PAGE_OVERHEAD} AS BIGINT) AS chars_in,
+                   CAST(2 * length(text) + 1 AS BIGINT) AS chars_out
+            FROM documents
+        """,
+        "extract_host_metrics": f"""
+            SELECT 'docs.example.org' AS host,
+                   CAST(sum(2 * length(text) + {_PAGE_OVERHEAD}) AS BIGINT)
+                     AS sum_chars_in,
+                   CAST(sum(2 * length(text) + 1) AS BIGINT) AS sum_chars_out,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+        """,
+        "corpus_alignments": f"""
+            WITH d AS (SELECT {_URL_SQL} AS doc_id, text, lang
+                       FROM documents WHERE lang = 'en')
+            SELECT doc_id, 'p0' AS page_id, '0' AS line_id,
+                   text AS ocr, text AS gt,
+                   0.0 AS cer, CAST(0 AS INTEGER) AS levenshtein,
+                   CAST(0 AS INTEGER) AS min_dist,
+                   CAST(round_even(length(text) * 0.1, 0) AS INTEGER)
+                     AS allowed_dist,
+                   CAST(1 AS INTEGER) AS similarity, lang
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'p0', '1',
+                   reverse(text), '',
+                   CAST(length(text) AS DOUBLE),
+                   CAST(length(text) AS INTEGER), CAST(0 AS INTEGER),
+                   CAST(0 AS INTEGER), CAST(0 AS INTEGER), lang
+            FROM d
+        """,
+        "corpus_windows": f"""
+            WITH d AS (
+              SELECT {_URL_SQL} AS doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents WHERE lang = 'en'
+            ), w AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+              FROM d
+            )
+            SELECT doc_id, 'p0' AS page_id, '0' AS line_id,
+                   CAST(i - 1 AS INTEGER) AS pos,
+                   array_to_string(toks[i:i+3], ' ') AS ocr_win,
+                   array_to_string(toks[i:i+3], ' ') AS gt_win
+            FROM w
+        """,
+        "corpus_stats": f"""
+            WITH d AS (SELECT {_URL_SQL} AS doc_id, length(text) AS L
+                       FROM documents WHERE lang = 'en')
+            SELECT doc_id, CAST(2 AS BIGINT) AS n_lines,
+                   CAST(1 AS BIGINT) AS n_similar,
+                   round(L / 2.0, 6) AS avg_cer, 0.5 AS similar_ratio
+            FROM d
+            UNION ALL
+            SELECT NULL, CAST(2 * count(*) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   round(sum(L) / (2.0 * count(*)), 6), 0.5
+            FROM d
+        """,
+        "corpus_split": f"""
+            WITH d AS (SELECT {_URL_SQL} AS doc_id FROM documents
+                       WHERE lang = 'en'),
+            r AS (
+              SELECT doc_id, '0' AS line_id, '0.00' AS cer_bucket FROM d
+              UNION ALL
+              SELECT doc_id, '1', '>=0.10' FROM d
+            ), s AS (
+              SELECT cer_bucket,
+                     {_hex2int("md5(doc_id || '|' || line_id)")} % 10 AS h
+              FROM r
+            )
+            SELECT cer_bucket,
+                   CASE WHEN h < 8 THEN 'train'
+                        WHEN h < 9 THEN 'test' ELSE 'val' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM s GROUP BY 1, 2
+        """,
+        # no oracle (rows-only): ann_ivf (k-means-style centroid collect +
+        # argmax assignment is not SQL; see ann_ivf_pinned for the
+        # fixed-centroid hash-checked variant)
     }
     # the salted LSH expansion must produce EXACTLY the unsalted candidate
     # set — same oracle, so the driver itself certifies the equivalence

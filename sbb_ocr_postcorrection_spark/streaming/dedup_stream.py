@@ -36,6 +36,20 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+def _null_safe_key(key_col, url) -> "F.Column":
+    """State keys must never be NULL: md5(NULL text) / canonical(NULL url)
+    would collapse EVERY null-keyed row across batches into one state group,
+    flagging all but the first as duplicates — exactly the failure the batch
+    incremental_dedup sentinels as 'null:<doc_id>' (operators/dedup.py:139).
+    Mirror that convention with the row's own identity: a null-content page
+    keeps its per-url identity; a fully anonymous row (url NULL too) gets
+    the bare sentinel and is at least never conflated with real content."""
+    return F.coalesce(
+        key_col,
+        F.concat(F.lit("null:"), F.coalesce(url.cast("string"), F.lit(""))),
+    )
+
+
 OUT_SCHEMA = StructType(
     [
         StructField("content_hash", StringType()),
@@ -119,7 +133,9 @@ def dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> Dat
     ``ttl_minutes`` bounds the store for unbounded runs (None = keep state
     for the lifetime of the query — fine for tests and bounded backfills)."""
     return _stateful_first_seen(
-        pages_stream, F.md5(F.col("text")), ttl_minutes
+        pages_stream,
+        _null_safe_key(F.md5(F.col("text")), F.col("url")),
+        ttl_minutes,
     )
 
 
@@ -135,9 +151,15 @@ def url_dedup_stream(
     State is one long per distinct canonical URL, same TTL bound."""
     from ..operators.urls import canonical_url_expr
 
-    return _stateful_first_seen(
-        pages_stream, canonical_url_expr(F.col("url")), ttl_minutes
-    ).withColumnRenamed("content_hash", "canon_url")
+    # a NULL url has no address identity — fall back to the row's content
+    # digest (itself null-guarded) so address-less rows are never
+    # cross-deduplicated against each other by the shared null key
+    key = _null_safe_key(
+        canonical_url_expr(F.col("url")), F.md5(F.col("text"))
+    )
+    return _stateful_first_seen(pages_stream, key, ttl_minutes).withColumnRenamed(
+        "content_hash", "canon_url"
+    )
 
 
 def extract_dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:

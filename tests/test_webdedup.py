@@ -49,6 +49,21 @@ def test_canonical_url_cases(spark):
         assert got[i] == want, f"{raw!r} -> {got[i]!r}, want {want!r}"
 
 
+def test_canonical_url_oracle_parity():
+    """The DuckDB form (urls.CANON_URL_SQL, strpos-based) must agree with
+    the Spark form on EVERY pinned case — including the archive URL with an
+    embedded second scheme, where the old split_part(…, '://', 2) oracle
+    truncated at the embedded 'https://' (ADVICE r2 #1). Pure-DuckDB test:
+    the Spark side of the same cases is test_canonical_url_cases."""
+    import duckdb
+
+    con = duckdb.connect()
+    expr = U.CANON_URL_SQL.format(u="url")
+    for raw, want in CANON_CASES:
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS url)", [raw]).fetchone()[0]
+        assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+
+
 def test_url_dedup_groups(spark):
     rows = U.url_dedup(spark, SF_DIR).collect()
     # 7 hosts x 13 paths, all hit at 500 docs
@@ -276,6 +291,14 @@ def test_null_inputs_never_drop_rows(spark):
     assert r["repetition_keep"] == 0
     n = T.text_normalize(spark, SF_DIR, docs=vdocs).collect()[0]
     assert n["norm_text"] == "" and n["n_folded"] == 0
+    # pii_redact / bpe_token_stats: ADVICE r2 #3 — null text must yield the
+    # empty-doc verdict, not an all-NULL row (doc_id 1: no fixtures appended
+    # at mods 7/11, so the redaction runs on the bare empty string)
+    p = T.pii_redact(spark, SF_DIR, docs=vdocs).collect()[0]
+    assert p["n_emails"] == 0 and p["n_phones"] == 0 and p["redacted"] == ""
+    b = T.bpe_token_stats(spark, SF_DIR, docs=vdocs).collect()[0]
+    assert b["n_ws_tokens"] == 0 and b["n_bpe_pieces"] == 0
+    assert b["pieces_per_word"] == 0.0
 
     # host gate: null url groups under the sentinel pseudo-host
     docs = spark.createDataFrame(
