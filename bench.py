@@ -56,8 +56,12 @@ HEADLINE = [
     "seq_pack",
     "length_percentiles",
     "ann_brute_force",
+    # fixed-centroid IVF: the bucket-equality-join ANN shape, oracle-checked
+    "ann_ivf_pinned",
     "quality_score",
     "fingerprints",
+    # Arrow-batched rolling hash vs the interpreted per-char fold above
+    "fingerprints_np",
     "extract_pipeline",
 ]
 

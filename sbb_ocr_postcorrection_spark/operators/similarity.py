@@ -331,6 +331,111 @@ def ivf_topk(
     )
 
 
+_IVF_SALT = 777_777
+
+
+def _ivf_weight(cell: int, d: int) -> float:
+    """±1 pinned-centroid weight = md5 parity of cell*100000 + d + salt —
+    the same public plan-literal trick as _plane_weight, salted differently
+    so the IVF cells are independent of the LSH planes."""
+    h = int(
+        hashlib.md5(str(cell * 100_000 + d + _IVF_SALT).encode()).hexdigest()[:15],
+        16,
+    )
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def ivf_pinned_centroids(n_lists: int, dim: int) -> list[list[float]]:
+    """The ONE definition of the pinned centroid matrix — interpolated into
+    the Spark plan as literals AND into the DuckDB oracle as list literals,
+    so the two engines can never drift."""
+    return [[_ivf_weight(c, d) for d in range(dim)] for c in range(n_lists)]
+
+
+def ivf_topk_pinned(
+    spark, sf_dir, n_probes: int = 5, k: int = 5, n_lists: int = 8,
+    probe_lists: int = 4,
+) -> DataFrame:
+    """IVF ANN with PINNED centroids (VERDICT r2 next-step #2): the trained
+    ivf_topk's assignment (argmax over collected k-means centroids) is not
+    SQL-expressible, so this variant fixes the coarse quantizer to
+    deterministic ±1 centroids baked in as plan literals — every stage
+    (assign, probe-cell ranking, bucket-equality join, cosine top-k) is
+    then pure DataFrame algebra with a bit-exact DuckDB oracle. All ±1
+    centroids share norm sqrt(dim), so raw-dot argmax equals cosine argmax
+    and no per-cell normalization is needed.
+
+    The SCALE SHAPE is identical to the trained form: one narrow pass
+    assigns each vector to its cell (at 10^12 vectors the cell id becomes
+    the storage bucket key), probes fan out to their probe_lists best
+    cells, and scoring is an equality join on `cell` — never a cross join.
+    Lloyd-trained centroids (ivf_topk) remain the recall path; this one is
+    the correctness-gate path."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    first = e.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "probe_id long, rank int, cand_id long, cosine double"
+        )
+    dim = first["d"]
+    C = ivf_pinned_centroids(n_lists, dim)
+    v = _as_double(F.col("embedding"))
+    # per-cell dots as one array<struct<dot,cell>> column (plan literals)
+    cd = F.array(
+        *[
+            F.struct(
+                _dot(F.col("v"), F.array(*[F.lit(w) for w in C[c]])).alias("dot"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(n_lists)
+        ]
+    )
+    sig = e.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"),
+        cd.alias("cd"),
+    )
+    # corpus: single best cell, ties to the smallest cell id (array_min on
+    # (-dot, cell) structs — lexicographic struct ordering)
+    best = F.array_min(
+        F.transform(
+            F.col("cd"),
+            lambda s: F.struct((-s["dot"]).alias("nd"), s["cell"].alias("cell")),
+        )
+    )["cell"]
+    corpus = sig.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+        F.col("nm").alias("cn"), best.alias("cell"),
+    )
+    # probes: top probe_lists cells each, same (dot desc, cell asc) order
+    pw = W.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("cell"))
+    probes = (
+        sig.filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"),
+            F.col("nm").alias("pn"), F.explode("cd").alias("s"),
+        )
+        .select(
+            "probe_id", "pv", "pn",
+            F.col("s.dot").alias("dot"), F.col("s.cell").alias("cell"),
+        )
+        .withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= probe_lists)
+        .select("probe_id", "pv", "pn", "cell")
+    )
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 4
+    ).alias("cosine")
+    scored = probes.join(corpus, "cell").select("probe_id", "cand_id", sim)
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "cand_id", "cosine")
+    )
+
+
 def quantize_embeddings(spark, sf_dir) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     storage path at 10^12-vector scale (4 bytes/dim → 1, plus one scale
@@ -407,6 +512,56 @@ def lsh_signatures(spark, sf_dir) -> DataFrame:
         )
         sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(0)
     return v.select("vec_id", "label", sig.alias("lsh_bucket"), "v")
+
+
+def lsh_signatures_np(spark, sf_dir) -> DataFrame:
+    """Arrow/NumPy fast path for lsh_signatures (VERDICT r2 next-step #3):
+    ONE matmul per Arrow batch against the (planes × dim) weight matrix
+    instead of dim × _N_PLANES interpreted plan literals folded per row —
+    at production dims (768+) the literal form is ~6k constants and an
+    interpreted aggregate per row; the matmul is BLAS. Same _plane_weight
+    weights, same >0 sign rule, so buckets are identical to the JVM form
+    (which stays the DuckDB oracle — the driver gate certifies np == SQL
+    every round via this query's oracle). Boundary caveat: a projection
+    within one ulp of 0.0 could sign-flip between fold and BLAS summation
+    orders; real-valued embeddings never sit there."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    first = e.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    if dim == 0:
+        return e.select(
+            "vec_id", "label", F.lit(0).cast("long").alias("lsh_bucket"),
+            _as_double(F.col("embedding")).alias("v"),
+        )
+    P = np.array(
+        [[_plane_weight(p, d) for d in range(dim)] for p in range(_N_PLANES)],
+        dtype=np.float64,
+    )
+    pows = (2 ** np.arange(_N_PLANES)).astype(np.int64)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            buckets = ((V @ P.T) > 0).astype(np.int64) @ pows
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "lsh_bucket": buckets,
+                    "v": list(V),
+                }
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        kern, schema="vec_id long, label int, lsh_bucket long, v array<double>"
+    )
 
 
 def lsh_bucketed_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFrame:

@@ -161,6 +161,21 @@ def _minhash_sig_ctes(with_lang: bool = False) -> str:
     """
 
 
+def _ivf_cents_sql(n_lists: int = 8, dim: int = 64) -> str:
+    """DuckDB VALUES relation of the pinned IVF centroids — interpolated
+    from operators.similarity.ivf_pinned_centroids so one definition drives
+    both engines (dim 64 = the fixture embeddings' dimensionality at every
+    SF)."""
+    from .operators.similarity import ivf_pinned_centroids
+
+    rows = ivf_pinned_centroids(n_lists, dim)
+    vals = ", ".join(
+        f"({c}, CAST([{', '.join(repr(w) for w in row)}] AS DOUBLE[]))"
+        for c, row in enumerate(rows)
+    )
+    return f"(VALUES {vals}) cents(cell, w)"
+
+
 def _lsh_sig_cte() -> str:
     """Shared CTE: embeddings → (vec_id, v, nm, bucket) with the
     random-hyperplane bucket mirroring operators.similarity._plane_weight
@@ -307,6 +322,27 @@ def _curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(spark, sf_dir)
 
 
+def _export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export manifest's reason histogram (pipeline.
+    export_training_corpus) as a driver-checked relation: every input doc
+    accounted for by its curation verdict, with the kept/exported count
+    the manifest reports as n_exported. Certifies the END PRODUCT's
+    accounting, not just the verdict (VERDICT r2 next-step #8)."""
+    from .operators.curation import curate_corpus
+
+    _pin(spark)
+    return (
+        curate_corpus(spark, sf_dir)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "reason",
+            "n_docs",
+            (F.col("reason") == "kept").cast("int").alias("is_exported"),
+        )
+    )
+
+
 def _wordpiece_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.wordpiece import build_vocab_df
     from .operators.relational import load
@@ -407,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": pinned(_curation),
         # per-(source, reason) acceptance report over the composite verdict
         "curation_report": pinned(_curation_report),
+        "export_audit": _export_audit,
         # benchmark decontamination (broadcast eval-shingle semi join)
         "decontaminate": pinned(dedup.decontaminate),
         # unigram-LM quality score (CCNet perplexity-filter analog,
@@ -424,6 +461,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),
         "ann_lsh_multiprobe": pinned(similarity.lsh_multiprobe_topk),
         "ann_ivf": pinned(similarity.ivf_topk),                      # rows-only
+        "ann_ivf_pinned": pinned(similarity.ivf_topk_pinned),
+        "fingerprints_np": pinned(textstats.fingerprints_np),
+        # the NumPy signature fast path, hash-certified against the
+        # JVM/SQL plane formula every round
+        "lsh_signatures_np": lambda spark, sf_dir: (
+            _pin(spark)
+            or similarity.lsh_signatures_np(spark, sf_dir).select(
+                "vec_id", "label", "lsh_bucket"
+            )
+        ),
         "embedding_norms": pinned(similarity.embedding_norms),
         "embedding_quantize": pinned(similarity.quantize_embeddings),
         # text analysis
@@ -1304,6 +1351,42 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 3
         """,
+        # the NumPy matmul path must land in the SAME buckets as the
+        # md5-parity plane formula (the JVM/interpreted form's oracle)
+        "lsh_signatures_np": f"""
+            WITH {_lsh_sig_cte()}
+            SELECT s.vec_id, e2.label, CAST(s.bucket AS BIGINT) AS lsh_bucket
+            FROM sig s JOIN embeddings e2 USING (vec_id)
+        """,
+        # pinned-centroid IVF: assignment/probe ranking on (dot DESC, cell)
+        # both sides; ±1 centroids share a norm, so raw-dot argmax ≡ cosine
+        "ann_ivf_pinned": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            d AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm,
+                         cell, list_inner_product(v, w) AS dot
+                  FROM e CROSS JOIN {_ivf_cents_sql()}),
+            corp AS (SELECT vec_id AS cand_id, v AS cv, nm AS cn, cell
+                     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cell) AS rn
+                           FROM d WHERE vec_id >= 5)
+                     WHERE rn = 1),
+            pr AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn, cell
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell) AS rn
+                         FROM d WHERE vec_id < 5)
+                   WHERE rn <= 4),
+            scored AS (SELECT probe_id, cand_id,
+                              round(list_inner_product(pv, cv) / (pn * cn), 4)
+                                AS cosine
+                       FROM pr JOIN corp USING (cell)),
+            ranked AS (SELECT probe_id, cand_id, cosine,
+                              CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, cand_id) AS INTEGER)
+                                AS rank
+                       FROM scored)
+            SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
+        """,
         "line_split_roundtrip": """
             SELECT doc_id AS parent_id, CAST(1 AS INTEGER) AS roundtrip_ok
             FROM documents
@@ -1485,6 +1568,9 @@ def oracle_sql() -> dict[str, str]:
     # the salted LSH expansion must produce EXACTLY the unsalted candidate
     # set — same oracle, so the driver itself certifies the equivalence
     sql["dedup_minhash_lsh_salted"] = sql["dedup_minhash_lsh"]
+    # the Arrow-batched fingerprint kernel must reproduce the JVM fold's
+    # oracle bit-for-bit — same SQL, so the driver certifies the fast path
+    sql["fingerprints_np"] = sql["fingerprints"]
     # the composite curation verdict reuses the stage oracles as CTEs, so
     # the END-TO-END flow is hash-checked, not just its parts (DuckDB
     # supports nested WITH inside a CTE body)
@@ -1571,5 +1657,14 @@ def oracle_sql() -> dict[str, str]:
                      sum(n_docs) OVER (PARTITION BY source), 6)
                  AS pct_of_source
         FROM agg
+    """
+    # the export manifest's accounting (reason histogram + exported bit):
+    # pure aggregation over the curation verdict CTE
+    sql["export_audit"] = f"""
+        WITH cp AS ({sql["curation_pipeline"]})
+        SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_exported
+        FROM cp GROUP BY reason
     """
     return sql

@@ -105,6 +105,45 @@ def _union_find_components(edges, nodes):
     return out
 
 
+def test_connected_components_skewed_celebrity_graph(spark):
+    """Skew stress (VERDICT r2 next-step #7): one celebrity node with a
+    10^4-edge star plus several 256-node chains. Assertions pin the two
+    scale properties the algorithm exists for: convergence stays O(log n)
+    rounds (max_rounds=15 would RAISE if the celebrity degraded it — a
+    chain of 256 alone needs ~8), and no stage materializes a neighbor
+    list (no collect_list/collect_set in the plan — the window-min shape
+    is what keeps a 10^7-degree node from becoming one giant array row).
+    Correctness is cross-checked against driver-side union-find."""
+    star_n = 10_000
+    edges = [(0, i) for i in range(1, star_n + 1)]
+    chain_nodes = []
+    for c in range(4):
+        base = 1_000_000 * (c + 1)
+        chain_nodes.extend(base + i for i in range(256))
+        edges.extend((base + i, base + i + 1) for i in range(255))
+    # tie chain 0 into the star so the celebrity component also has depth
+    edges.append((star_n // 2, 1_000_000))
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+
+    from sbb_ocr_postcorrection_spark.operators import components as C
+
+    lg = C._large_star(df)
+    plan = lg._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+    res = {
+        r["node"]: r["component"]
+        for r in C.connected_components(df, max_rounds=15).collect()
+    }
+    nodes = set(range(star_n + 1)) | set(chain_nodes)
+    expected = _union_find_components(edges, nodes)
+    assert res == expected
+    # every star member + chain 0 landed in component 0; other chains kept
+    # their own min id
+    assert res[1_000_000 + 255] == 0
+    assert res[2_000_000 + 255] == 2_000_000
+
+
 def test_duplicate_components_match_union_find(spark):
     sf = "/root/testdata/sf0.001"
     from sbb_ocr_postcorrection_spark.operators.dedup import (

@@ -48,6 +48,39 @@ def test_ivf_recall_vs_brute_force(spark):
     assert hits / total >= 0.5, (hits, total)
 
 
+def test_ivf_pinned_is_subset_of_brute_force_and_equality_joined(spark):
+    """ivf_topk_pinned (fixed ±1 centroids, fully SQL-expressible): every
+    returned (probe, cand, cosine) must agree with the exact brute-force
+    scores (IVF only PRUNES candidates — it never invents or rescores), the
+    probe side must genuinely prune (some probe misses at least one exact
+    top-5 neighbor at probe_lists=4 of 8, else the test is vacuous), and
+    the scoring join must be an equality hash join on the cell key — never
+    a cartesian/BNL join."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_pinned,
+    )
+
+    exact = {
+        (r["probe_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(spark, SF, k=1000).collect()
+    }
+    df = ivf_topk_pinned(spark, SF)
+    rows = df.collect()
+    assert rows, "pinned IVF returned nothing"
+    for r in rows:
+        assert exact[(r["probe_id"], r["cand_id"])] == r["cosine"]
+    top5 = {
+        (r["probe_id"], r["cand_id"])
+        for r in brute_force_topk(spark, SF, k=5).collect()
+    }
+    got = {(r["probe_id"], r["cand_id"]) for r in rows}
+    assert got - top5 or top5 - got, "probe_lists=4/8 pruned nothing — vacuous"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     """LSH recall property: pairs with very high exact Jaccard should be
     found by the banded MinHash (4 bands × 4 rows → ~99% recall at J=0.9)."""
