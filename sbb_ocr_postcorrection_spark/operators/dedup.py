@@ -73,6 +73,40 @@ def exact_groups(spark, sf_dir) -> DataFrame:
     )
 
 
+def _history_batch_or_synth(spark, sf_dir, history, batch):
+    """Shared fixture path for the cross-snapshot operators
+    (incremental_dedup, bloom_gate): validate the caller's history/batch
+    pair, or synthesize one from the documents table via the deterministic
+    content remap + doc_id-parity split described in incremental_dedup's
+    docstring (the corpus itself has no duplicate texts — the remap makes
+    every verdict combination non-vacuous)."""
+    if (history is None) != (batch is None):
+        raise ValueError("supply history and batch together, or neither")
+    if history is not None:
+        return history, batch
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base_id = (
+        F.when(i % 10 == 7, i - (i % 100) + 7)
+        .when(i % 5 == 0, i - (i % 20))
+        .otherwise(i)
+    )
+    base = d.select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+    )
+    remapped = (
+        d.select("doc_id", "text", base_id.alias("base_id"))
+        .join(base, "base_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("base_text"), F.col("text")).alias("text")
+        )
+    )
+    return (
+        remapped.filter(F.col("doc_id") % 2 == 0),
+        remapped.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
     """Cross-snapshot incremental dedup: a NEW crawl batch arrives on top
     of an already-deduped HISTORY, and each new document is kept iff its
@@ -104,28 +138,7 @@ def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
     emitted for every batch doc — dropped rows surface with keep=0 and the
     reason split across in_history/first_in_batch, never silently vanish.
     """
-    if (history is None) != (batch is None):
-        raise ValueError("supply history and batch together, or neither")
-    if history is None:
-        d = load(spark, sf_dir, "documents")
-        i = F.col("doc_id")
-        base_id = (
-            F.when(i % 10 == 7, i - (i % 100) + 7)
-            .when(i % 5 == 0, i - (i % 20))
-            .otherwise(i)
-        )
-        base = d.select(
-            F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
-        )
-        remapped = (
-            d.select("doc_id", "text", base_id.alias("base_id"))
-            .join(base, "base_id", "left")
-            .select(
-                "doc_id", F.coalesce(F.col("base_text"), F.col("text")).alias("text")
-            )
-        )
-        history = remapped.filter(F.col("doc_id") % 2 == 0)
-        batch = remapped.filter(F.col("doc_id") % 2 == 1)
+    history, batch = _history_batch_or_synth(spark, sf_dir, history, batch)
     # null text carries NO content identity: md5(NULL) is NULL, and a null
     # hash would (a) group unrelated null-text batch docs into one window
     # partition, dropping all but one as "duplicates" of each other, and
@@ -164,6 +177,112 @@ def incremental_dedup(spark, sf_dir, history=None, batch=None) -> DataFrame:
             .cast("int")
             .alias("keep"),
         )
+    )
+
+
+# fixture Bloom geometry: m is deliberately SMALL so the driver corpus
+# exhibits false positives (~fill^k of the batch) — a filter big enough to
+# never collide would make the maybe-seen semantics untestable (vacuous).
+# Production sizing: m ≈ -n·ln(p)/ln(2)², k ≈ (m/n)·ln(2).
+BLOOM_M_BITS = 4096
+BLOOM_K_HASHES = 4
+
+
+def bloom_positions(digest, j: int, m_bits: int):
+    """Bit position j for a content digest: md5_60(digest|'|'|j) mod m —
+    the repo's one keyed hash, so DuckDB replays every position exactly."""
+    return F.pmod(
+        md5_60(F.concat(digest, F.lit(f"|{j}"))), F.lit(m_bits)
+    ).cast("int")
+
+
+def bloom_gate(
+    spark, sf_dir, history=None, batch=None,
+    m_bits: int = BLOOM_M_BITS, k_hashes: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Bloom-filter membership gate: the BOUNDED-MEMORY form of the
+    cross-snapshot dedup probe. incremental_dedup shuffles the batch
+    against the distinct history digests — exact, but the history side of
+    that join grows with the corpus. At 10^12 documents the steady-state
+    crawl wants a constant-size summary instead: an m-bit Bloom filter of
+    the history digests, broadcast to every executor, probed locally by
+    each batch row — ZERO shuffle of either side, at the price of a known
+    false-positive rate (bloom_hit=1 means MAYBE seen; 0 is definite).
+    Re-crawls gated here skip the extraction kernel; the exact join runs
+    downstream on the survivors only.
+
+    Build: history digests → k bit positions each (md5-keyed,
+    bloom_positions) → the DISTINCT set positions is collected into an
+    m-bit numpy bitmap (bounded by m — the whole point) and broadcast.
+    Probe: one Arrow-batched kernel computes the same k positions per
+    batch digest (hashlib md5 ≡ Spark md5) and ANDs the bitmap lookups.
+    Null text takes the per-doc sentinel digest (shared convention), so a
+    null-content page can never bloom-collide with real content.
+
+    The DuckDB oracle replays the SAME positions and declares bloom_hit
+    iff all k positions appear in the history position set — semantically
+    identical to the bitmap, so the driver gate certifies the kernel's
+    false positives bit-for-bit, not just the true hits."""
+    import numpy as np
+    import pandas as pd
+
+    history, batch = _history_batch_or_synth(spark, sf_dir, history, batch)
+    hist_digest = (
+        history.select(F.md5(F.col("text")).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    pos_rows = (
+        hist_digest.select(
+            F.explode(
+                F.array(
+                    *[bloom_positions(F.col("h"), j, m_bits) for j in range(k_hashes)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if pos_rows:
+        bitmap[[r["pos"] for r in pos_rows]] = True
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    probe = batch.select(
+        "doc_id",
+        F.coalesce(
+            F.md5(F.col("text")),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("content_hash"),
+    )
+
+    def kern(batches):
+        import hashlib as _hl
+
+        bm = bc.value
+        m = len(bm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hits = []
+            for h in pdf["content_hash"]:
+                ok = True
+                for j in range(k_hashes):
+                    p = int(_hl.md5(f"{h}|{j}".encode()).hexdigest()[:15], 16) % m
+                    if not bm[p]:
+                        ok = False
+                        break
+                hits.append(1 if ok else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_hash": pdf["content_hash"],
+                    "bloom_hit": hits,
+                }
+            )
+
+    return probe.mapInPandas(
+        kern, schema="doc_id long, content_hash string, bloom_hit int"
     )
 
 

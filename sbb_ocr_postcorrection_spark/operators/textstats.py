@@ -520,6 +520,103 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     )
 
 
+# mix-sampler fixture constants (interpolated into the DuckDB oracle):
+# budget = MIX_BUDGET_NUM/MIX_BUDGET_DEN of the corpus' total tokens, and
+# the synthetic per-source weight is 1 + 3·(source index mod 4) → weights
+# 1/4/7/10. At every SF this puts the top weight OVER its proportional
+# share (rate capped at 1 — the keep-everything branch) while weight-1
+# sources sample at ~11% — both branches of the rate law exercised.
+MIX_BUDGET_NUM = 3
+MIX_BUDGET_DEN = 5
+MIX_COIN_MOD = 1_000_000
+
+
+def source_mix_sample(spark, sf_dir, weights: dict | None = None, docs=None) -> DataFrame:
+    """Source-mixing sampler: given relative per-source weights and a
+    corpus-wide token budget, compute each source's sampling rate so the
+    KEPT tokens land on the target mixture (the data-mixture step every
+    pretraining pipeline runs after curation: upweight small high-value
+    sources, downsample the dominant crawl), then take a deterministic
+    md5-coin sample at that rate.
+
+    rate_s = min(1, budget·w_s / (Σw · T_s)) where T_s is the source's
+    token count. The keep verdict is ONE integer comparison —
+    coin · Σw · T_s · DEN < NUM · T_total · w_s · COIN_MOD — so there is
+    no float rounding to diverge between engines, and the md5 coin makes
+    the sample identical under rerun/repartition (the corpus_sample
+    contract). A source whose weighted share exceeds its actual tokens is
+    kept whole by the same inequality (no special-case branch).
+
+    Scale shape: one narrow token-count pass, one tiny per-source
+    aggregate (|sources| rows) joined back via AQE broadcast, zero
+    wide dependencies on the document table itself. Returns the
+    per-source accounting report; callers wanting the doc-level verdict
+    use the same predicate on the joined relation.
+
+    ``weights`` maps source → positive int weight; the fixture default
+    derives 1 + 3·(source_index mod 4) arithmetically so every SF
+    exercises capped AND fractional rates."""
+    from .dedup import md5_60
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    if weights is None:
+        w_expr = (
+            F.lit(1) + F.lit(3) * (F.substring("source", 4, 10).cast("int") % 4)
+        ).cast("long")
+    else:
+        # unlisted sources weight 0 → sampled out, but still REPORTED
+        # (their row surfaces with n_kept=0, never silently vanishes)
+        w_expr = F.coalesce(
+            *[
+                F.when(F.col("source") == s, F.lit(int(w)))
+                for s, w in sorted(weights.items())
+            ],
+            F.lit(0),
+        ).cast("long")
+    per_doc = base.select("doc_id", "source", "n_tokens", w_expr.alias("w"))
+    per_source = per_doc.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("t_s")
+    )
+    totals = per_source.agg(
+        F.sum(F.col("w")).alias("sum_w"), F.sum("t_s").alias("t_total")
+    )
+    coin = F.pmod(
+        md5_60(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+        F.lit(MIX_COIN_MOD),
+    )
+    joined = (
+        per_doc.join(per_source.select("source", "t_s"), "source")
+        .crossJoin(totals)
+        .select(
+            "doc_id", "source", "n_tokens", "w", "t_s", "sum_w", "t_total",
+            (
+                coin * F.col("sum_w") * F.col("t_s") * F.lit(MIX_BUDGET_DEN)
+                < F.lit(MIX_BUDGET_NUM)
+                * F.col("t_total")
+                * F.col("w")
+                * F.lit(MIX_COIN_MOD)
+            )
+            .cast("int")
+            .alias("mix_keep"),
+        )
+    )
+    return joined.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum("mix_keep").alias("n_kept"),
+        F.sum(F.col("n_tokens") * F.col("mix_keep")).alias("tokens_kept"),
+        F.max(
+            (
+                F.lit(MIX_BUDGET_NUM) * F.col("t_total") * F.col("w")
+                >= F.col("sum_w") * F.col("t_s") * F.lit(MIX_BUDGET_DEN)
+            ).cast("int")
+        ).alias("rate_capped"),
+    )
+
+
 def quality_weighted_sample(
     spark, sf_dir, hi_rate: int = 100, lo_rate: int = 10
 ) -> DataFrame:

@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-snapshot incremental dedup: history digest probe +
         # in-batch first-occurrence window on one shared hash key
         "dedup_incremental": pinned(dedup.incremental_dedup),
+        "dedup_bloom": pinned(dedup.bloom_gate),
         # training-sequence packing layout: two-level prefix sum (bucket
         # cumsum + broadcast bucket offsets), no global-sort window
         "seq_pack": pinned(packing.sequence_pack),
@@ -454,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII detect + redact (JVM regexp over deterministically
         # PII-augmented text)
         "pii_redact": pinned(textstats.pii_redact),
+        "corpus_mix": pinned(textstats.source_mix_sample),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -879,6 +881,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INTEGER) AS keep
             FROM fl
         """,
+        # Bloom gate: the oracle replays the bitmap semantically — all k
+        # md5-keyed positions present in the history position set — so the
+        # driver certifies the kernel's FALSE POSITIVES too, not just true
+        # hits. Geometry constants interpolate from operators.dedup.
+        "dedup_bloom": f"""
+            WITH remap AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 10 = 7 THEN doc_id - (doc_id % 100) + 7
+                          WHEN doc_id % 5 = 0 THEN doc_id - (doc_id % 20)
+                          ELSE doc_id END AS base_id
+              FROM documents
+            ), c AS (
+              SELECT r.doc_id, coalesce(b.text, r.text) AS text
+              FROM remap r LEFT JOIN documents b ON b.doc_id = r.base_id
+            ), hashed AS (
+              SELECT doc_id, md5(text) AS content_hash FROM c
+            ), js AS (
+              SELECT unnest(generate_series(0, {dedup.BLOOM_K_HASHES - 1})) AS j
+            ), hp AS (
+              SELECT DISTINCT
+                     {_hex2int("md5(h || '|' || CAST(j AS VARCHAR))")}
+                       % {dedup.BLOOM_M_BITS} AS pos
+              FROM (SELECT DISTINCT content_hash AS h FROM hashed
+                    WHERE doc_id % 2 = 0) CROSS JOIN js
+            ), bp AS (
+              SELECT doc_id, content_hash,
+                     {_hex2int("md5(content_hash || '|' || CAST(j AS VARCHAR))")}
+                       % {dedup.BLOOM_M_BITS} AS pos
+              FROM hashed CROSS JOIN js WHERE doc_id % 2 = 1
+            ), hits AS (
+              SELECT b.doc_id, b.content_hash, count(h.pos) AS n_hit
+              FROM bp b LEFT JOIN hp h USING (pos)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, content_hash,
+                   CAST(CASE WHEN n_hit = {dedup.BLOOM_K_HASHES} THEN 1 ELSE 0 END
+                        AS INTEGER) AS bloom_hit
+            FROM hits
+        """,
         "dedup_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id, lang, {_TOKS_SQL} AS l FROM documents
@@ -1239,6 +1280,39 @@ def oracle_sql() -> dict[str, str]:
                               AND coalesce(h.n_overlap, 0) >= 1
                              THEN 1 ELSE 0 END AS INTEGER) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # mixing-law constants interpolate from operators.textstats so one
+        # definition drives both engines; the keep verdict is one integer
+        # inequality (no float rates to diverge)
+        "corpus_mix": f"""
+            WITH base AS (
+              SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens,
+                     CAST(1 + 3 * (CAST(substr(source, 4) AS INTEGER) % 4)
+                          AS BIGINT) AS w
+              FROM documents
+            ), ps AS (
+              SELECT source, w, count(*) AS n_docs, sum(n_tokens) AS t_s
+              FROM base GROUP BY 1, 2
+            ), tot AS (SELECT sum(w) AS sum_w, sum(t_s) AS t_total FROM ps),
+            j AS (
+              SELECT b.doc_id, b.source, b.n_tokens, b.w, p.t_s,
+                     t.sum_w, t.t_total,
+                     CASE WHEN ({_hex2int("md5('mix|' || CAST(b.doc_id AS VARCHAR))")}
+                                % {textstats.MIX_COIN_MOD})
+                               * t.sum_w * p.t_s * {textstats.MIX_BUDGET_DEN}
+                          < {textstats.MIX_BUDGET_NUM} * t.t_total * b.w
+                            * {textstats.MIX_COIN_MOD}
+                          THEN 1 ELSE 0 END AS mix_keep
+              FROM base b JOIN ps p USING (source) CROSS JOIN tot t
+            )
+            SELECT source, w, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+                   CAST(sum(mix_keep) AS BIGINT) AS n_kept,
+                   CAST(sum(n_tokens * mix_keep) AS BIGINT) AS tokens_kept,
+                   CAST(max(CASE WHEN {textstats.MIX_BUDGET_NUM} * t_total * w
+                                      >= sum_w * t_s * {textstats.MIX_BUDGET_DEN}
+                                 THEN 1 ELSE 0 END) AS INTEGER) AS rate_capped
+            FROM j GROUP BY 1, 2
         """,
         "pii_redact": r"""
             WITH aug AS (

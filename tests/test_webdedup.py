@@ -270,6 +270,93 @@ def test_incremental_dedup_real_relations(spark):
         D.incremental_dedup(spark, SF_DIR, history=history)
 
 
+def test_source_mix_sample_budget_law(spark):
+    """Mixing law: capped sources (weighted share ≥ their tokens) keep
+    EVERYTHING; uncapped sources sample near rate = budget·w/(Σw·T_s)
+    (md5-coin, so only statistically exact — allow ±40% relative on ~25-doc
+    sources); both branches must be present at the fixture weights
+    (non-vacuous). Injected weights: unlisted sources surface with weight
+    0 and keep nothing, never vanish."""
+    from sbb_ocr_postcorrection_spark.operators import textstats as T
+
+    rows = {r["source"]: r for r in T.source_mix_sample(spark, SF_DIR).collect()}
+    assert len(rows) == 20
+    capped = [r for r in rows.values() if r["rate_capped"] == 1]
+    uncapped = [r for r in rows.values() if r["rate_capped"] == 0]
+    assert capped and uncapped, "fixture must exercise both rate branches"
+    for r in capped:
+        assert r["n_kept"] == r["n_docs"] and r["tokens_kept"] == r["tokens_total"]
+    t_total = sum(r["tokens_total"] for r in rows.values())
+    sum_w = sum(r["w"] for r in rows.values())
+    # per-source counts are ~25 binomial coins — far too noisy to band
+    # individually; the POOLED kept-token mass over the uncapped sources
+    # must track the pooled target (≈375 coins → ±35% is >4σ slack)
+    target = sum(3 * t_total * r["w"] / (5 * sum_w) for r in uncapped)
+    kept = sum(r["tokens_kept"] for r in uncapped)
+    assert 0.65 * target <= kept <= 1.35 * target, (kept, target)
+    for r in uncapped:  # a sampled source never keeps everything here
+        assert r["tokens_kept"] <= r["tokens_total"]
+
+    got = {
+        r["source"]: r
+        for r in T.source_mix_sample(
+            spark, SF_DIR, weights={"src0": 1, "src1": 3}
+        ).collect()
+    }
+    assert len(got) == 20
+    assert got["src5"]["w"] == 0 and got["src5"]["n_kept"] == 0
+    assert got["src1"]["w"] == 3
+    # src0+src1 hold ~10% of tokens but the whole budget → both capped
+    assert got["src0"]["rate_capped"] == 1 and got["src1"]["rate_capped"] == 1
+
+
+def test_bloom_gate_no_false_negatives_and_real_false_positives(spark):
+    """Bloom semantics: every batch doc whose digest IS in history must be
+    flagged (a Bloom filter can never false-negative), and at a dense
+    geometry (m=512, k=4 → fill ~0.8 on the ~200-digest synth history)
+    some NOT-in-history docs must collide (false positives) while others
+    stay definite-new — otherwise the maybe-seen semantics are untested.
+    Exact truth comes from incremental_dedup on the same synth split. The
+    default m=4096 run is checked for the no-false-negative invariant at
+    its own geometry (false positives there appear only at sf0.1 history
+    sizes — the 3-SF oracle check covers that band). Injected relations
+    exercise the real-caller path + the null-text sentinel."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D
+
+    truth = {
+        r["doc_id"]: r["in_history"]
+        for r in D.incremental_dedup(spark, SF_DIR).collect()
+    }
+    for m_bits, need_fp in ((512, True), (D.BLOOM_M_BITS, False)):
+        bloom = {
+            r["doc_id"]: r["bloom_hit"]
+            for r in D.bloom_gate(spark, SF_DIR, m_bits=m_bits).collect()
+        }
+        assert set(bloom) == set(truth)
+        misses = [d for d, h in truth.items() if h == 1 and bloom[d] == 0]
+        assert not misses, f"false negatives impossible for a Bloom filter: {misses}"
+        fps = [d for d, h in truth.items() if h == 0 and bloom[d] == 1]
+        if need_fp:
+            assert fps, "dense geometry produced zero false positives — vacuous"
+        # definite-new docs exist (the gate actually lets things through)
+        assert any(h == 0 for h in bloom.values())
+
+    # injected relations + null text: null batch docs take the sentinel
+    # digest and can never match real history content
+    hist = spark.createDataFrame([(1, "x"), (2, None)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(11, "x"), (12, None), (13, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in D.bloom_gate(spark, SF_DIR, history=hist, batch=batch).collect()
+    }
+    assert set(rows) == {11, 12, 13}
+    assert rows[11]["bloom_hit"] == 1  # true member
+    assert rows[12]["content_hash"] == "null:12"
+    assert rows[13]["content_hash"] == "null:13"
+
+
 def test_null_inputs_never_drop_rows(spark):
     """Null url / null text must surface with a DEFINITE verdict, not
     vanish, cross-deduplicate, or emit NULL keep-bits that fall through
