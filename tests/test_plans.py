@@ -137,3 +137,41 @@ def test_bucketed_join_has_no_exchange(spark):
         for r in df.collect()
     )
     assert got == expected
+
+
+def test_bloom_probe_batch_side_never_shuffles(spark):
+    """bloom_gate's batch probe must be a narrow mapInPandas against the
+    broadcast bitmap — no join and no hash exchange of the batch rows
+    themselves (injected relations isolate the probe from the synth
+    fixture's remap join)."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import bloom_gate
+
+    hist = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    batch = spark.createDataFrame([(11, "x"), (12, "z")], "doc_id long, text string")
+    plan = plan_of(bloom_gate(spark, SF_DIR, history=hist, batch=batch))
+    assert "MapInPandas" in plan
+    for bad in ("Join", "Exchange hashpartitioning", "Sort "):
+        assert bad not in plan, f"{bad} leaked into the bloom probe:\n{plan}"
+
+
+def test_corpus_mix_joins_are_broadcast(spark):
+    """source_mix_sample: the per-source totals rejoin and the 1-row
+    grand-total cross join must both build on the TINY side (broadcast) —
+    the document table is never sort-merge-joined or cartesian-expanded."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import source_mix_sample
+
+    plan = plan_of(source_mix_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pinned_equality_join_no_trained_state(spark):
+    """ivf_topk_pinned: centroids are plan literals (no torch/broadcast
+    state), scoring joins probes to candidates on the cell key only."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import ivf_topk_pinned
+
+    plan = plan_of(ivf_topk_pinned(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin" in plan
