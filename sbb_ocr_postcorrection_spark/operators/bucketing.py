@@ -45,35 +45,29 @@ def write_bucketed(
     (LOCATION_ALREADY_EXISTS). The cleanup goes through the Hadoop
     FileSystem API so it works for hdfs://s3a:// warehouses, not just
     local paths, and the name is lowercased to match what the metastore
-    actually writes. The stale location is RESOLVED, never string-joined
-    from warehouse.dir: a metastore-registered table reports its own
-    location (DESCRIBE EXTENDED), and an orphan directory is looked up
-    under the owning database's locationUri — so a qualified 'db.tbl'
-    name or a non-default current database never deletes the wrong path
-    (ADVICE r2 #5). Identifiers are backtick-quoted throughout."""
+    actually writes. The stale path deleted is ONLY the MANAGED target —
+    the owning database's locationUri + table name, resolved via the
+    catalog API, which is the one directory saveAsTable will write to —
+    so a qualified 'db.tbl' name or a non-default current database never
+    deletes the wrong path (ADVICE r2 #5), and an EXTERNAL table's backing
+    data (which DROP TABLE deliberately preserves) is never touched: its
+    location is somewhere else by definition. Identifiers are
+    backtick-quoted throughout."""
     table = table.lower()
     spark = df.sparkSession
-    if spark.catalog.tableExists(table):
-        loc = next(
-            (
-                r["data_type"]
-                for r in spark.sql(f"DESCRIBE EXTENDED {_quoted(table)}").collect()
-                if r["col_name"] == "Location"
-            ),
-            None,
-        )
-    else:
-        db, _, name = table.rpartition(".")
-        dbloc = spark.catalog.getDatabase(
-            db or spark.catalog.currentDatabase()
-        ).locationUri
-        loc = f"{dbloc.rstrip('/')}/{name}"
+    db, _, name = table.rpartition(".")
+    dbloc = spark.catalog.getDatabase(
+        db or spark.catalog.currentDatabase()
+    ).locationUri
+    managed_target = f"{dbloc.rstrip('/')}/{name}"
     spark.sql(f"DROP TABLE IF EXISTS {_quoted(table)}")
-    if loc is not None:
-        jvm = spark._jvm
-        stale = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = stale.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(stale, True)
+    # orphan cleanup: a MANAGED table's dir is already gone after the DROP
+    # (the delete is then a no-op); what this clears is a directory left by
+    # a previous session whose metastore entry no longer exists
+    jvm = spark._jvm
+    stale = jvm.org.apache.hadoop.fs.Path(managed_target)
+    fs = stale.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(stale, True)
     (
         df.write.format("parquet")
         .bucketBy(buckets, key)

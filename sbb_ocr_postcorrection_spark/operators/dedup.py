@@ -216,8 +216,11 @@ def bloom_gate(
     m-bit numpy bitmap (bounded by m — the whole point) and broadcast.
     Probe: one Arrow-batched kernel computes the same k positions per
     batch digest (hashlib md5 ≡ Spark md5) and ANDs the bitmap lookups.
-    Null text takes the per-doc sentinel digest (shared convention), so a
-    null-content page can never bloom-collide with real content.
+    Null text takes the per-doc sentinel digest (shared convention): it
+    carries its own identity rather than the shared NULL key, though like
+    ANY digest its positions can still false-positive at the filter's
+    rate — the oracle replays the sentinel's positions too, so even that
+    case is hash-certified.
 
     The DuckDB oracle replays the SAME positions and declares bloom_hit
     iff all k positions appear in the history position set — semantically
@@ -226,6 +229,7 @@ def bloom_gate(
     import numpy as np
     import pandas as pd
 
+    fixture = history is None and batch is None
     history, batch = _history_batch_or_synth(spark, sf_dir, history, batch)
     hist_digest = (
         history.select(F.md5(F.col("text")).alias("h"))
@@ -255,6 +259,12 @@ def bloom_gate(
             F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
         ).alias("content_hash"),
     )
+    if fixture:
+        # the toy parquet is one split and the remap join broadcasts, so
+        # without this the whole probe kernel runs as a single task (the
+        # repartition-single-split-inputs kernel rule); real callers
+        # arrive with their own splits and skip the extra exchange
+        probe = probe.repartition(spark.sparkContext.defaultParallelism)
 
     def kern(batches):
         import hashlib as _hl

@@ -279,10 +279,14 @@ def fingerprints(spark, sf_dir) -> DataFrame:
     # h = fold(chars, 7, (acc, c) -> (acc*31 + codepoint(c)) mod 2^31-1) —
     # order-SENSITIVE, complementing the order-insensitive md5 canon form
     # empty-text guard: Spark split('','') yields [''] with ascii('')=0
-    # (one bogus fold step → 217) while the oracle folds nothing (7)
-    rolling = F.when(F.length("text") == 0, F.lit(7).cast("long")).otherwise(
+    # (one bogus fold step → 217) while the oracle folds nothing (7).
+    # NULL text ≡ empty document (repo convention): coalesce BEFORE the
+    # length test, else when(NULL==0) is null-false and the fold
+    # null-propagates — diverging from fingerprints_np's 7
+    t = F.coalesce(F.col("text"), F.lit(""))
+    rolling = F.when(F.length(t) == 0, F.lit(7).cast("long")).otherwise(
         F.aggregate(
-            F.split(F.col("text"), ""),
+            F.split(t, ""),
             F.lit(7).cast("long"),
             lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
         )
@@ -545,7 +549,11 @@ def source_mix_sample(spark, sf_dir, weights: dict | None = None, docs=None) -> 
     no float rounding to diverge between engines, and the md5 coin makes
     the sample identical under rerun/repartition (the corpus_sample
     contract). A source whose weighted share exceeds its actual tokens is
-    kept whole by the same inequality (no special-case branch).
+    kept whole by the same inequality (no special-case branch). The
+    comparison runs in decimal(38,0) (DuckDB: HUGEINT) — at 10^12-token
+    corpora the COIN_MOD·T_total product blows through int64, and an
+    ANSI overflow (or worse, a silent wrap with ANSI off) on exactly one
+    engine is the divergence the integer form exists to prevent.
 
     Scale shape: one narrow token-count pass, one tiny per-source
     aggregate (|sources| rows) joined back via AQE broadcast, zero
@@ -578,7 +586,7 @@ def source_mix_sample(spark, sf_dir, weights: dict | None = None, docs=None) -> 
         ).cast("long")
     per_doc = base.select("doc_id", "source", "n_tokens", w_expr.alias("w"))
     per_source = per_doc.groupBy("source", "w").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("t_s")
+        F.sum("n_tokens").alias("t_s")
     )
     totals = per_source.agg(
         F.sum(F.col("w")).alias("sum_w"), F.sum("t_s").alias("t_total")
@@ -587,17 +595,21 @@ def source_mix_sample(spark, sf_dir, weights: dict | None = None, docs=None) -> 
         md5_60(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
         F.lit(MIX_COIN_MOD),
     )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
     joined = (
         per_doc.join(per_source.select("source", "t_s"), "source")
         .crossJoin(totals)
         .select(
             "doc_id", "source", "n_tokens", "w", "t_s", "sum_w", "t_total",
             (
-                coin * F.col("sum_w") * F.col("t_s") * F.lit(MIX_BUDGET_DEN)
-                < F.lit(MIX_BUDGET_NUM)
-                * F.col("t_total")
-                * F.col("w")
-                * F.lit(MIX_COIN_MOD)
+                dec(coin) * dec(F.col("sum_w")) * dec(F.col("t_s"))
+                * F.lit(MIX_BUDGET_DEN)
+                < dec(F.lit(MIX_BUDGET_NUM) * MIX_COIN_MOD)
+                * dec(F.col("t_total"))
+                * dec(F.col("w"))
             )
             .cast("int")
             .alias("mix_keep"),
@@ -610,8 +622,8 @@ def source_mix_sample(spark, sf_dir, weights: dict | None = None, docs=None) -> 
         F.sum(F.col("n_tokens") * F.col("mix_keep")).alias("tokens_kept"),
         F.max(
             (
-                F.lit(MIX_BUDGET_NUM) * F.col("t_total") * F.col("w")
-                >= F.col("sum_w") * F.col("t_s") * F.lit(MIX_BUDGET_DEN)
+                dec(F.lit(MIX_BUDGET_NUM)) * dec(F.col("t_total")) * dec(F.col("w"))
+                >= dec(F.col("sum_w")) * dec(F.col("t_s")) * F.lit(MIX_BUDGET_DEN)
             ).cast("int")
         ).alias("rate_capped"),
     )

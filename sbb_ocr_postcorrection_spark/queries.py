@@ -896,15 +896,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.doc_id, coalesce(b.text, r.text) AS text
               FROM remap r LEFT JOIN documents b ON b.doc_id = r.base_id
             ), hashed AS (
-              SELECT doc_id, md5(text) AS content_hash FROM c
+              -- batch side mirrors the Spark sentinel: null text keeps its
+              -- per-doc identity and probes like any digest; history nulls
+              -- are dropped before the filter build (nothing can match)
+              SELECT doc_id,
+                     coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR))
+                       AS content_hash,
+                     md5(text) AS raw_hash
+              FROM c
             ), js AS (
               SELECT unnest(generate_series(0, {dedup.BLOOM_K_HASHES - 1})) AS j
             ), hp AS (
               SELECT DISTINCT
                      {_hex2int("md5(h || '|' || CAST(j AS VARCHAR))")}
                        % {dedup.BLOOM_M_BITS} AS pos
-              FROM (SELECT DISTINCT content_hash AS h FROM hashed
-                    WHERE doc_id % 2 = 0) CROSS JOIN js
+              FROM (SELECT DISTINCT raw_hash AS h FROM hashed
+                    WHERE doc_id % 2 = 0 AND raw_hash IS NOT NULL) CROSS JOIN js
             ), bp AS (
               SELECT doc_id, content_hash,
                      {_hex2int("md5(content_hash || '|' || CAST(j AS VARCHAR))")}
@@ -1124,7 +1131,8 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "fingerprints": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+                              {_TOKS_SQL} AS toks FROM documents)
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
                    list_reduce(
@@ -1295,13 +1303,16 @@ def oracle_sql() -> dict[str, str]:
               FROM base GROUP BY 1, 2
             ), tot AS (SELECT sum(w) AS sum_w, sum(t_s) AS t_total FROM ps),
             j AS (
+              -- HUGEINT mirrors the Spark side's decimal(38,0): int64
+              -- overflows at 10^12-token corpora
               SELECT b.doc_id, b.source, b.n_tokens, b.w, p.t_s,
                      t.sum_w, t.t_total,
-                     CASE WHEN ({_hex2int("md5('mix|' || CAST(b.doc_id AS VARCHAR))")}
-                                % {textstats.MIX_COIN_MOD})
+                     CASE WHEN CAST({_hex2int("md5('mix|' || CAST(b.doc_id AS VARCHAR))")}
+                                    % {textstats.MIX_COIN_MOD} AS HUGEINT)
                                * t.sum_w * p.t_s * {textstats.MIX_BUDGET_DEN}
-                          < {textstats.MIX_BUDGET_NUM} * t.t_total * b.w
-                            * {textstats.MIX_COIN_MOD}
+                          < CAST({textstats.MIX_BUDGET_NUM}
+                                 * {textstats.MIX_COIN_MOD} AS HUGEINT)
+                            * t.t_total * b.w
                           THEN 1 ELSE 0 END AS mix_keep
               FROM base b JOIN ps p USING (source) CROSS JOIN tot t
             )
@@ -1309,8 +1320,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
                    CAST(sum(mix_keep) AS BIGINT) AS n_kept,
                    CAST(sum(n_tokens * mix_keep) AS BIGINT) AS tokens_kept,
-                   CAST(max(CASE WHEN {textstats.MIX_BUDGET_NUM} * t_total * w
-                                      >= sum_w * t_s * {textstats.MIX_BUDGET_DEN}
+                   CAST(max(CASE WHEN CAST({textstats.MIX_BUDGET_NUM} AS HUGEINT)
+                                      * t_total * w
+                                      >= CAST(sum_w AS HUGEINT) * t_s
+                                         * {textstats.MIX_BUDGET_DEN}
                                  THEN 1 ELSE 0 END) AS INTEGER) AS rate_capped
             FROM j GROUP BY 1, 2
         """,
