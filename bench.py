@@ -50,6 +50,8 @@ HEADLINE = [
     # host-reputation gate (two-phase agg + tiny rejoin)
     "url_dedup",
     "line_dedup",
+    # sliding-window span removal (passage granularity, position-aware)
+    "passage_dedup",
     "dedup_incremental",
     "host_reputation_gate",
     # sequence packing (two-level prefix sum) + exact length quantiles

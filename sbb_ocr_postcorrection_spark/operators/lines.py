@@ -183,6 +183,130 @@ def line_dedup(
     )
 
 
+# passage_dedup defaults — interpolated into the DuckDB oracle
+PASSAGE_LINES = 2
+HOT_PASSAGE_DF = 5
+# exactly PASSAGE_LINES×LINE_TOKS tokens, so prepending it shifts chunk
+# boundaries by whole lines and removal restores the original chunking
+PASSAGE_BOILER = "this website uses cookies please accept"
+
+
+def passage_dedup(
+    spark, sf_dir, p_lines: int = PASSAGE_LINES, hot_df: int = HOT_PASSAGE_DF,
+    n_line_toks: int = LINE_TOKS, docs=None,
+) -> DataFrame:
+    """Inter-document repeated-PASSAGE removal: the span-coverage form of
+    boilerplate filtering. line_dedup drops lines that individually repeat
+    across documents; real boilerplate (cookie banners, nav footers,
+    license headers) spans SEVERAL consecutive lines whose pieces may be
+    too generic (high-df noise) or too rare (below line df) on their own.
+    Here every sliding window of ``p_lines`` consecutive lines is a
+    passage; a passage repeated in ≥ hot_df distinct documents marks ALL
+    the line positions it covers in every document carrying it, and
+    covered lines are dropped before reassembly — the RefinedWeb
+    "remove duplicated spans" semantic, position-aware (only the lines
+    actually inside a hot span go; an identical sentence elsewhere in an
+    uncontaminated context survives).
+
+    Scale design (100 TB): the line relation is persisted once; passages
+    derive from a per-doc sorted array (one shuffle) with the windows
+    expanded in-array (no self-join); the hot set is a two-phase agg whose
+    result is boilerplate-vocabulary-sized, so marking coverage is a
+    broadcast join. The covered-position relation carries NO broadcast
+    hint: it scales with the number of contaminated documents (a corpus
+    where every page carries the banner makes it corpus-sized — a forced
+    broadcast would OOM the driver); AQE broadcasts it when its stats
+    say it is actually small, and the fallback is an equality join on
+    (doc_id, pos). No join ever shuffles on anything but doc_id.
+
+    The driver fixture (docs=None) prepends PASSAGE_BOILER to every even
+    doc_id — the corpus itself has no cross-document passages — and the
+    oracle replays that augmentation, so the hash check certifies header
+    stripping on exactly half the corpus with the other half untouched.
+    """
+    from ..functions.exprs import tokens_expr
+
+    if docs is None:
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(PASSAGE_BOILER + " "), F.coalesce("text", F.lit(""))),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    else:
+        d = docs
+    toks = tokens_expr(F.col("text"))
+    n = n_line_toks
+    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1))
+    rows = persist_slot(
+        "passage_dedup_rows",
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_lines),
+                    lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
+                )
+            ).alias("pos", "line"),
+        ),
+    )
+    arr = rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ).alias("lns")
+    )
+    n_win = F.greatest(F.size("lns") - (p_lines - 1), F.lit(1))
+    passages = persist_slot(
+        "passage_dedup_passages",
+        arr.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.concat_ws(" ", F.slice("lns", i, p_lines)),
+                )
+            ).alias("wpos", "passage"),
+        ),
+    )
+    hot = (
+        passages.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("passage_df"))
+        .filter(F.col("passage_df") >= hot_df)
+        .select("passage", F.lit(True).alias("is_hot"))
+    )
+    covered = (
+        passages.join(F.broadcast(hot), "passage")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + (p_lines - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("drop", F.lit(True))
+    )
+    keep_struct = F.when(F.col("drop").isNull(), F.struct("pos", "line"))
+    return (
+        rows.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.count(keep_struct).cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def split_roundtrip_flags(spark, sf_dir) -> DataFrame:
     """Driver-facing projection of split_roundtrip: (parent_id,
     roundtrip_ok). The greedy packing itself is not SQL-expressible, but

@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inter-document repeated-line removal (RefinedWeb/CCNet-style
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
         "line_dedup": pinned(lines.line_dedup),
+        "passage_dedup": pinned(lines.passage_dedup),
         # host-level reputation gate: per-host lang-pass rate, integer
         # threshold, broadcast rejoin
         "host_reputation_gate": pinned(urls.host_reputation_gate),
@@ -778,6 +779,61 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(lines, x -> NOT list_contains(hl, x)) AS kept
               FROM lns, hotlist
             )
+        """,
+        # passage (sliding-window span) dedup: the fixture prepends the
+        # boiler header to even docs; constants interpolate from
+        # operators.lines so one definition drives both engines
+        "passage_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN {_sq(lines.PASSAGE_BOILER + " ")} || coalesce(text, '')
+                          ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS l FROM aug
+            ), lns AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(CAST(ceil(len(l) / {lines.LINE_TOKS}.0) AS BIGINT), 1) + 1),
+                       i -> coalesce(array_to_string(
+                              list_slice(l, (i-1)*{lines.LINE_TOKS} + 1,
+                                         (i-1)*{lines.LINE_TOKS} + {lines.LINE_TOKS}), ' '), '')
+                     ) AS lines
+              FROM toks
+            ), pw AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(lines) - {lines.PASSAGE_LINES - 1}, 1) + 1),
+                       i -> coalesce(array_to_string(
+                              list_slice(lines, i, i + {lines.PASSAGE_LINES - 1}), ' '), '')
+                     )) AS passage,
+                     unnest(range(0, greatest(len(lines) - {lines.PASSAGE_LINES - 1}, 1)))
+                       AS wpos
+              FROM lns
+            ), hot AS (
+              SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM pw)
+              GROUP BY passage HAVING count(*) >= {lines.HOT_PASSAGE_DF}
+            ), cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id,
+                       unnest(range(wpos, wpos + {lines.PASSAGE_LINES})) AS pos
+                FROM pw WHERE passage IN (SELECT passage FROM hot))
+            ), lrow AS (
+              SELECT doc_id, unnest(lines) AS line,
+                     unnest(range(0, len(lines))) AS pos
+              FROM lns
+            ), j AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END AS keep
+              FROM lrow l LEFT JOIN cov c
+                ON c.doc_id = l.doc_id AND c.pos = l.pos
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+                   CAST(sum(keep) AS INTEGER) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+                                       ' ' ORDER BY pos), '') AS cleaned_text
+            FROM j GROUP BY doc_id
         """,
         "length_percentiles": """
             SELECT source, count(*) AS n_docs,

@@ -175,3 +175,17 @@ def test_ivf_pinned_equality_join_no_trained_state(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(cell" in plan or "BroadcastHashJoin" in plan
+
+
+def test_passage_dedup_plan_shapes(spark):
+    """passage_dedup: hot-set join broadcasts, the covered-position join is
+    equality-keyed without a FORCED broadcast (it scales with contaminated
+    docs), both persisted relations feed their two consumers from cache,
+    and nothing degenerates to a cartesian."""
+    from sbb_ocr_postcorrection_spark.operators.lines import passage_dedup
+
+    plan = plan_of(passage_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan

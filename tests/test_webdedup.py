@@ -518,3 +518,68 @@ def test_line_dedup_matches_duckdb_on_crafted_corpus(spark):
     assert got[101] == (1, 1, "")          # empty doc kept, not dropped
     assert got[102] == (1, 1, "")          # whitespace-only ≡ empty
     assert got[100][1] == 0                # all lines dropped, still present
+
+
+# ------------------------------------------------------------ passage dedup
+
+
+def test_passage_dedup_is_position_aware(spark):
+    """The differentiator vs line_dedup: a line identical to one inside a
+    hot span SURVIVES when it occurs outside any hot span. 6 docs share a
+    2-line banner mid-document (dropped everywhere); doc 200 contains the
+    banner's SECOND line alone in clean context — line_dedup at df≥5 would
+    also drop it (its line-df is 7), passage_dedup keeps it because no hot
+    2-line window covers it."""
+    banner = "cookies are used by this site"  # 6 toks = 2 lines
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c " + banner + f" t{i}a t{i}b t{i}c")
+        for i in range(6)
+    ]
+    rows.append((200, "clean start words by this site clean end words"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in L.passage_dedup(spark, SF_DIR, docs=docs).collect()
+    }
+    assert set(got) == set(range(6)) | {200}
+    for i in range(6):
+        assert got[i]["n_lines"] == 4 and got[i]["n_kept"] == 2
+        assert banner not in got[i]["cleaned_text"]
+        assert f"u{i}a" in got[i]["cleaned_text"]
+    # doc 200: "by this site" (the banner's 2nd line) sits at line 2 of an
+    # otherwise unique doc — no hot window covers it, everything survives
+    assert got[200]["n_kept"] == got[200]["n_lines"] == 3
+    assert "by this site" in got[200]["cleaned_text"]
+
+
+def test_passage_dedup_fixture_strips_exactly_the_header(spark):
+    """Driver-fixture non-vacuity: even docs lose exactly the prepended
+    2-line boiler header (cleaned == their original chunked text), odd
+    docs are untouched."""
+    from pyspark.sql import functions as F
+    from sbb_ocr_postcorrection_spark.functions.exprs import tokens_expr
+
+    out = {r["doc_id"]: r for r in L.passage_dedup(spark, SF_DIR).collect()}
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = tokens_expr(F.col("text"))
+    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(3)).cast("int"), F.lit(1))
+    chunked = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 3 + 1, 3)),
+            ),
+        ).alias("chunked"),
+    )
+    base = {r["doc_id"]: r["chunked"] for r in chunked.collect()}
+    evens = [i for i in out if i % 2 == 0]
+    odds = [i for i in out if i % 2 == 1]
+    assert evens and odds
+    for i in evens:
+        assert out[i]["n_lines"] == out[i]["n_kept"] + 2  # header = 2 lines
+        assert out[i]["cleaned_text"] == base[i]
+    for i in odds:
+        assert out[i]["n_kept"] == out[i]["n_lines"]
+        assert out[i]["cleaned_text"] == base[i]
