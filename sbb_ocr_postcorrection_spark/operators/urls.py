@@ -207,6 +207,77 @@ def host_reputation_gate(
     )
 
 
+# fixture blocklist + path rule (interpolated into the DuckDB oracle):
+# one synth host and one whole registrable domain — the suffix match must
+# catch www./uppercase spellings of both — plus a path-keyword regex.
+# blocks paths /p/11 and /p/12 of the 13 synth paths (RE2/Java-portable)
+BLOCKED_HOSTS = ("site1.example.com",)
+BLOCKED_PATH_RE = "/p/1[12]($|[/?#])"
+
+
+def url_blocklist_gate(
+    spark, sf_dir, blocked_hosts=None, blocked_path_re: str | None = None,
+    docs=None,
+) -> DataFrame:
+    """URL-level policy gate: drop pages whose host falls under a blocked
+    domain (suffix semantics — blocking example.com blocks every
+    subdomain) or whose path matches a block pattern. In a web pipeline
+    this runs with url_dedup BEFORE the extraction kernel: a blocked page
+    must not cost a parse.
+
+    Scale design (100 TB): suffix matching is NOT a LIKE scan per blocked
+    domain (O(|blocklist|) regex work per row) — each host explodes into
+    its dot-suffixes (bounded by label count, ~4-6) and the verdict is an
+    EQUALITY join against the blocklist dimension, which is tiny (policy
+    lists are 10^3-10^5 rows) and broadcasts. The path rule is one
+    combined Java/RE2-portable regex, JVM-side. Null urls surface under
+    the '<no-host>' sentinel with a definite verdict (blocked_host=0) —
+    the every-doc-surfaces contract."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    if "url" not in d.columns:
+        d = d.select("doc_id", synth_url_expr(F.col("doc_id")).alias("url"))
+    hosts = tuple(blocked_hosts) if blocked_hosts is not None else BLOCKED_HOSTS
+    path_re = blocked_path_re if blocked_path_re is not None else BLOCKED_PATH_RE
+    canon = canonical_url_expr(F.col("url"))
+    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
+    path = F.coalesce(
+        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
+        F.lit(""),
+    )
+    base = d.select(
+        "doc_id", "url", host.alias("host"), path.alias("path"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.split(host, r"\."))),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split(host, r"\."), i, F.size(F.split(host, r"\."))
+                    ),
+                    ".",
+                ),
+            )
+        ).alias("suffix"),
+    )
+    block_dim = spark.createDataFrame(
+        [(h,) for h in hosts], "suffix string"
+    ).withColumn("is_blocked", F.lit(1))
+    verdict = (
+        base.join(F.broadcast(block_dim), "suffix", "left")
+        .groupBy("doc_id", "url", "host", "path")
+        .agg(F.max(F.coalesce(F.col("is_blocked"), F.lit(0))).alias("blocked_host"))
+    )
+    blocked_path = F.col("path").rlike(path_re).cast("int")
+    return verdict.select(
+        "doc_id",
+        "host",
+        "blocked_host",
+        blocked_path.alias("blocked_path"),
+        (
+            (F.col("blocked_host") == 0) & (blocked_path == 0)
+        ).cast("int").alias("url_pass"),
+    )
+
+
 def url_dedup(spark, sf_dir, docs=None) -> DataFrame:
     """One row per canonical URL: how many raw rows collapsed onto it, how
     many distinct raw spellings, and the kept representative (min(doc_id)

@@ -100,6 +100,23 @@ _CANON_URL_SQL = urls.CANON_URL_SQL.format(u="url")
 # the synthesized page url (synth_pages_from_documents) in DuckDB form
 _URL_SQL = "'https://docs.example.org/' || source || '/' || CAST(doc_id AS VARCHAR)"
 
+# the synth_url_expr arithmetic (operators/urls.py) in DuckDB form — shared
+# by the url_dedup and url_blocklist oracles
+_SYNTH_URL_SQL = """
+              SELECT doc_id,
+                     (CASE doc_id % 3 WHEN 0 THEN 'http://'
+                           WHEN 1 THEN 'https://' ELSE 'HTTP://' END)
+                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                           THEN upper('site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+                           ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END)
+                     || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents
+"""
+
 
 def _sq(s: str) -> str:
     """Python string → SQL single-quoted literal (quote doubling)."""
@@ -416,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline): canonicalize scheme/case/www/query/fragment/slash
         # noise, one hash-agg on the canonical key
         "url_dedup": pinned(urls.url_dedup),
+        "url_blocklist": pinned(urls.url_blocklist_gate),
         # inter-document repeated-line removal (RefinedWeb/CCNet-style
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
         "line_dedup": pinned(lines.line_dedup),
@@ -722,19 +740,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "url_dedup": f"""
-            WITH u AS (
-              SELECT doc_id,
-                     (CASE doc_id % 3 WHEN 0 THEN 'http://'
-                           WHEN 1 THEN 'https://' ELSE 'HTTP://' END)
-                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
-                     || (CASE WHEN doc_id % 5 = 0
-                           THEN upper('site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
-                           ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END)
-                     || '/p/' || CAST(doc_id % 13 AS VARCHAR)
-                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-                     || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
-                     || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
-              FROM documents
+            WITH u AS ({_SYNTH_URL_SQL}
             ), canon AS (
               SELECT doc_id, url,
                      {_CANON_URL_SQL} AS canon_url
@@ -936,6 +942,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN in_history = 0 AND first_in_batch = 1
                         THEN 1 ELSE 0 END AS INTEGER) AS keep
             FROM fl
+        """,
+        # blocklist gate: suffix explode replayed in SQL; blocked set +
+        # path regex interpolate from operators.urls (one definition)
+        "url_blocklist": f"""
+            WITH u AS ({_SYNTH_URL_SQL}
+            ), c AS (
+              SELECT doc_id, {_CANON_URL_SQL} AS canon FROM u
+            ), hp AS (
+              SELECT doc_id, split_part(canon, '/', 1) AS host,
+                     substr(canon, length(split_part(canon, '/', 1)) + 1)
+                       AS path
+              FROM c
+            ), sfx AS (
+              SELECT doc_id, host, path,
+                     unnest(list_transform(
+                       range(1, len(string_split(host, '.')) + 1),
+                       i -> array_to_string(string_split(host, '.')[i:], '.')))
+                       AS suffix
+              FROM hp
+            ), v AS (
+              SELECT doc_id, host, path,
+                     max(CASE WHEN suffix IN
+                           ({', '.join(_sq(h) for h in urls.BLOCKED_HOSTS)})
+                         THEN 1 ELSE 0 END) AS bh
+              FROM sfx GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, host, CAST(bh AS INTEGER) AS blocked_host,
+                   CAST(CASE WHEN regexp_matches(path,
+                          {_sq(urls.BLOCKED_PATH_RE)}) THEN 1 ELSE 0 END
+                        AS INTEGER) AS blocked_path,
+                   CAST(CASE WHEN bh = 0 AND NOT regexp_matches(path,
+                          {_sq(urls.BLOCKED_PATH_RE)}) THEN 1 ELSE 0 END
+                        AS INTEGER) AS url_pass
+            FROM v
         """,
         # Bloom gate: the oracle replays the bitmap semantically — all k
         # md5-keyed positions present in the history position set — so the

@@ -583,3 +583,54 @@ def test_passage_dedup_fixture_strips_exactly_the_header(spark):
     for i in odds:
         assert out[i]["n_kept"] == out[i]["n_lines"]
         assert out[i]["cleaned_text"] == base[i]
+
+
+# ---------------------------------------------------------- blocklist gate
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    """Blocking a registrable domain blocks every subdomain and spelling
+    variant (www., case, scheme noise) via the EQUALITY suffix join — and
+    nothing else: a host merely containing the blocked string as a label
+    substring (notexample.com) passes. Null url surfaces under the
+    sentinel host with a definite verdict."""
+    docs = spark.createDataFrame(
+        [
+            (0, "https://EXAMPLE.com/ok"),
+            (1, "http://www.a.b.example.com/deep"),
+            (2, "https://notexample.com/x"),
+            (3, "https://example.org/casino/slots"),
+            (4, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in U.url_blocklist_gate(
+            spark, SF_DIR,
+            blocked_hosts=["example.com"],
+            blocked_path_re="/casino($|[/?#])",
+            docs=docs,
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0]["blocked_host"] == 1          # apex, uppercased
+    assert out[1]["blocked_host"] == 1          # deep subdomain
+    assert out[2]["blocked_host"] == 0          # substring label ≠ suffix
+    assert out[3]["blocked_host"] == 0 and out[3]["blocked_path"] == 1
+    assert out[4]["host"] == "<no-host>" and out[4]["url_pass"] == 1
+    assert [out[i]["url_pass"] for i in range(4)] == [0, 0, 1, 0]
+
+
+def test_url_blocklist_fixture_nonvacuous(spark):
+    """Driver fixture: site1 hosts blocked (1/7 of docs), paths /p/11 and
+    /p/12 blocked (2/13), with overlap — all four verdict combinations
+    present and consistent with the synth arithmetic."""
+    out = {r["doc_id"]: r for r in U.url_blocklist_gate(spark, SF_DIR).collect()}
+    assert len(out) == 500
+    combos = {(r["blocked_host"], r["blocked_path"]) for r in out.values()}
+    assert combos == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    for i, r in out.items():
+        assert r["blocked_host"] == int(i % 7 == 1)
+        assert r["blocked_path"] == int(i % 13 in (11, 12))
+        assert r["url_pass"] == int(not (r["blocked_host"] or r["blocked_path"]))
