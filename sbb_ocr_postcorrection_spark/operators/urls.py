@@ -215,6 +215,43 @@ BLOCKED_HOSTS = ("site1.example.com",)
 BLOCKED_PATH_RE = "/p/1[12]($|[/?#])"
 
 
+def blocklist_cols(url, hosts=None, path_re: str | None = None) -> dict:
+    """The blocklist verdict as PURE column expressions (no join, no
+    aggregation): host dot-suffixes as an array column, membership via
+    arrays_overlap against the literal blocklist, path rule via rlike.
+
+    This is the STREAMING-friendly form — stateless, so it gates a
+    micro-batch before the kernel with no watermark and no state store.
+    The literal-array membership is right for policy lists up to a few
+    thousand entries (they are plan constants); for 10^5-row blocklists
+    use url_blocklist_gate's broadcast-dimension equality join instead.
+    Both produce identical verdicts (asserted in tests)."""
+    hs = tuple(hosts) if hosts is not None else BLOCKED_HOSTS
+    pre = path_re if path_re is not None else BLOCKED_PATH_RE
+    u = F.col(url) if isinstance(url, str) else url
+    canon = canonical_url_expr(u)
+    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
+    path = F.coalesce(
+        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
+        F.lit(""),
+    )
+    parts = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    blocked_host = F.arrays_overlap(
+        suffixes, F.array(*[F.lit(h) for h in hs])
+    ).cast("int")
+    blocked_path = path.rlike(pre).cast("int")
+    return {
+        "host": host,
+        "blocked_host": blocked_host,
+        "blocked_path": blocked_path,
+        "url_pass": ((blocked_host == 0) & (blocked_path == 0)).cast("int"),
+    }
+
+
 def url_blocklist_gate(
     spark, sf_dir, blocked_hosts=None, blocked_path_re: str | None = None,
     docs=None,

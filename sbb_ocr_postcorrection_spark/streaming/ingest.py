@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernels_spark import EXTRACT_SCHEMA, fused_extract_stage
+from ..operators.urls import blocklist_cols
 from ..sources.pages_io import PAGES_SCHEMA
 
 
@@ -34,6 +35,32 @@ def extract_stream(pages_stream: DataFrame) -> DataFrame:
     return pages_stream.select("url", "warc_ts", "html", "lang").mapInPandas(
         fused_extract_stage, schema=EXTRACT_SCHEMA
     )
+
+
+def blocklist_gate_stream(
+    pages_stream: DataFrame, blocked_hosts=None, blocked_path_re=None,
+    drop: bool = False,
+) -> DataFrame:
+    """Pre-kernel URL policy gate on the stream: the first gate of a
+    continuous crawl — a page under a blocked domain or path must not
+    cost a parse, so this sits UPSTREAM of extract_stream, like
+    url_dedup_stream. Stateless by construction (the verdict is pure
+    column expressions, operators/urls.blocklist_cols): no watermark, no
+    state store, no extra shuffle — each micro-batch leaves already
+    labeled. ``drop=True`` filters instead of labeling (the production
+    composition ``blocklist_gate_stream(s, drop=True) |> extract_stream``);
+    the labeled default keeps the audit trail the batch gate emits."""
+    c = blocklist_cols(F.col("url"), blocked_hosts, blocked_path_re)
+    out = pages_stream.select(
+        "*",
+        c["host"].alias("host"),
+        c["blocked_host"].alias("blocked_host"),
+        c["blocked_path"].alias("blocked_path"),
+        c["url_pass"].alias("url_pass"),
+    )
+    return out.filter(F.col("url_pass") == 1).drop(
+        "blocked_host", "blocked_path", "url_pass"
+    ) if drop else out
 
 
 def windowed_metrics(extracted: DataFrame, window: str = "1 day",

@@ -389,3 +389,88 @@ def test_extract_curate_stream_equals_batch_gate(spark, tmp_path):
     assert got["http://x.test/nostop"][1] == "lang_filtered"
     assert got["http://x.test/tiny"][1] == "low_quality"
     assert sum(1 for v in got.values() if v[1] == "kept") >= 50
+
+
+def test_blocklist_gate_stream_matches_batch(spark, tmp_path):
+    """The pre-kernel streaming policy gate: verdicts on the stream equal
+    the batch blocklist operator on the same pages (the expr form and the
+    dim-join form are the same law), the gate is STATELESS (append mode,
+    no watermark), and drop=True filters blocked pages before the kernel
+    would see them."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.operators.urls import url_blocklist_gate
+    from sbb_ocr_postcorrection_spark.streaming.ingest import (
+        blocklist_gate_stream,
+    )
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://www.bad.test/x", t0),
+        ("https://sub.deep.bad.test/y", t0),
+        ("https://good.test/casino/slots", t0),
+        ("https://good.test/fine", t0),
+        ("https://notbad.test/z", t0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    pdf.to_parquet(d / "b1.parquet")
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    gated = blocklist_gate_stream(
+        stream, blocked_hosts=["bad.test"], blocked_path_re="/casino($|[/?#])"
+    )
+    seen = []
+    q = (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["url"]: (r["blocked_host"], r["blocked_path"], r["url_pass"])
+           for r in seen}
+    batch_docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(rows)], "doc_id long, url string"
+    )
+    want_rows = url_blocklist_gate(
+        spark, "/root/testdata/sf0.001",
+        blocked_hosts=["bad.test"], blocked_path_re="/casino($|[/?#])",
+        docs=batch_docs,
+    ).collect()
+    want = {
+        rows[r["doc_id"]][0]: (r["blocked_host"], r["blocked_path"], r["url_pass"])
+        for r in want_rows
+    }
+    assert got == want
+    assert got["https://www.bad.test/x"] == (1, 0, 0)
+    assert got["https://sub.deep.bad.test/y"] == (1, 0, 0)
+    assert got["https://good.test/casino/slots"] == (0, 1, 0)
+    assert got["https://good.test/fine"] == (0, 0, 1)
+    assert got["https://notbad.test/z"] == (0, 0, 1)
+
+    # drop=True: blocked pages never reach downstream operators
+    dropped = blocklist_gate_stream(
+        stream, blocked_hosts=["bad.test"],
+        blocked_path_re="/casino($|[/?#])", drop=True,
+    )
+    kept = []
+    q2 = (
+        dropped.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["url"] for r in kept} == {
+        "https://good.test/fine", "https://notbad.test/z"
+    }
+    assert "blocked_host" not in (kept[0].asDict() if kept else {})

@@ -634,3 +634,28 @@ def test_url_blocklist_fixture_nonvacuous(spark):
         assert r["blocked_host"] == int(i % 7 == 1)
         assert r["blocked_path"] == int(i % 13 in (11, 12))
         assert r["url_pass"] == int(not (r["blocked_host"] or r["blocked_path"]))
+
+
+def test_blocklist_expr_form_equals_join_form(spark):
+    """blocklist_cols (the stateless pure-expression form the stream gate
+    uses) and url_blocklist_gate (the broadcast-dim equality-join form)
+    must produce identical verdicts across the whole synth fixture — one
+    law, two physical shapes."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", U.synth_url_expr(F.col("doc_id")).alias("url")
+    )
+    c = U.blocklist_cols(F.col("url"))
+    expr_form = {
+        r["doc_id"]: (r["host"], r["blocked_host"], r["blocked_path"], r["url_pass"])
+        for r in d.select(
+            "doc_id", c["host"].alias("host"),
+            c["blocked_host"].alias("blocked_host"),
+            c["blocked_path"].alias("blocked_path"),
+            c["url_pass"].alias("url_pass"),
+        ).collect()
+    }
+    join_form = {
+        r["doc_id"]: (r["host"], r["blocked_host"], r["blocked_path"], r["url_pass"])
+        for r in U.url_blocklist_gate(spark, SF_DIR).collect()
+    }
+    assert expr_form == join_form
