@@ -62,8 +62,6 @@ HEADLINE = [
     "ann_ivf_pinned",
     "quality_score",
     "fingerprints",
-    # Arrow-batched rolling hash vs the interpreted per-char fold above
-    "fingerprints_np",
     "extract_pipeline",
 ]
 

@@ -18,11 +18,13 @@ range; per-bucket totals (a tiny two-phase aggregation) get their own
 running offsets; each document's offset = its bucket's offset + a
 within-bucket cumsum, where the window is partitioned BY BUCKET — every
 partition-level window is parallel and bounded by the bucket size. The
-bucket-offset relation has |corpus|/bucket_docs rows — size bucket_docs
-to ~sqrt(corpus) so BOTH levels are ~sqrt(n) (a trillion docs at
-bucket_docs=1M → 1M bucket rows; the toy default of 64 keeps the
-test-scale plan multi-bucket), and recurse the same trick if one level
-is ever not enough. The within-bucket window and the final per-window
+bucket-offset relation has |corpus|/bucket_docs rows and is itself
+prefix-summed the SAME way (buckets → super-buckets): the only
+single-partition window in the whole plan runs over |corpus|/bucket_docs²
+super rows — a trillion docs at bucket_docs=10^4 is 10^8 buckets but only
+10^4 super rows through one task (the toy default of 64 keeps the
+test-scale plan multi-bucket; tests pass smaller bucket_docs to exercise
+the multi-super path too). The within-bucket window and the final per-window
 aggregation shuffle on different keys (bucket, then window_id) — two
 exchanges plus the small bucket rollup, no global sort anywhere. All
 id/offset arithmetic is integer DIV, exact at any long magnitude (a
@@ -71,15 +73,36 @@ def sequence_pack(
             ).alias("n_slots"),
         ),
     )
-    # level 1: per-bucket totals → running bucket offsets (tiny relation)
-    bkt_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_offsets = (
-        counts.groupBy("bkt")
-        .agg(F.sum("n_slots").alias("bkt_slots"))
+    # level 1: per-bucket totals → running bucket offsets. The bucket
+    # rollup gets the SAME two-level treatment recursively (the docstring's
+    # "recurse if one level is not enough", delivered): buckets group into
+    # super-buckets, the within-super cumsum is partitioned (parallel), and
+    # the only single-partition window left runs over the SUPER rollup —
+    # |corpus| / bucket_docs² rows (10^12 docs at bucket_docs=10^4 → 10^4
+    # super rows through one task, instead of 10^8 buckets).
+    bkt_totals = counts.groupBy("bkt").agg(F.sum("n_slots").alias("bkt_slots"))
+    sb = F.expr(f"bkt DIV {int(bucket_docs)}")
+    super_w = Window.orderBy("sbkt").rowsBetween(Window.unboundedPreceding, -1)
+    super_offsets = (
+        bkt_totals.groupBy(sb.alias("sbkt"))
+        .agg(F.sum("bkt_slots").alias("sb_slots"))
         .select(
-            "bkt",
-            F.coalesce(F.sum("bkt_slots").over(bkt_w), F.lit(0)).alias("bkt_off"),
+            "sbkt",
+            F.coalesce(F.sum("sb_slots").over(super_w), F.lit(0)).alias("sb_off"),
         )
+    )
+    in_super_w = (
+        Window.partitionBy("sbkt")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_offsets = (
+        bkt_totals.withColumn("sbkt", sb)
+        .withColumn(
+            "in_sb_off", F.coalesce(F.sum("bkt_slots").over(in_super_w), F.lit(0))
+        )
+        .join(super_offsets, "sbkt")
+        .select("bkt", (F.col("sb_off") + F.col("in_sb_off")).alias("bkt_off"))
     )
     # level 2: within-bucket cumsum, parallel across buckets
     doc_w = (
