@@ -109,6 +109,45 @@ LINE_TOKS = 3
 HOT_LINE_DF = 5
 
 
+def _line_rows(d, n: int):
+    """(doc_id, pos, line): the corpus as exploded consecutive n-token
+    chunks, ≥1 line per document (an empty/null doc emits one '' sentinel
+    line so it can never vanish from a reassembly). The ONE definition
+    line_dedup and passage_dedup share — their chunking can't drift."""
+    from ..functions.exprs import tokens_expr
+
+    toks = tokens_expr(F.col("text"))
+    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
+            )
+        ).alias("pos", "line"),
+    )
+
+
+def _reassemble(joined, drop_marker: str):
+    """Shared reassembly aggregation: rows whose ``drop_marker`` column is
+    non-null are removed; survivors rejoin in position order. collect_list
+    drops the NULLed-out structs, so removal rides inside the ONE per-doc
+    shuffle — no second pass."""
+    keep_struct = F.when(F.col(drop_marker).isNull(), F.struct("pos", "line"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(keep_struct).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(keep_struct)),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
 def line_dedup(
     spark, sf_dir, n_line_toks: int = LINE_TOKS, hot_df: int = HOT_LINE_DF,
     docs=None,
@@ -137,50 +176,15 @@ def line_dedup(
     docs surface with empty cleaned text instead of vanishing (ADVICE r1
     #3) — no second scan, no extra join.
     """
-    from ..functions.exprs import tokens_expr
-
     d = docs if docs is not None else load(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    n = n_line_toks
-    n_lines = F.greatest(
-        F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1)
-    )
-    rows = persist_slot(
-        "line_dedup_rows",
-        d.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_lines),
-                    lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
-                )
-            ).alias("pos", "line"),
-        ),
-    )
+    rows = persist_slot("line_dedup_rows", _line_rows(d, n_line_toks))
     hot = (
         rows.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("line_df"))
         .filter(F.col("line_df") >= hot_df)
         .select("line", F.lit(True).alias("is_hot"))
     )
-    keep_struct = F.when(
-        F.col("is_hot").isNull(), F.struct("pos", "line")
-    )  # no otherwise → NULL for hot rows; collect_list drops NULLs
-    return (
-        rows.join(F.broadcast(hot), "line", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_lines"),
-            F.count(keep_struct).cast("int").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(keep_struct)),
-                    lambda s: s["line"],
-                ),
-            ).alias("cleaned_text"),
-        )
-    )
+    return _reassemble(rows.join(F.broadcast(hot), "line", "left"), "is_hot")
 
 
 # passage_dedup defaults — interpolated into the DuckDB oracle
@@ -219,13 +223,18 @@ def passage_dedup(
     say it is actually small, and the fallback is an equality join on
     (doc_id, pos). No join ever shuffles on anything but doc_id.
 
+    Degenerate-window rules (review-pinned): documents SHORTER than
+    p_lines emit no passages at all — whole-document duplication is
+    exact-dedup's job, and a truncated window would let ≥hot_df identical
+    one-line docs blank each other out entirely; and the empty-string
+    passage can never go hot — ≥hot_df empty docs must each keep their
+    '' sentinel line (the empty-doc-kept contract line_dedup pins).
+
     The driver fixture (docs=None) prepends PASSAGE_BOILER to every even
     doc_id — the corpus itself has no cross-document passages — and the
     oracle replays that augmentation, so the hash check certifies header
     stripping on exactly half the corpus with the other half untouched.
     """
-    from ..functions.exprs import tokens_expr
-
     if docs is None:
         d = load(spark, sf_dir, "documents").select(
             "doc_id",
@@ -238,44 +247,38 @@ def passage_dedup(
         )
     else:
         d = docs
-    toks = tokens_expr(F.col("text"))
-    n = n_line_toks
-    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1))
-    rows = persist_slot(
-        "passage_dedup_rows",
-        d.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_lines),
-                    lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
-                )
-            ).alias("pos", "line"),
-        ),
-    )
+    rows = persist_slot("passage_dedup_rows", _line_rows(d, n_line_toks))
     arr = rows.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "line"))),
             lambda s: s["line"],
         ).alias("lns")
     )
-    n_win = F.greatest(F.size("lns") - (p_lines - 1), F.lit(1))
+    # NO truncated windows: a doc shorter than p_lines contributes no
+    # passages (guarded — Spark's sequence(1, 0) counts DOWN, it is not
+    # empty). Such docs can then never be covered and keep everything.
+    windows = F.when(
+        F.size("lns") >= p_lines,
+        F.transform(
+            F.sequence(F.lit(1), F.size("lns") - (p_lines - 1)),
+            lambda i: F.concat_ws(" ", F.slice("lns", i, p_lines)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     passages = persist_slot(
         "passage_dedup_passages",
         arr.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_win),
-                    lambda i: F.concat_ws(" ", F.slice("lns", i, p_lines)),
-                )
-            ).alias("wpos", "passage"),
+            "doc_id", F.posexplode(windows).alias("wpos", "passage")
         ),
     )
     hot = (
         passages.groupBy("passage")
         .agg(F.countDistinct("doc_id").alias("passage_df"))
-        .filter(F.col("passage_df") >= hot_df)
+        # the all-empty-lines passage never goes hot: empty docs keep
+        # their sentinel line
+        .filter(
+            (F.col("passage_df") >= hot_df)
+            & (F.trim(F.col("passage")) != "")
+        )
         .select("passage", F.lit(True).alias("is_hot"))
     )
     covered = (
@@ -289,22 +292,7 @@ def passage_dedup(
         .distinct()
         .withColumn("drop", F.lit(True))
     )
-    keep_struct = F.when(F.col("drop").isNull(), F.struct("pos", "line"))
-    return (
-        rows.join(covered, ["doc_id", "pos"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_lines"),
-            F.count(keep_struct).cast("int").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(keep_struct)),
-                    lambda s: s["line"],
-                ),
-            ).alias("cleaned_text"),
-        )
-    )
+    return _reassemble(rows.join(covered, ["doc_id", "pos"], "left"), "drop")
 
 
 def split_roundtrip_flags(spark, sf_dir) -> DataFrame:

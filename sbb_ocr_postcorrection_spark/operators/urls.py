@@ -215,6 +215,40 @@ BLOCKED_HOSTS = ("site1.example.com",)
 BLOCKED_PATH_RE = "/p/1[12]($|[/?#])"
 
 
+def _host_path_suffixes(url) -> tuple:
+    """The ONE (host, path, suffixes) extraction both blocklist forms
+    build on — a fix applied here reaches the batch join form AND the
+    streaming expression form by construction.
+
+    The POLICY host normalizes the spellings an adversary controls that
+    the canonical (dedup) host deliberately keeps: userinfo is stripped
+    (everything up to the last '@' — 'trusted.com@bad.test' must not
+    read as trusted.com), the port is stripped ('bad.test:8080' is still
+    bad.test), and trailing dots go ('bad.test.' is the same FQDN). The
+    dedup canonical form keeps those because they are genuinely distinct
+    fetch targets; a blocklist must not be bypassable by them."""
+    u = F.col(url) if isinstance(url, str) else url
+    canon = canonical_url_expr(u)
+    raw_host = F.substring_index(canon, "/", 1)
+    path = F.coalesce(
+        F.substr(canon, F.length(raw_host) + 1), F.lit("")
+    )
+    host = F.coalesce(
+        F.regexp_replace(
+            F.substring_index(F.substring_index(raw_host, "@", -1), ":", 1),
+            r"\.+$",
+            "",
+        ),
+        F.lit("<no-host>"),
+    )
+    parts = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    return host, path, suffixes
+
+
 def blocklist_cols(url, hosts=None, path_re: str | None = None) -> dict:
     """The blocklist verdict as PURE column expressions (no join, no
     aggregation): host dot-suffixes as an array column, membership via
@@ -225,21 +259,11 @@ def blocklist_cols(url, hosts=None, path_re: str | None = None) -> dict:
     The literal-array membership is right for policy lists up to a few
     thousand entries (they are plan constants); for 10^5-row blocklists
     use url_blocklist_gate's broadcast-dimension equality join instead.
-    Both produce identical verdicts (asserted in tests)."""
+    Both produce identical verdicts (asserted in tests) and share
+    _host_path_suffixes, so the normalization law cannot drift."""
     hs = tuple(hosts) if hosts is not None else BLOCKED_HOSTS
     pre = path_re if path_re is not None else BLOCKED_PATH_RE
-    u = F.col(url) if isinstance(url, str) else url
-    canon = canonical_url_expr(u)
-    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
-    path = F.coalesce(
-        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
-        F.lit(""),
-    )
-    parts = F.split(host, r"\.")
-    suffixes = F.transform(
-        F.sequence(F.lit(1), F.size(parts)),
-        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
-    )
+    host, path, suffixes = _host_path_suffixes(url)
     blocked_host = F.arrays_overlap(
         suffixes, F.array(*[F.lit(h) for h in hs])
     ).cast("int")
@@ -269,31 +293,18 @@ def url_blocklist_gate(
     lists are 10^3-10^5 rows) and broadcasts. The path rule is one
     combined Java/RE2-portable regex, JVM-side. Null urls surface under
     the '<no-host>' sentinel with a definite verdict (blocked_host=0) —
-    the every-doc-surfaces contract."""
+    the every-doc-surfaces contract. Host/path/suffix extraction (incl.
+    the userinfo/port/trailing-dot policy normalization) is the SHARED
+    _host_path_suffixes builder, the same law as the streaming form."""
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     if "url" not in d.columns:
         d = d.select("doc_id", synth_url_expr(F.col("doc_id")).alias("url"))
     hosts = tuple(blocked_hosts) if blocked_hosts is not None else BLOCKED_HOSTS
     path_re = blocked_path_re if blocked_path_re is not None else BLOCKED_PATH_RE
-    canon = canonical_url_expr(F.col("url"))
-    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
-    path = F.coalesce(
-        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
-        F.lit(""),
-    )
+    host, path, suffixes = _host_path_suffixes(F.col("url"))
     base = d.select(
         "doc_id", "url", host.alias("host"), path.alias("path"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.split(host, r"\."))),
-                lambda i: F.array_join(
-                    F.slice(
-                        F.split(host, r"\."), i, F.size(F.split(host, r"\."))
-                    ),
-                    ".",
-                ),
-            )
-        ).alias("suffix"),
+        F.explode(suffixes).alias("suffix"),
     )
     block_dim = spark.createDataFrame(
         [(h,) for h in hosts], "suffix string"

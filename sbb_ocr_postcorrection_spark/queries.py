@@ -808,17 +808,24 @@ def oracle_sql() -> dict[str, str]:
                      ) AS lines
               FROM toks
             ), pw AS (
+              -- docs shorter than p_lines emit NO windows (CASE, mirroring
+              -- the Spark guard — no truncated whole-doc passages)
               SELECT doc_id,
-                     unnest(list_transform(
-                       range(1, greatest(len(lines) - {lines.PASSAGE_LINES - 1}, 1) + 1),
-                       i -> coalesce(array_to_string(
-                              list_slice(lines, i, i + {lines.PASSAGE_LINES - 1}), ' '), '')
-                     )) AS passage,
-                     unnest(range(0, greatest(len(lines) - {lines.PASSAGE_LINES - 1}, 1)))
-                       AS wpos
+                     unnest(CASE WHEN len(lines) >= {lines.PASSAGE_LINES}
+                       THEN list_transform(
+                         range(1, len(lines) - {lines.PASSAGE_LINES - 1} + 1),
+                         i -> coalesce(array_to_string(
+                                list_slice(lines, i, i + {lines.PASSAGE_LINES - 1}), ' '), ''))
+                       ELSE [] END) AS passage,
+                     unnest(CASE WHEN len(lines) >= {lines.PASSAGE_LINES}
+                       THEN range(0, len(lines) - {lines.PASSAGE_LINES - 1})
+                       ELSE [] END) AS wpos
               FROM lns
             ), hot AS (
+              -- the all-empty-lines passage never goes hot (empty docs
+              -- keep their sentinel line)
               SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM pw)
+              WHERE trim(passage) <> ''
               GROUP BY passage HAVING count(*) >= {lines.HOT_PASSAGE_DF}
             ), cov AS (
               SELECT DISTINCT doc_id, pos FROM (
@@ -950,7 +957,13 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
               SELECT doc_id, {_CANON_URL_SQL} AS canon FROM u
             ), hp AS (
-              SELECT doc_id, split_part(canon, '/', 1) AS host,
+              -- policy-host normalization mirrors _host_path_suffixes:
+              -- strip userinfo (after the LAST '@'), port, trailing dots
+              SELECT doc_id,
+                     regexp_replace(
+                       split_part(string_split(split_part(canon, '/', 1), '@')[-1],
+                                  ':', 1),
+                       '\\.+$', '') AS host,
                      substr(canon, length(split_part(canon, '/', 1)) + 1)
                        AS path
               FROM c

@@ -58,8 +58,10 @@ def blocklist_gate_stream(
         c["blocked_path"].alias("blocked_path"),
         c["url_pass"].alias("url_pass"),
     )
+    # drop mode restores the EXACT input schema (host included): callers
+    # append to pages tables and validate against PAGES_SCHEMA
     return out.filter(F.col("url_pass") == 1).drop(
-        "blocked_host", "blocked_path", "url_pass"
+        "host", "blocked_host", "blocked_path", "url_pass"
     ) if drop else out
 
 

@@ -659,3 +659,59 @@ def test_blocklist_expr_form_equals_join_form(spark):
         for r in U.url_blocklist_gate(spark, SF_DIR).collect()
     }
     assert expr_form == join_form
+
+
+def test_blocklist_normalizes_adversarial_host_spellings(spark):
+    """Review finding (policy bypass): port, userinfo, and trailing-dot
+    spellings of a blocked host must still match — the policy host strips
+    what an adversary controls. Both the expr form and the join form share
+    _host_path_suffixes, so one set of cases pins both."""
+    docs = spark.createDataFrame(
+        [
+            (0, "https://bad.test:8080/x"),
+            (1, "https://bad.test./y"),
+            (2, "https://trusted.com@bad.test/z"),
+            (3, "https://sub.bad.test.:443/q"),
+            (4, "https://actually-fine.test/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    for form in ("join", "expr"):
+        if form == "join":
+            got = {
+                r["doc_id"]: r["blocked_host"]
+                for r in U.url_blocklist_gate(
+                    spark, SF_DIR, blocked_hosts=["bad.test"], docs=docs
+                ).collect()
+            }
+        else:
+            c = U.blocklist_cols(F.col("url"), hosts=["bad.test"])
+            got = {
+                r["doc_id"]: r["b"]
+                for r in docs.select(
+                    "doc_id", c["blocked_host"].alias("b")
+                ).collect()
+            }
+        assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0}, form
+
+
+def test_passage_dedup_degenerate_docs_survive(spark):
+    """Review finding: >= hot_df empty docs must each keep their ''
+    sentinel line (the empty passage can never go hot), and >= hot_df
+    IDENTICAL sub-p_lines docs must not blank each other (whole-doc
+    duplication is exact-dedup's job — no truncated windows)."""
+    rows = [(i, "") for i in range(5)]                  # 5 empty docs
+    rows += [(10 + i, "same tiny doc") for i in range(5)]  # 5 one-liners
+    rows += [(20 + i, f"u{i}x u{i}y u{i}z pad{i}a pad{i}b pad{i}c")
+             for i in range(5)]                          # unique 2-liners
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in L.passage_dedup(spark, SF_DIR, docs=docs).collect()}
+    assert len(out) == 15
+    for i in range(5):
+        assert out[i]["n_lines"] == 1 and out[i]["n_kept"] == 1
+        assert out[i]["cleaned_text"] == ""
+    for i in range(5):
+        assert out[10 + i]["n_kept"] == 1
+        assert out[10 + i]["cleaned_text"] == "same tiny doc"
+    for i in range(5):
+        assert out[20 + i]["n_kept"] == out[20 + i]["n_lines"] == 2
