@@ -339,6 +339,13 @@ def _curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(spark, sf_dir)
 
 
+def _warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_scan
+
+    _pin(spark)
+    return warc_scan(spark, sf_dir)
+
+
 def _export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export manifest's reason histogram (pipeline.
     export_training_corpus) as a driver-checked relation: every input doc
@@ -404,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S3: real METS XML link-table extraction (ElementTree parse →
         # pivoted dimension → broadcast remap join)
         "mets_link_table": pinned(_mets_link_table),
+        # WARC file framing roundtrip (S-row: the Common-Crawl archive
+        # format) — multi-record blobs parsed by cursor walk
+        "warc_scan": _warc_scan,
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -1690,6 +1700,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(2 * length(text) + 1) AS BIGINT) AS sum_chars_out,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents
+        """,
+        # WARC roundtrip: the oracle re-derives every record field from
+        # the documents table (payload = the synthesized page html, built
+        # from the interpolated template pieces), so a parser that
+        # mis-advances the record cursor breaks every later record's hash
+        "warc_scan": f"""
+            WITH h AS (
+              SELECT doc_id, {_URL_SQL} AS url,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + to_seconds(doc_id * 61),
+                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                     {_sq(_PAGE_TMPL.split("{paras}")[0] + "<p>")} || text
+                       || {_sq(_PROMO)} || reverse(text)
+                       || {_sq("</p>" + _PAGE_TMPL.split("{paras}")[1])}
+                       AS html
+              FROM documents
+            )
+            SELECT url, warc_date,
+                   CAST(length(html) AS BIGINT) AS content_length,
+                   md5(html) AS payload_md5
+            FROM h
         """,
         "corpus_alignments": f"""
             WITH d AS (SELECT {_URL_SQL} AS doc_id, text, lang

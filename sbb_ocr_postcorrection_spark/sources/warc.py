@@ -1,0 +1,168 @@
+"""WARC record framing: serialize + parse, from scratch (ISO 28500).
+
+Common-Crawl corpora arrive as WARC files — concatenated records, each a
+CRLF-framed header block (WARC/1.0, WARC-Type, WARC-Target-URI,
+WARC-Date, Content-Length) followed by exactly Content-Length payload
+bytes and a blank-line separator. The reference ingests page archives
+one XML file at a time (SURVEY.md §2.1 S1/S4); the web-scale analog is
+one task per WARC file streaming through its records, which is what the
+Spark surface here does: a binary `warc` column (one multi-record blob
+per file/bucket) → an Arrow kernel that walks the framing → one row per
+record.
+
+Parsing is Content-Length-driven, never payload-sniffing: the payload
+may contain anything, including the bytes "WARC/1.0" — only the declared
+length advances the cursor (the property the roundtrip test pins). A
+record with a corrupt/missing Content-Length raises (manifest-corrupt
+convention: crash over silent truncation).
+
+The single-node functions are Spark-free so the oracle path stays
+importable anywhere (the kernel.py convention).
+"""
+
+from __future__ import annotations
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+
+def build_warc_record(url: str, warc_date: str, payload: bytes) -> bytes:
+    """One WARC/1.0 response record, strict CRLF framing."""
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("ascii")
+    return head + payload + _HDR_END
+
+
+def parse_warc_records(blob: bytes) -> list[dict]:
+    """Concatenated records → [{url, warc_date, content_length, payload}].
+
+    Cursor math only: header block up to the first CRLFCRLF, then exactly
+    Content-Length payload bytes, then the record separator. Trailing
+    garbage shorter than a header block raises (truncated archive)."""
+    out: list[dict] = []
+    i, n = 0, len(blob)
+    while i < n:
+        if blob[i:].strip(b"\r\n") == b"":  # trailing separators only
+            break
+        if not blob.startswith(b"WARC/", i):
+            raise ValueError(f"not a WARC record at offset {i}")
+        hdr_end = blob.find(_HDR_END, i)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated WARC header at offset {i}")
+        headers: dict[str, str] = {}
+        for line in blob[i:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("ascii", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"bad Content-Length at offset {i}") from None
+        body_start = hdr_end + len(_HDR_END)
+        if body_start + clen > n:
+            raise ValueError(f"truncated payload at offset {body_start}")
+        out.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "content_length": clen,
+                "payload": blob[body_start : body_start + clen],
+            }
+        )
+        i = body_start + clen
+        # consume the record separator (one blank line)
+        if blob.startswith(_HDR_END, i):
+            i += len(_HDR_END)
+    return out
+
+
+def warc_scan(spark, sf_dir, records_per_file: int = 50):
+    """S-row surface: synthesize WARC files from the pages fixture (one
+    multi-record blob per ``records_per_file`` doc_id range, records in
+    doc_id order — deterministic, like every fixture), then parse them
+    back with the Arrow kernel. Returns one row per record:
+    (url, warc_date, content_length, payload_md5).
+
+    Scale shape: file assembly is one groupBy on the bucket key (in
+    production the blobs simply ARE the input files — binaryFile source
+    or a (path, content) table); the parse kernel is a narrow mapInPandas
+    over whole blobs, one cursor walk per file, no shuffle. The oracle
+    re-derives every field from the documents table (the payload is the
+    synthesized page html), so the whole framing roundtrip is
+    hash-checked — a parser that mis-advances the cursor breaks the
+    value hash of every subsequent record in the file."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..queries import synth_pages_from_documents
+
+    pages = synth_pages_from_documents(spark, sf_dir)
+    iso = F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rec = F.concat(
+        F.encode(
+            F.concat_ws(
+                "",
+                F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+                F.col("url"),
+                F.lit("\r\nWARC-Date: "),
+                iso,
+                F.lit("\r\nContent-Length: "),
+                F.length("html").cast("string"),
+                F.lit("\r\n\r\n"),
+            ),
+            "us-ascii",
+        ),
+        F.col("html"),
+        F.encode(F.lit("\r\n\r\n"), "us-ascii"),
+    )
+    per_rec = pages.select(
+        F.expr("cast(split(url, '/')[4] as long)").alias("doc_id"),
+        rec.alias("rec"),
+    ).select(
+        F.expr(f"doc_id DIV {int(records_per_file)}").alias("file_id"),
+        "doc_id",
+        "rec",
+    )
+    blobs = per_rec.groupBy("file_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("warc")
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["warc"]:
+                for r in parse_warc_records(bytes(blob)):
+                    rows.append(
+                        {
+                            "url": r["url"],
+                            "warc_date": r["warc_date"],
+                            "content_length": r["content_length"],
+                            "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_date", "content_length", "payload_md5"],
+            )
+
+    return blobs.mapInPandas(
+        kern,
+        schema="url string, warc_date string, content_length long, "
+        "payload_md5 string",
+    )

@@ -86,3 +86,72 @@ def test_partitioned_sink_roundtrip(spark, pages_path, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 60
     assert {"dt", "bkt"} <= set(back.columns)
+
+
+# ------------------------------------------------------------------ WARC
+
+
+def test_warc_roundtrip_and_payload_opacity():
+    """Content-Length-driven framing: payloads containing 'WARC/1.0' or
+    CRLFCRLF must NOT confuse the cursor — only the declared length
+    advances it."""
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    p1 = b"plain payload"
+    p2 = b"tricky WARC/1.0\r\n\r\nWARC-Date: fake\r\n\r\n inside payload"
+    p3 = b""  # empty payload record
+    blob = (
+        build_warc_record("http://a.test/1", "2024-01-01T00:00:00Z", p1)
+        + build_warc_record("http://a.test/2", "2024-01-01T00:01:01Z", p2)
+        + build_warc_record("http://a.test/3", "2024-01-01T00:02:02Z", p3)
+    )
+    recs = parse_warc_records(blob)
+    assert [r["url"] for r in recs] == [f"http://a.test/{i}" for i in (1, 2, 3)]
+    assert [r["payload"] for r in recs] == [p1, p2, p3]
+    assert [r["content_length"] for r in recs] == [len(p1), len(p2), 0]
+
+
+def test_warc_corruption_raises():
+    """Truncated payloads, missing Content-Length, and mid-stream garbage
+    raise instead of silently truncating the archive."""
+    import pytest
+
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    good = build_warc_record("http://a.test/1", "2024-01-01T00:00:00Z", b"xyz")
+    with pytest.raises(ValueError, match="truncated payload"):
+        parse_warc_records(good[:-6])  # separator + 2 payload bytes gone
+    no_len = good.replace(b"Content-Length: 3\r\n", b"")
+    with pytest.raises(ValueError, match="bad Content-Length"):
+        parse_warc_records(no_len)
+    with pytest.raises(ValueError, match="not a WARC record"):
+        parse_warc_records(good + b"GARBAGE-NOT-A-RECORD" + good)
+
+
+def test_warc_scan_spark_surface(spark):
+    """The Spark surface parses every synthesized record back out: one row
+    per document, md5(payload) == md5 of the page html, multi-record
+    files genuinely exercised (500 docs at 50/file = 10 blobs)."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.queries import synth_pages_from_documents
+    from sbb_ocr_postcorrection_spark.sources.warc import warc_scan
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["url"]: r for r in warc_scan(spark, sf).collect()}
+    want = {
+        r["url"]: r
+        for r in synth_pages_from_documents(spark, sf)
+        .select("url", F.md5("html").alias("m"), F.length("html").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) == 500
+    for u, r in got.items():
+        assert r["payload_md5"] == want[u]["m"]
+        assert r["content_length"] == want[u]["n"]
