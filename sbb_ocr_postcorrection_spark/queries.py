@@ -346,6 +346,13 @@ def _warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_scan(spark, sf_dir)
 
 
+def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.robots import robots_gate
+
+    _pin(spark)
+    return robots_gate(spark, sf_dir)
+
+
 def _export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export manifest's reason histogram (pipeline.
     export_training_corpus) as a driver-checked relation: every input doc
@@ -414,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC file framing roundtrip (S-row: the Common-Crawl archive
         # format) — multi-record blobs parsed by cursor walk
         "warc_scan": _warc_scan,
+        # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
+        # the fixture rules have a closed-form verdict the oracle states)
+        "robots_gate": _robots_gate,
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -1721,6 +1731,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(html) AS BIGINT) AS content_length,
                    md5(html) AS payload_md5
             FROM h
+        """,
+        # robots fixture closed form: odd-k hosts disallow the /p/1 prefix
+        # (paths 1, 10, 11) but re-allow /p/12 via the longer rule
+        "robots_gate": """
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                     AS host,
+                   '/p/' || CAST(doc_id % 13 AS VARCHAR) AS path,
+                   CAST(CASE WHEN (doc_id % 7) % 2 = 1
+                              AND (doc_id % 13) IN (1, 10, 11)
+                        THEN 0 ELSE 1 END AS INTEGER) AS robots_allowed
+            FROM documents
         """,
         "corpus_alignments": f"""
             WITH d AS (SELECT {_URL_SQL} AS doc_id, text, lang

@@ -1,0 +1,157 @@
+"""robots.txt rule parsing + URL gating, from scratch (RFC 9309).
+
+The crawl-policy companion to the URL blocklist: every polite crawl
+pipeline must honor per-host robots rules before fetching — and a corpus
+builder re-checks them before TRAINING on a page (pages fetched before a
+policy change, or by an impolite upstream crawler, get filtered here).
+
+Parser semantics (RFC 9309):
+* groups are selected by User-agent line; the group for the SPECIFIC
+  agent wins over the '*' group; multiple headers stack onto one group;
+* rules are `Allow:`/`Disallow:` path patterns with `*` (any run) and a
+  trailing `$` (end anchor); an EMPTY Disallow value means allow-all;
+* matching is longest-pattern-wins (pattern LENGTH, not match length),
+  Allow winning ties; no matching rule → allowed. No robots.txt at all →
+  allowed (the RFC default for 404).
+
+Single-node functions are Spark-free (the kernel.py convention); the
+Spark gate joins pages to their host's robots text by equality and
+evaluates rules in an Arrow kernel with a per-text parse cache — one
+parse per distinct robots.txt per batch, not per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """robots.txt → [(is_allow, pattern)] for the best-matching group.
+
+    Group selection: collect rule groups per user-agent token; prefer the
+    group whose agent token equals ``agent`` (case-insensitive), else the
+    '*' group, else no rules. Lines stack: consecutive User-agent lines
+    share the rule block that follows."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current_agents: list[str] = []
+    rules_started = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                current_agents = []
+                rules_started = False
+            current_agents.append(val.lower())
+            for a in current_agents:
+                groups.setdefault(a, [])
+        elif key in ("allow", "disallow"):
+            rules_started = True
+            if key == "disallow" and val == "":
+                continue  # empty Disallow = allow everything (no rule)
+            for a in current_agents:
+                groups.setdefault(a, []).append((key == "allow", val))
+        # other keys (crawl-delay, sitemap) are ignored for gating
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _pattern_re(pattern: str) -> re.Pattern:
+    """RFC 9309 pattern → anchored regex: '*' is any run, trailing '$'
+    anchors the end, everything else is literal."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-pattern-wins verdict; Allow wins ties; no match → allowed."""
+    if not path.startswith("/"):
+        path = "/" + path
+    best_len = -1
+    best_allow = True
+    for is_allow, pattern in rules:
+        if _pattern_re(pattern).match(path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and is_allow):
+                best_len = plen
+                best_allow = is_allow
+    return best_allow
+
+
+# deterministic fixture robots per synth host (interpolated semantics are
+# mirrored by the DuckDB oracle as a closed-form CASE): odd-k hosts
+# disallow the /p/1 prefix but re-allow /p/12 via a longer rule — the
+# longest-match + prefix semantics are what the oracle certifies; the
+# full RFC matcher (wildcards, anchors, group selection) is pytest-pinned.
+def synth_robots_txt(k: int) -> str:
+    if k % 2 == 1:
+        return "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"
+    return "User-agent: *\nDisallow:\n"
+
+
+def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
+    """Per-page robots verdict: (doc_id, host, path, robots_allowed).
+
+    ``robots`` is a (host, robots_txt) relation; the fixture default
+    synthesizes one per synth host. Pages join their host's rules by
+    EQUALITY (the robots dimension is hosts-sized — broadcast at fixture
+    scale, an ordinary hash join at web scale); a LEFT join keeps pages
+    of robots-less hosts with the RFC default verdict (allowed). Rule
+    evaluation runs in an Arrow kernel with a parse cache keyed on the
+    robots text — one parse per distinct policy per batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import load
+    from ..operators.urls import canonical_url_expr, synth_url_expr
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    if "url" not in d.columns:
+        d = d.select("doc_id", synth_url_expr(F.col("doc_id")).alias("url"))
+    canon = canonical_url_expr(F.col("url"))
+    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
+    path = F.coalesce(
+        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
+        F.lit(""),
+    )
+    base = d.select("doc_id", host.alias("host"), path.alias("path"))
+    if robots is None:
+        robots = spark.createDataFrame(
+            [(f"site{k}.example.com", synth_robots_txt(k)) for k in range(7)],
+            "host string, robots_txt string",
+        )
+    joined = base.join(robots, "host", "left")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list] = {}
+        for pdf in batches:
+            verdicts = []
+            for txt, p in zip(pdf["robots_txt"], pdf["path"]):
+                if txt is None:
+                    verdicts.append(1)  # no robots.txt → allowed
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = cache[txt] = parse_robots(txt, agent)
+                verdicts.append(1 if robots_allowed(rules, p) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "host": pdf["host"],
+                    "path": pdf["path"],
+                    "robots_allowed": verdicts,
+                }
+            )
+
+    return joined.mapInPandas(
+        kern,
+        schema="doc_id long, host string, path string, robots_allowed int",
+    )

@@ -155,3 +155,88 @@ def test_warc_scan_spark_surface(spark):
     for u, r in got.items():
         assert r["payload_md5"] == want[u]["m"]
         assert r["content_length"] == want[u]["n"]
+
+
+# ------------------------------------------------------------ robots.txt
+
+
+def test_robots_rfc_matching_rules():
+    """RFC 9309 semantics: longest pattern wins (pattern length, not match
+    length), Allow wins ties, '*' wildcard, '$' anchor, empty Disallow =
+    allow-all, default allowed on no match."""
+    from sbb_ocr_postcorrection_spark.sources.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp*core\n"
+    )
+    r = parse_robots(txt)
+    assert robots_allowed(r, "/public") is True           # no match
+    assert robots_allowed(r, "/private/x") is False       # prefix
+    assert robots_allowed(r, "/private/ok/deep") is True  # longer Allow
+    assert robots_allowed(r, "/doc/a.pdf") is False       # wildcard+anchor
+    assert robots_allowed(r, "/doc/a.pdfx") is True       # anchor holds
+    assert robots_allowed(r, "/tmp/junk/core") is False   # mid wildcard
+    # tie → Allow wins
+    tie = [(False, "/a/b"), (True, "/a/c")]
+    assert robots_allowed(tie, "/a/b") is False
+    assert robots_allowed([(False, "/a/b"), (True, "/a/b")], "/a/b") is True
+    # empty Disallow line is allow-all (no rule at all)
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_group_selection():
+    """The specific agent's group beats '*'; stacked User-agent headers
+    share one rule block."""
+    from sbb_ocr_postcorrection_spark.sources.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "User-agent: megabot\n"
+        "User-agent: minibot\n"
+        "Disallow: /only-bots\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everyone\n"
+    )
+    for agent in ("megabot", "MiniBot"):
+        r = parse_robots(txt, agent)
+        assert robots_allowed(r, "/only-bots/x") is False
+        assert robots_allowed(r, "/everyone") is True  # not their group
+    r = parse_robots(txt, "otherbot")  # falls back to '*'
+    assert robots_allowed(r, "/everyone") is False
+    assert robots_allowed(r, "/only-bots/x") is True
+
+
+def test_robots_gate_spark_surface(spark):
+    """Injected relations: pages of a robots-less host default to allowed
+    (RFC 404 rule); the kernel honors injected per-host policies."""
+    from sbb_ocr_postcorrection_spark.sources.robots import robots_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://a.test/keep/x"),
+            (1, "https://a.test/secret/x"),
+            (2, "https://norobots.test/anything"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /secret\n")],
+        "host string, robots_txt string",
+    )
+    out = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_gate(spark, "/root/testdata/sf0.001",
+                             robots=robots, docs=docs).collect()
+    }
+    assert out == {0: 1, 1: 0, 2: 1}
