@@ -524,6 +524,64 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     )
 
 
+# quality-classifier geometry (interpolated into the DuckDB oracle)
+CLF_DIM = 64
+CLF_THRESHOLD = 0
+
+
+def quality_classifier(spark, sf_dir, dim: int = CLF_DIM, docs=None) -> DataFrame:
+    """Feature-hashing linear quality classifier — the fasttext/DCLM-style
+    model-based quality filter as a Spark-native scoring pass: tokens hash
+    into ``dim`` feature buckets (md5-keyed), each bucket carries a small
+    integer weight, and a document's score is the sum of its tokens'
+    bucket weights — one explode + one aggregation, no Python, no model
+    server.
+
+    The weights here are the md5-parity stand-in (w_b = md5_60('qw|'+b)
+    mod 5 − 2 ∈ {−2..2}) so the whole scorer is engine-exact and the
+    driver hash-checks the complete scoring path; a PRODUCTION deployment
+    swaps the weight expression for a learned table (broadcast dim join
+    or plan literals — same plan shape either way, which is exactly what
+    this query certifies). Scores stay INTEGER end-to-end and the keep
+    verdict is a plain integer threshold — no per-token normalization
+    column, deliberately: integer division of NEGATIVE scores truncates
+    toward zero in Spark but floors in DuckDB, the exact class of silent
+    divergence the integer-only design exists to rule out (callers
+    normalize with their own convention).
+
+    Scale: explode-on-tokens → two-phase hash aggregation on doc_id —
+    the token_stats shape; the weight lookup is arithmetic on the hash,
+    zero joins."""
+    from .dedup import md5_60
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    tok = d.select("doc_id", F.explode_outer(_tokens(F.col("text"))).alias("token"))
+    bucket = F.pmod(md5_60(F.col("token")), F.lit(dim))
+    weight = F.when(
+        F.col("token").isNull(), F.lit(0)
+    ).otherwise(
+        F.pmod(md5_60(F.concat(F.lit("qw|"), bucket.cast("string"))), F.lit(5)) - 2
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("token").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_tokens"),
+        F.sum(weight).cast("long").alias("clf_score"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "clf_score",
+        (F.col("clf_score") >= CLF_THRESHOLD).cast("int").alias("clf_keep"),
+    )
+
+
 # mix-sampler fixture constants (interpolated into the DuckDB oracle):
 # budget = MIX_BUDGET_NUM/MIX_BUDGET_DEN of the corpus' total tokens, and
 # the synthetic per-source weight is 1 + 3·(source index mod 4) → weights

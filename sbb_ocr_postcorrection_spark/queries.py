@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII-augmented text)
         "pii_redact": pinned(textstats.pii_redact),
         "corpus_mix": pinned(textstats.source_mix_sample),
+        "quality_classifier": pinned(textstats.quality_classifier),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -1417,6 +1418,33 @@ def oracle_sql() -> dict[str, str]:
                               AND coalesce(h.n_overlap, 0) >= 1
                              THEN 1 ELSE 0 END AS INTEGER) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # hashed-linear classifier: bucket + weight are pure md5 arithmetic
+        # (geometry constants from operators.textstats); every doc surfaces
+        # (unnest of [NULL] for token-less docs ≡ Spark's explode_outer)
+        "quality_classifier": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END)
+                       AS token
+              FROM t
+            ), w AS (
+              SELECT doc_id, token,
+                     CASE WHEN token IS NULL THEN 0
+                          ELSE {_hex2int(
+                            "md5('qw|' || CAST("
+                            + _hex2int("md5(token)")
+                            + f" % {textstats.CLF_DIM} AS VARCHAR))"
+                          )} % 5 - 2 END AS wt
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(count(token) AS INTEGER) AS n_tokens,
+                   CAST(sum(wt) AS BIGINT) AS clf_score,
+                   CAST(CASE WHEN sum(wt) >= {textstats.CLF_THRESHOLD}
+                        THEN 1 ELSE 0 END AS INTEGER) AS clf_keep
+            FROM w GROUP BY doc_id
         """,
         # mixing-law constants interpolate from operators.textstats so one
         # definition drives both engines; the keep verdict is one integer

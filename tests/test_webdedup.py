@@ -715,3 +715,36 @@ def test_passage_dedup_degenerate_docs_survive(spark):
         assert out[10 + i]["cleaned_text"] == "same tiny doc"
     for i in range(5):
         assert out[20 + i]["n_kept"] == out[20 + i]["n_lines"] == 2
+
+
+def test_quality_classifier_semantics(spark):
+    """Hashed-linear scorer: integer scores, both verdicts present on the
+    corpus (non-vacuous threshold), token-less docs surface with score 0,
+    and the score is the plain sum of bucket weights (recomputed
+    independently for one doc)."""
+    import hashlib
+
+    from sbb_ocr_postcorrection_spark.operators import textstats as T
+
+    out = {r["doc_id"]: r for r in T.quality_classifier(spark, SF_DIR).collect()}
+    keeps = {r["clf_keep"] for r in out.values()}
+    assert keeps == {0, 1}
+    # independent recompute for one doc
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").first()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [t for t in doc["text"].lower().split(" ") if t]
+    want = sum(h60(f"qw|{h60(t) % T.CLF_DIM}") % 5 - 2 for t in toks)
+    got = out[doc["doc_id"]]
+    assert got["clf_score"] == want and got["n_tokens"] == len(toks)
+    assert got["clf_keep"] == int(want >= T.CLF_THRESHOLD)
+    # null/empty docs surface with the zero score
+    vdocs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    z = {r["doc_id"]: r for r in T.quality_classifier(spark, SF_DIR, docs=vdocs).collect()}
+    assert set(z) == {1, 2}
+    for r in z.values():
+        assert r["n_tokens"] == 0 and r["clf_score"] == 0 and r["clf_keep"] == 1
