@@ -1756,7 +1756,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT url, warc_date,
-                   CAST(length(html) AS BIGINT) AS content_length,
+                   -- BYTE length (the Spark side frames the utf-8 payload):
+                   -- char-count length() only coincides on ASCII text
+                   CAST(octet_length(encode(html)) AS BIGINT)
+                     AS content_length,
                    md5(html) AS payload_md5
             FROM h
         """,

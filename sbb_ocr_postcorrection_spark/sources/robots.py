@@ -22,8 +22,6 @@ parse per distinct robots.txt per batch, not per row.
 
 from __future__ import annotations
 
-import re
-
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
     """robots.txt → [(is_allow, pattern)] for the best-matching group.
@@ -59,13 +57,41 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
     return groups.get(agent.lower(), groups.get("*", []))
 
 
-def _pattern_re(pattern: str) -> re.Pattern:
-    """RFC 9309 pattern → anchored regex: '*' is any run, trailing '$'
-    anchors the end, everything else is literal."""
-    anchored = pattern.endswith("$")
-    body = pattern[:-1] if anchored else pattern
-    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
-    return re.compile("^" + rx + ("$" if anchored else ""))
+def _glob_match(pattern: str, s: str) -> bool:
+    """Full match of an RFC 9309 pattern body against s: '*' = any run,
+    everything else literal. ITERATIVE two-pointer star-backtracking glob
+    — O(len(s)·stars) worst case and never exponential. robots.txt is
+    UNTRUSTED remote content; '*a'×25-style patterns sent a backtracking
+    regex into effectively-infinite time (review-confirmed hang), the
+    exact failure class the repo's ReDoS rules ban for crawl text."""
+    i = j = 0
+    star = -1
+    si = 0
+    n, m = len(s), len(pattern)
+    while i < n:
+        if j < m and pattern[j] == "*":
+            star, si, j = j, i, j + 1
+        elif j < m and pattern[j] == s[i]:
+            i += 1
+            j += 1
+        elif star != -1:
+            si += 1
+            i = si
+            j = star + 1
+        else:
+            return False
+    while j < m and pattern[j] == "*":
+        j += 1
+    return j == m
+
+
+def _match(pattern: str, path: str) -> bool:
+    """RFC match: a trailing '$' anchors the end; otherwise the pattern
+    matches any PREFIX of the path — expressed as pattern+'*' run through
+    the full matcher so there is exactly one matching routine."""
+    if pattern.endswith("$"):
+        return _glob_match(pattern[:-1], path)
+    return _glob_match(pattern + "*", path)
 
 
 def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
@@ -75,7 +101,7 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     best_len = -1
     best_allow = True
     for is_allow, pattern in rules:
-        if _pattern_re(pattern).match(path):
+        if _match(pattern, path):
             plen = len(pattern)
             if plen > best_len or (plen == best_len and is_allow):
                 best_len = plen
@@ -111,17 +137,16 @@ def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
     from pyspark.sql import functions as F
 
     from ..operators.relational import load
-    from ..operators.urls import canonical_url_expr, synth_url_expr
+    from ..operators.urls import _host_path_suffixes, synth_url_expr
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     if "url" not in d.columns:
         d = d.select("doc_id", synth_url_expr(F.col("doc_id")).alias("url"))
-    canon = canonical_url_expr(F.col("url"))
-    host = F.coalesce(F.substring_index(canon, "/", 1), F.lit("<no-host>"))
-    path = F.coalesce(
-        F.substr(canon, F.length(F.substring_index(canon, "/", 1)) + 1),
-        F.lit(""),
-    )
+    # the POLICY host (shared _host_path_suffixes law): userinfo, port and
+    # trailing dots stripped — 'a.test:8080' spellings must find a.test's
+    # policy, not silently miss the join and default to allowed (the same
+    # bypass class the blocklist gate normalizes away)
+    host, path, _ = _host_path_suffixes(F.col("url"))
     base = d.select("doc_id", host.alias("host"), path.alias("path"))
     if robots is None:
         robots = spark.createDataFrame(

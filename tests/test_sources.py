@@ -240,3 +240,71 @@ def test_robots_gate_spark_surface(spark):
                              robots=robots, docs=docs).collect()
     }
     assert out == {0: 1, 1: 0, 2: 1}
+
+
+def test_robots_matcher_linear_on_adversarial_patterns():
+    """robots.txt is UNTRUSTED remote content: the '*a'×25+'$' pattern
+    against a near-matching path hung the old regex matcher (catastrophic
+    backtracking, >20s); the iterative glob matcher must answer in
+    milliseconds (generous 2s bound for VM noise) and still be correct."""
+    import time
+
+    from sbb_ocr_postcorrection_spark.sources.robots import robots_allowed
+
+    evil = [(False, "/" + "*a" * 25 + "$")]
+    t0 = time.time()
+    assert robots_allowed(evil, "/" + "a" * 60 + "b") is True  # no match
+    assert robots_allowed(evil, "/" + "a" * 60) is False       # matches
+    assert time.time() - t0 < 2.0
+    # star semantics sanity at the boundary forms
+    assert robots_allowed([(False, "/*")], "/anything") is False
+    assert robots_allowed([(False, "/a*b$")], "/axxb") is False
+    assert robots_allowed([(False, "/a*b$")], "/axxbc") is True
+
+
+def test_robots_gate_normalizes_host_spellings(spark):
+    """Port/userinfo/trailing-dot spellings must FIND the host's policy —
+    the un-normalized join silently defaulted them to allowed (review
+    finding; same class as the blocklist bypass)."""
+    from sbb_ocr_postcorrection_spark.sources.robots import robots_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://a.test:8080/secret/x"),
+            (1, "https://a.test./secret/y"),
+            (2, "https://u@a.test/secret/z"),
+            (3, "https://a.test/open"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /secret\n")],
+        "host string, robots_txt string",
+    )
+    out = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_gate(spark, "/root/testdata/sf0.001",
+                             robots=robots, docs=docs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_warc_parse_is_linear_in_record_count():
+    """The cursor walk must not re-slice the tail per record (the old
+    blob[i:].strip was quadratic: 20k records took ~10s). 20k records now
+    parse well under the generous 5s VM-noise bound."""
+    import time
+
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    blob = b"".join(
+        build_warc_record(f"http://h.test/{i}", "2024-01-01T00:00:00Z", b"pp")
+        for i in range(20_000)
+    )
+    t0 = time.time()
+    recs = parse_warc_records(blob)
+    assert len(recs) == 20_000
+    assert time.time() - t0 < 5.0
