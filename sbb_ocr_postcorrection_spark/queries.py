@@ -353,6 +353,13 @@ def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(spark, sf_dir)
 
 
+def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.robots import crawl_schedule
+
+    _pin(spark)
+    return crawl_schedule(spark, sf_dir)
+
+
 def _export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export manifest's reason histogram (pipeline.
     export_training_corpus) as a driver-checked relation: every input doc
@@ -424,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
         # the fixture rules have a closed-form verdict the oracle states)
         "robots_gate": _robots_gate,
+        # politeness scheduler: per-host fetch slots x robots Crawl-delay
+        "crawl_schedule": _crawl_schedule,
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -1773,6 +1782,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (doc_id % 7) % 2 = 1
                               AND (doc_id % 13) IN (1, 10, 11)
                         THEN 0 ELSE 1 END AS INTEGER) AS robots_allowed
+            FROM documents
+        """,
+        # schedule closed form: dense doc_ids → slot = doc_id DIV 7 within
+        # host site{doc_id%7}; delay = 1 + k%3 from the synth robots text
+        "crawl_schedule": """
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                     AS host,
+                   CAST(doc_id // 7 AS INTEGER) AS slot,
+                   CAST(1 + (doc_id % 7) % 3 AS INTEGER) AS delay_s,
+                   CAST((doc_id // 7) * (1 + (doc_id % 7) % 3) AS BIGINT)
+                     AS fetch_offset_s
             FROM documents
         """,
         "corpus_alignments": f"""

@@ -115,9 +115,10 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
 # longest-match + prefix semantics are what the oracle certifies; the
 # full RFC matcher (wildcards, anchors, group selection) is pytest-pinned.
 def synth_robots_txt(k: int) -> str:
+    delay = f"Crawl-delay: {1 + k % 3}\n"
     if k % 2 == 1:
-        return "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"
-    return "User-agent: *\nDisallow:\n"
+        return f"User-agent: *\nDisallow: /p/1\nAllow: /p/12\n{delay}"
+    return f"User-agent: *\nDisallow:\n{delay}"
 
 
 def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
@@ -179,4 +180,64 @@ def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
     return joined.mapInPandas(
         kern,
         schema="doc_id long, host string, path string, robots_allowed int",
+    )
+
+
+# the ONE Crawl-delay extraction pattern — shared by the Spark plan and
+# (verbatim) the DuckDB oracle; seconds, first match wins, default 1
+CRAWL_DELAY_RE = "Crawl-delay: ([0-9]+)"
+DEFAULT_CRAWL_DELAY_S = 1
+
+
+def crawl_schedule(spark, sf_dir, robots=None, docs=None):
+    """Politeness scheduler: per-host sequential fetch slots honoring each
+    host's robots Crawl-delay — the planning step between URL gating and
+    fetching in a continuous crawl. Every page gets (slot, delay_s,
+    fetch_offset_s): slot = its position within its host's queue
+    (deterministic doc_id order), offset = slot × the host's delay, so
+    hosts are fetched in parallel while each host sees at most one
+    request per delay window.
+
+    Fully relational — NO kernel: the delay is one regexp_extract over
+    the policy text (missing/absent robots → the RFC-ish default of
+    ``DEFAULT_CRAWL_DELAY_S``), the slot is a row_number window
+    partitioned BY HOST, so every partition-level window is parallel and
+    bounded by the host's page count (skewed mega-hosts are exactly the
+    ones whose schedule must serialize anyway — the window mirrors the
+    real constraint). One shuffle on host, one tiny policy join."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.relational import load
+    from ..operators.urls import _host_path_suffixes, synth_url_expr
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    if "url" not in d.columns:
+        d = d.select("doc_id", synth_url_expr(F.col("doc_id")).alias("url"))
+    host, _path, _sfx = _host_path_suffixes(F.col("url"))
+    base = d.select("doc_id", host.alias("host"))
+    if robots is None:
+        robots = spark.createDataFrame(
+            [(f"site{k}.example.com", synth_robots_txt(k)) for k in range(7)],
+            "host string, robots_txt string",
+        )
+    delay = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col("robots_txt"), CRAWL_DELAY_RE, 1), F.lit("")
+        ).cast("int"),
+        F.lit(DEFAULT_CRAWL_DELAY_S),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        base.join(robots, "host", "left")
+        .select("doc_id", "host", delay.alias("delay_s"))
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            "doc_id",
+            "host",
+            "slot",
+            "delay_s",
+            (F.col("slot").cast("long") * F.col("delay_s")).alias(
+                "fetch_offset_s"
+            ),
+        )
     )

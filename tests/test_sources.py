@@ -308,3 +308,39 @@ def test_warc_parse_is_linear_in_record_count():
     recs = parse_warc_records(blob)
     assert len(recs) == 20_000
     assert time.time() - t0 < 5.0
+
+
+def test_crawl_schedule_per_host_politeness(spark):
+    """Injected relations: within each host, slots are dense from 0 in
+    doc_id order and offsets honor THAT host's Crawl-delay; hosts without
+    a policy take the default delay; no two pages of one host share a
+    fetch offset (the politeness invariant)."""
+    from sbb_ocr_postcorrection_spark.sources.robots import (
+        DEFAULT_CRAWL_DELAY_S,
+        crawl_schedule,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"https://slow.test/p/{i}") for i in range(3)]
+        + [(10 + i, f"https://nopolicy.test/q/{i}") for i in range(2)],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("slow.test", "User-agent: *\nDisallow:\nCrawl-delay: 7\n")],
+        "host string, robots_txt string",
+    )
+    rows = crawl_schedule(
+        spark, "/root/testdata/sf0.001", robots=robots, docs=docs
+    ).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    slow = sorted(by_host["slow.test"], key=lambda r: r["doc_id"])
+    assert [r["slot"] for r in slow] == [0, 1, 2]
+    assert [r["fetch_offset_s"] for r in slow] == [0, 7, 14]
+    nop = sorted(by_host["nopolicy.test"], key=lambda r: r["doc_id"])
+    assert [r["delay_s"] for r in nop] == [DEFAULT_CRAWL_DELAY_S] * 2
+    assert [r["fetch_offset_s"] for r in nop] == [0, DEFAULT_CRAWL_DELAY_S]
+    for rs in by_host.values():
+        offs = [r["fetch_offset_s"] for r in rs]
+        assert len(offs) == len(set(offs))
