@@ -37,6 +37,57 @@ def extract_stream(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def robots_gate_stream(
+    pages_stream: DataFrame, robots: DataFrame, agent: str = "*",
+    drop: bool = False,
+) -> DataFrame:
+    """Pre-kernel robots verdict on the stream: a STREAM-STATIC equality
+    join against the (host, robots_txt) policy dimension — supported
+    natively by Structured Streaming with no state store or watermark —
+    followed by the same Arrow rule-evaluation kernel the batch gate uses
+    (sources/robots.robots_gate), so stream and batch verdicts share one
+    matcher by construction. The policy snapshot is the one the query
+    planned with; a crawl that refreshes robots.txt restarts the query or
+    runs the batch re-check over landed pages (both are standard)."""
+    from ..operators.urls import _host_path_suffixes
+    from ..sources.robots import parse_robots, robots_allowed
+
+    host, path, _ = _host_path_suffixes(F.col("url"))
+    joined = pages_stream.withColumns(
+        {"host": host, "path": path}
+    ).join(robots, "host", "left")
+
+    import pandas as pd
+
+    def kern(batches):
+        cache: dict[str, list] = {}
+        for pdf in batches:
+            verdicts = []
+            for txt, p in zip(pdf["robots_txt"], pdf["path"]):
+                if txt is None:
+                    verdicts.append(1)
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = cache[txt] = parse_robots(txt, agent)
+                verdicts.append(1 if robots_allowed(rules, p) else 0)
+            out = pdf.drop(columns=["robots_txt"])
+            out["robots_allowed"] = pd.Series(verdicts, index=pdf.index, dtype="int32")
+            yield out
+
+    cols = [f for f in pages_stream.schema.fields]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
+        + ", host string, path string, robots_allowed int"
+    )
+    out = joined.mapInPandas(kern, schema=schema)
+    if drop:
+        return out.filter(F.col("robots_allowed") == 1).drop(
+            "host", "path", "robots_allowed"
+        )
+    return out
+
+
 def blocklist_gate_stream(
     pages_stream: DataFrame, blocked_hosts=None, blocked_path_re=None,
     drop: bool = False,

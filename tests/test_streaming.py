@@ -474,3 +474,72 @@ def test_blocklist_gate_stream_matches_batch(spark, tmp_path):
         "https://good.test/fine", "https://notbad.test/z"
     }
     assert "blocked_host" not in (kept[0].asDict() if kept else {})
+
+
+def test_robots_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming robots gate: stream-static policy join + the SAME matcher
+    as the batch gate — verdicts equal on the same pages; drop=True
+    restores the input schema with blocked pages filtered."""
+    import datetime
+    import os
+
+    from sbb_ocr_postcorrection_spark.sources.robots import robots_gate
+    from sbb_ocr_postcorrection_spark.streaming.ingest import robots_gate_stream
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.test/secret/x", t0),
+        ("https://a.test:443/secret/y", t0),
+        ("https://a.test/open", t0),
+        ("https://norobots.test/z", t0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    pdf.to_parquet(d / "b1.parquet")
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /secret\n")],
+        "host string, robots_txt string",
+    )
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        robots_gate_stream(stream, robots)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["url"]: r["robots_allowed"] for r in seen}
+    batch_docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(rows)], "doc_id long, url string"
+    )
+    want_rows = robots_gate(
+        spark, "/root/testdata/sf0.001", robots=robots, docs=batch_docs
+    ).collect()
+    want = {rows[r["doc_id"]][0]: r["robots_allowed"] for r in want_rows}
+    assert got == want == {
+        "https://a.test/secret/x": 0,
+        "https://a.test:443/secret/y": 0,  # port spelling still gated
+        "https://a.test/open": 1,
+        "https://norobots.test/z": 1,
+    }
+    kept = []
+    q2 = (
+        robots_gate_stream(stream, robots, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["url"] for r in kept} == {
+        "https://a.test/open", "https://norobots.test/z"
+    }
+    assert set(kept[0].asDict()) == {"url", "warc_ts"}
