@@ -524,6 +524,58 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     )
 
 
+# character-trigram language profiles (public frequent-trigram heuristic,
+# the cld2-style char-level modality beside the token-level stopword
+# detector) — interpolated verbatim into the DuckDB oracle
+DE_TRIGRAMS = (
+    "der", "die", "und", "ein", "ich", "sch", "che", "nde",
+    "den", "ung", "ach", "ver",
+)
+EN_TRIGRAMS = (
+    "the", "and", "ing", "ion", "tio", "ent", "for", "her",
+    "tha", "hat", "ere", "his",
+)
+
+
+def lang_id_trigram(spark, sf_dir, docs=None) -> DataFrame:
+    """Char-level language ID: how many of each language's profile
+    trigrams occur in the document. A SECOND detection modality beside
+    the stopword-token lang_id — char n-grams survive tokenizer damage
+    and OCR-noisy word boundaries that wreck stopword hits (the reference
+    detector's char-window view, SURVEY §2.9 M1, lifted to a relational
+    verdict).
+
+    Shape: |profile| (24) JVM `contains` probes per row — whole-stage
+    codegen, zero joins, zero Python; scores are integer hit counts and
+    the verdict is pure comparison (ties → 'unk'), so the whole detector
+    is engine-exact."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+
+    def hits(profile):
+        return sum(
+            (F.contains(t, F.lit(g))).cast("int") for g in profile
+        ).cast("int")
+
+    de, en = hits(DE_TRIGRAMS), hits(EN_TRIGRAMS)
+    guess = (
+        F.when(de > en, "de").when(en > de, "en").otherwise("unk")
+    )
+    return d.select(
+        "doc_id",
+        de.alias("de_tri_hits"),
+        en.alias("en_tri_hits"),
+        guess.alias("tri_lang_guess"),
+        (de - en).alias("tri_margin"),
+    )
+
+
 # quality-classifier geometry (interpolated into the DuckDB oracle)
 CLF_DIM = 64
 CLF_THRESHOLD = 0

@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pinned(textstats.pii_redact),
         "corpus_mix": pinned(textstats.source_mix_sample),
         "quality_classifier": pinned(textstats.quality_classifier),
+        "lang_id_trigram": pinned(textstats.lang_id_trigram),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -1427,6 +1428,25 @@ def oracle_sql() -> dict[str, str]:
                               AND coalesce(h.n_overlap, 0) >= 1
                              THEN 1 ELSE 0 END AS INTEGER) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # trigram profiles interpolate from operators.textstats constants
+        "lang_id_trigram": f"""
+            WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({_sql_list(textstats.DE_TRIGRAMS)},
+                          g -> contains(tx, g))) AS INTEGER) AS de_tri_hits,
+                     CAST(len(list_filter({_sql_list(textstats.EN_TRIGRAMS)},
+                          g -> contains(tx, g))) AS INTEGER) AS en_tri_hits
+              FROM t
+            )
+            SELECT doc_id, de_tri_hits, en_tri_hits,
+                   CASE WHEN de_tri_hits > en_tri_hits THEN 'de'
+                        WHEN en_tri_hits > de_tri_hits THEN 'en'
+                        ELSE 'unk' END AS tri_lang_guess,
+                   CAST(de_tri_hits - en_tri_hits AS INTEGER) AS tri_margin
+            FROM h
         """,
         # hashed-linear classifier: bucket + weight are pure md5 arithmetic
         # (geometry constants from operators.textstats); every doc surfaces

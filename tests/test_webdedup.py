@@ -748,3 +748,32 @@ def test_quality_classifier_semantics(spark):
     assert set(z) == {1, 2}
     for r in z.values():
         assert r["n_tokens"] == 0 and r["clf_score"] == 0 and r["clf_keep"] == 1
+
+
+def test_lang_id_trigram_detects_crafted_languages(spark):
+    """Char-trigram detection on real-language sentences: German and
+    English prose classify correctly with positive margins, a tech-token
+    string (the synthetic corpus vocabulary, where few profile trigrams
+    occur) stays low-signal, ties and null text give the definite 'unk'
+    verdict. The corpus-wide exactness is the driver hash check; this
+    pins the SEMANTICS."""
+    from sbb_ocr_postcorrection_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Die Entscheidung wurde nach einer Untersuchung der "
+                "Verwaltung durch den Ausschuss verabschiedet und "
+                "veroeffentlicht."),
+            (1, "The information was gathered during the meeting for "
+                "the foundation and the organization of the nation."),
+            (2, "xyz qqq zzz kkk"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.lang_id_trigram(spark, SF_DIR, docs=docs).collect()}
+    assert out[0]["tri_lang_guess"] == "de" and out[0]["tri_margin"] > 0
+    assert out[1]["tri_lang_guess"] == "en" and out[1]["tri_margin"] < 0
+    assert out[1]["en_tri_hits"] > out[1]["de_tri_hits"]
+    assert out[2]["tri_lang_guess"] == "unk"
+    assert out[3]["tri_lang_guess"] == "unk" and out[3]["tri_margin"] == 0
