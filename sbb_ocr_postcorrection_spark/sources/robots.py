@@ -23,14 +23,15 @@ parse per distinct robots.txt per batch, not per row.
 from __future__ import annotations
 
 
-def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """robots.txt → [(is_allow, pattern)] for the best-matching group.
+DEFAULT_CRAWL_DELAY_S = 1
 
-    Group selection: collect rule groups per user-agent token; prefer the
-    group whose agent token equals ``agent`` (case-insensitive), else the
-    '*' group, else no rules. Lines stack: consecutive User-agent lines
-    share the rule block that follows."""
-    groups: dict[str, list[tuple[bool, str]]] = {}
+
+def _parse_groups(txt: str) -> dict:
+    """One line walk → {agent: {"rules": [(is_allow, pattern)],
+    "delay": int|None}} — the shared backend of parse_robots (gating) and
+    crawl_delay (scheduling), so key normalization (case, whitespace) and
+    group stacking can never differ between the two consumers."""
+    groups: dict[str, dict] = {}
     current_agents: list[str] = []
     rules_started = False
     for raw in txt.splitlines():
@@ -46,15 +47,70 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
                 rules_started = False
             current_agents.append(val.lower())
             for a in current_agents:
-                groups.setdefault(a, [])
+                groups.setdefault(a, {"rules": [], "delay": None})
         elif key in ("allow", "disallow"):
             rules_started = True
             if key == "disallow" and val == "":
                 continue  # empty Disallow = allow everything (no rule)
             for a in current_agents:
-                groups.setdefault(a, []).append((key == "allow", val))
-        # other keys (crawl-delay, sitemap) are ignored for gating
-    return groups.get(agent.lower(), groups.get("*", []))
+                groups.setdefault(a, {"rules": [], "delay": None})["rules"].append(
+                    (key == "allow", val)
+                )
+        elif key == "crawl-delay":
+            rules_started = True
+            try:
+                delay = int(val)
+            except ValueError:
+                continue  # malformed delay line is ignored, not fatal
+            for a in current_agents:
+                groups.setdefault(a, {"rules": [], "delay": None})["delay"] = delay
+        # other keys (sitemap, ...) are ignored
+    return groups
+
+
+def _group_for(groups: dict, agent: str) -> dict:
+    return groups.get(
+        agent.lower(), groups.get("*", {"rules": [], "delay": None})
+    )
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """robots.txt → [(is_allow, pattern)] for the best-matching group.
+
+    Group selection: prefer the group whose agent token equals ``agent``
+    (case-insensitive), else the '*' group, else no rules. Lines stack:
+    consecutive User-agent lines share the rule block that follows."""
+    return _group_for(_parse_groups(txt), agent)["rules"]
+
+
+def crawl_delay(
+    txt: str, agent: str = "*", default: int = DEFAULT_CRAWL_DELAY_S
+) -> int:
+    """The agent's group's Crawl-delay in seconds — parsed with the SAME
+    group-aware, case/whitespace-normalized line walk as the rules (a
+    bare regex missed 'crawl-delay:10' spellings and read OTHER agents'
+    delays — review-confirmed politeness violations). Absent/malformed →
+    ``default``; clamped to ≥1 so a 'Crawl-delay: 0' line can never
+    collapse a host's schedule into simultaneous fetches."""
+    d = _group_for(_parse_groups(txt), agent)["delay"]
+    return max(d if d is not None else default, 1)
+
+
+def robots_verdicts(txts, paths, agent: str = "*") -> list[int]:
+    """Per-row allowed bits with a parse cache keyed on the policy text —
+    THE verdict loop, shared by the batch gate's kernel and the streaming
+    gate's UDF so their None-handling and caching cannot drift."""
+    cache: dict[str, list] = {}
+    out: list[int] = []
+    for txt, p in zip(txts, paths):
+        if txt is None or (isinstance(txt, float)):  # None / pandas NaN
+            out.append(1)  # no robots.txt → allowed (RFC 404 default)
+            continue
+        rules = cache.get(txt)
+        if rules is None:
+            rules = cache[txt] = parse_robots(txt, agent)
+        out.append(1 if robots_allowed(rules, p) else 0)
+    return out
 
 
 def _glob_match(pattern: str, s: str) -> bool:
@@ -157,17 +213,8 @@ def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
     joined = base.join(robots, "host", "left")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list] = {}
         for pdf in batches:
-            verdicts = []
-            for txt, p in zip(pdf["robots_txt"], pdf["path"]):
-                if txt is None:
-                    verdicts.append(1)  # no robots.txt → allowed
-                    continue
-                rules = cache.get(txt)
-                if rules is None:
-                    rules = cache[txt] = parse_robots(txt, agent)
-                verdicts.append(1 if robots_allowed(rules, p) else 0)
+            verdicts = robots_verdicts(pdf["robots_txt"], pdf["path"], agent)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -185,11 +232,7 @@ def robots_gate(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
 
 # the ONE Crawl-delay extraction pattern — shared by the Spark plan and
 # (verbatim) the DuckDB oracle; seconds, first match wins, default 1
-CRAWL_DELAY_RE = "Crawl-delay: ([0-9]+)"
-DEFAULT_CRAWL_DELAY_S = 1
-
-
-def crawl_schedule(spark, sf_dir, robots=None, docs=None):
+def crawl_schedule(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
     """Politeness scheduler: per-host sequential fetch slots honoring each
     host's robots Crawl-delay — the planning step between URL gating and
     fetching in a continuous crawl. Every page gets (slot, delay_s,
@@ -198,14 +241,20 @@ def crawl_schedule(spark, sf_dir, robots=None, docs=None):
     hosts are fetched in parallel while each host sees at most one
     request per delay window.
 
-    Fully relational — NO kernel: the delay is one regexp_extract over
-    the policy text (missing/absent robots → the RFC-ish default of
-    ``DEFAULT_CRAWL_DELAY_S``), the slot is a row_number window
-    partitioned BY HOST, so every partition-level window is parallel and
-    bounded by the host's page count (skewed mega-hosts are exactly the
-    ones whose schedule must serialize anyway — the window mirrors the
-    real constraint). One shuffle on host, one tiny policy join."""
+    The delay comes from crawl_delay() — the REAL group-aware parser, not
+    a regex (lowercase/no-space spellings and other agents' groups were
+    review-confirmed misreads) — evaluated by an Arrow UDF over the TINY
+    robots dimension BEFORE the join, so the per-host parse runs |hosts|
+    times and only an int rides the page-side shuffle; clamped ≥1 so
+    'Crawl-delay: 0' cannot collapse a host's schedule into simultaneous
+    fetches. The slot is a row_number window partitioned BY HOST — every
+    partition-level window is parallel and bounded by the host's page
+    count (a mega-host's serialization is the real politeness constraint,
+    not a plan artifact). One shuffle on host, one tiny policy join."""
+    import pandas as pd
+
     from pyspark.sql import Window, functions as F
+    from pyspark.sql.functions import pandas_udf
 
     from ..operators.relational import load
     from ..operators.urls import _host_path_suffixes, synth_url_expr
@@ -220,16 +269,36 @@ def crawl_schedule(spark, sf_dir, robots=None, docs=None):
             [(f"site{k}.example.com", synth_robots_txt(k)) for k in range(7)],
             "host string, robots_txt string",
         )
-    delay = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.col("robots_txt"), CRAWL_DELAY_RE, 1), F.lit("")
-        ).cast("int"),
-        F.lit(DEFAULT_CRAWL_DELAY_S),
+
+    def _delay_of(txt):
+        cache = {}
+
+        def one(t):
+            if t is None:
+                return DEFAULT_CRAWL_DELAY_S
+            v = cache.get(t)
+            if v is None:
+                v = cache[t] = crawl_delay(t, agent)
+            return v
+
+        return txt.map(one).astype("int32")
+
+    # non-decorator scalar form: `from __future__ import annotations`
+    # stringifies type hints, which the decorator's hint inference rejects
+    delay_of = pandas_udf(_delay_of, "int")
+
+    policy = robots.select(
+        "host", delay_of(F.col("robots_txt")).alias("delay_s")
     )
     w = Window.partitionBy("host").orderBy("doc_id")
     return (
-        base.join(robots, "host", "left")
-        .select("doc_id", "host", delay.alias("delay_s"))
+        base.join(policy, "host", "left")
+        .select(
+            "doc_id", "host",
+            F.coalesce(F.col("delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S)).alias(
+                "delay_s"
+            ),
+        )
         .withColumn("slot", (F.row_number().over(w) - 1).cast("int"))
         .select(
             "doc_id",

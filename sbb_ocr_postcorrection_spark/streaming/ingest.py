@@ -49,41 +49,41 @@ def robots_gate_stream(
     matcher by construction. The policy snapshot is the one the query
     planned with; a crawl that refreshes robots.txt restarts the query or
     runs the batch re-check over landed pages (both are standard)."""
-    from ..operators.urls import _host_path_suffixes
-    from ..sources.robots import parse_robots, robots_allowed
-
-    host, path, _ = _host_path_suffixes(F.col("url"))
-    joined = pages_stream.withColumns(
-        {"host": host, "path": path}
-    ).join(robots, "host", "left")
-
     import pandas as pd
 
-    def kern(batches):
-        cache: dict[str, list] = {}
-        for pdf in batches:
-            verdicts = []
-            for txt, p in zip(pdf["robots_txt"], pdf["path"]):
-                if txt is None:
-                    verdicts.append(1)
-                    continue
-                rules = cache.get(txt)
-                if rules is None:
-                    rules = cache[txt] = parse_robots(txt, agent)
-                verdicts.append(1 if robots_allowed(rules, p) else 0)
-            out = pdf.drop(columns=["robots_txt"])
-            out["robots_allowed"] = pd.Series(verdicts, index=pdf.index, dtype="int32")
-            yield out
+    from pyspark.sql.functions import pandas_udf
 
-    cols = [f for f in pages_stream.schema.fields]
-    schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
-        + ", host string, path string, robots_allowed int"
+    from ..operators.urls import _host_path_suffixes
+    from ..sources.robots import robots_verdicts
+
+    # the verdict UDF is SCALAR over (robots_txt, path) only — the page
+    # row (html payload included) stays JVM-side instead of round-tripping
+    # through Arrow for a 1-bit answer; the loop inside is the SAME
+    # robots_verdicts the batch gate's kernel runs, so stream and batch
+    # cannot drift
+    # non-decorator scalar form (stringified annotations break hint
+    # inference under `from __future__ import annotations`)
+    verdict = pandas_udf(
+        lambda txt, p: pd.Series(
+            robots_verdicts(txt, p, agent), index=txt.index, dtype="int32"
+        ),
+        "int",
     )
-    out = joined.mapInPandas(kern, schema=schema)
+
+    pre_cols = set(pages_stream.columns)
+    host, path, _ = _host_path_suffixes(F.col("url"))
+    out = (
+        pages_stream.withColumns({"host": host, "path": path})
+        .join(robots, "host", "left")
+        .withColumn("robots_allowed", verdict(F.col("robots_txt"), F.col("path")))
+        .drop("robots_txt")
+    )
     if drop:
+        # remove only what THIS gate added: a caller's pre-existing
+        # host/path audit columns survive drop mode
+        added = [c for c in ("host", "path") if c not in pre_cols]
         return out.filter(F.col("robots_allowed") == 1).drop(
-            "host", "path", "robots_allowed"
+            *added, "robots_allowed"
         )
     return out
 

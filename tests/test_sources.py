@@ -344,3 +344,23 @@ def test_crawl_schedule_per_host_politeness(spark):
     for rs in by_host.values():
         offs = [r["fetch_offset_s"] for r in rs]
         assert len(offs) == len(set(offs))
+
+
+def test_crawl_delay_parsing_spellings_and_groups():
+    """crawl_delay must use the real parser: case/space spellings, group
+    awareness (another agent's delay must NOT leak into '*'), malformed
+    values ignored, absent → default, 0 clamped to 1."""
+    from sbb_ocr_postcorrection_spark.sources.robots import crawl_delay
+
+    assert crawl_delay("User-agent: *\ncrawl-delay:10\n") == 10
+    assert crawl_delay("User-agent: *\nCRAWL-DELAY:   4  \n") == 4
+    assert crawl_delay(
+        "User-agent: megabot\nCrawl-delay: 30\nUser-agent: *\nCrawl-delay: 2\n"
+    ) == 2
+    assert crawl_delay(
+        "User-agent: megabot\nCrawl-delay: 30\nUser-agent: *\nCrawl-delay: 2\n",
+        agent="megabot",
+    ) == 30
+    assert crawl_delay("User-agent: *\nDisallow: /x\n") == 1      # absent
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") == 1  # junk
+    assert crawl_delay("User-agent: *\nCrawl-delay: 0\n") == 1     # clamped
