@@ -189,3 +189,15 @@ def test_passage_dedup_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_crawl_schedule_no_global_window(spark):
+    """crawl_schedule's slot window is partitioned by host — a global
+    (SinglePartition) window would funnel the whole crawl frontier
+    through one task; the delay UDF evaluates on the policy dimension
+    side, not per page row."""
+    from sbb_ocr_postcorrection_spark.sources.robots import crawl_schedule
+
+    plan = plan_of(crawl_schedule(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(host" in plan
