@@ -353,6 +353,13 @@ def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(spark, sf_dir)
 
 
+def _sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.sitemap import sitemap_scan
+
+    _pin(spark)
+    return sitemap_scan(spark, sf_dir)
+
+
 def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.robots import crawl_schedule
 
@@ -433,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _robots_gate,
         # politeness scheduler: per-host fetch slots x robots Crawl-delay
         "crawl_schedule": _crawl_schedule,
+        # sitemap discovery frontier (hosts-sized XML parse + loc join)
+        "sitemap_scan": _sitemap_scan,
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -1803,6 +1812,27 @@ def oracle_sql() -> dict[str, str]:
                               AND (doc_id % 13) IN (1, 10, 11)
                         THEN 0 ELSE 1 END AS INTEGER) AS robots_allowed
             FROM documents
+        """,
+        # sitemap closed form: every (host k, path p) advertised with the
+        # arithmetic lastmod; known iff an even doc_id < 100 hits the pair
+        "sitemap_scan": """
+            WITH adv AS (
+              SELECT k, p,
+                     'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+                     'https://site' || CAST(k AS VARCHAR)
+                       || '.example.com/p/' || CAST(p AS VARCHAR) AS loc,
+                     strftime(DATE '2024-01-01' + to_days(CAST(k * 13 + p AS INTEGER)),
+                              '%Y-%m-%d') AS lastmod
+              FROM (SELECT unnest(range(0, 7)) AS k),
+                   (SELECT unnest(range(0, 13)) AS p)
+            ), kn AS (
+              SELECT DISTINCT doc_id % 7 AS k, doc_id % 13 AS p
+              FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100
+            )
+            SELECT a.host, a.loc, a.lastmod,
+                   CAST(CASE WHEN kn.k IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                     AS known
+            FROM adv a LEFT JOIN kn ON kn.k = a.k AND kn.p = a.p
         """,
         # schedule closed form: dense doc_ids → slot = doc_id DIV 7 within
         # host site{doc_id%7}; delay = 1 + k%3 from the synth robots text

@@ -364,3 +364,49 @@ def test_crawl_delay_parsing_spellings_and_groups():
     assert crawl_delay("User-agent: *\nDisallow: /x\n") == 1      # absent
     assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") == 1  # junk
     assert crawl_delay("User-agent: *\nCrawl-delay: 0\n") == 1     # clamped
+
+
+# ------------------------------------------------------------- sitemap.xml
+
+
+def test_sitemap_parse_variants():
+    """Namespaced and bare urlsets parse identically; lastmod optional;
+    loc-less entries skipped; malformed XML raises (frontier must not
+    silently freeze)."""
+    import pytest
+
+    from sbb_ocr_postcorrection_spark.sources.sitemap import parse_sitemap
+
+    ns = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.test/1</loc><lastmod>2024-02-03</lastmod></url>"
+        "<url><loc> https://a.test/2 </loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    got = parse_sitemap(ns)
+    assert got == [
+        {"loc": "https://a.test/1", "lastmod": "2024-02-03"},
+        {"loc": "https://a.test/2", "lastmod": None},
+    ]
+    bare = "<urlset><url><loc>https://b.test/x</loc></url></urlset>"
+    assert parse_sitemap(bare) == [{"loc": "https://b.test/x", "lastmod": None}]
+    with pytest.raises(Exception):
+        parse_sitemap("<urlset><url><loc>truncated")
+
+
+def test_sitemap_scan_discovery_frontier(spark):
+    """The fixture frontier is non-vacuous (both known and new URLs per
+    SF) and the known flag matches an independent recompute of the
+    even-doc_id-below-100 history snapshot."""
+    from sbb_ocr_postcorrection_spark.sources.sitemap import sitemap_scan
+
+    rows = sitemap_scan(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 91
+    known_pairs = {(d % 7, d % 13) for d in range(0, 100, 2)}
+    for r in rows:
+        k = int(r["host"].removeprefix("site").split(".")[0])
+        p = int(r["loc"].rsplit("/", 1)[1])
+        assert r["known"] == int((k, p) in known_pairs), (k, p)
+    flags = {r["known"] for r in rows}
+    assert flags == {0, 1}
