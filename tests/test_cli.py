@@ -21,8 +21,12 @@ def test_run_job_query_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["rows"] == 20 and out["format"] == "jsonl"
-    files = list((tmp_path / "length_percentiles").glob("part-*.json"))
-    assert files
+    outdir = tmp_path / "length_percentiles"
+    files = list(outdir.glob("part-*.json"))
+    # under heavy parallel VM load this has flaked with an empty glob even
+    # though the job reported rows=20 — if it recurs, the listing below
+    # says what WAS written (see round-4 memory: known under-load flake)
+    assert files, sorted(p.name for p in outdir.glob("*"))
     row = json.loads(files[0].read_text().splitlines()[0])
     assert {"source", "n_docs", "p50", "p90", "p99"} <= set(row)
 
