@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-batch first-occurrence window on one shared hash key
         "dedup_incremental": pinned(dedup.incremental_dedup),
         "dedup_bloom": pinned(dedup.bloom_gate),
+        "snapshot_diff": pinned(dedup.snapshot_diff),
         # training-sequence packing layout: two-level prefix sum (bucket
         # cumsum + broadcast bucket offsets), no global-sort window
         "seq_pack": pinned(packing.sequence_pack),
@@ -1029,6 +1030,31 @@ def oracle_sql() -> dict[str, str]:
                           {_sq(urls.BLOCKED_PATH_RE)}) THEN 1 ELSE 0 END
                         AS INTEGER) AS url_pass
             FROM v
+        """,
+        # snapshot diff: presence from the join sides, hash equality for
+        # changed/unchanged — verdict classes replayed with the same
+        # fixture arithmetic
+        "snapshot_diff": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://docs.example.org/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents
+            ), o AS (
+              SELECT url, md5(text) AS old_hash FROM u WHERE doc_id < 400
+            ), n AS (
+              SELECT url,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END) AS new_hash
+              FROM u WHERE doc_id >= 100
+            )
+            SELECT coalesce(o.url, n.url) AS url, o.old_hash, n.new_hash,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         # Bloom gate: the oracle replays the bitmap semantically — all k
         # md5-keyed positions present in the history position set — so the

@@ -777,3 +777,45 @@ def test_lang_id_trigram_detects_crafted_languages(spark):
     assert out[1]["en_tri_hits"] > out[1]["de_tri_hits"]
     assert out[2]["tri_lang_guess"] == "unk"
     assert out[3]["tri_lang_guess"] == "unk" and out[3]["tri_margin"] == 0
+
+
+def test_snapshot_diff_verdicts(spark):
+    """All four verdict classes present on the fixture and consistent
+    with the arithmetic; injected relations: a null content_hash means
+    'present but content unknown', never absence (presence comes from
+    explicit markers, not hash nullness)."""
+    from sbb_ocr_postcorrection_spark.operators import dedup as D
+
+    rows = D.snapshot_diff(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs  # every url of either snapshot, once
+    by_status = {}
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[1])
+        by_status.setdefault(r["status"], []).append(did)
+        if r["status"] == "added":
+            assert did >= 400
+        elif r["status"] == "removed":
+            assert did < 100
+        elif r["status"] == "changed":
+            assert 100 <= did < 400 and did % 5 == 0
+        else:
+            assert 100 <= did < 400 and did % 5 != 0
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", "h2"), ("u3", "h3")],
+        "url string, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "h2x"), ("u4", "h4")],
+        "url string, content_hash string",
+    )
+    got = {r["url"]: r["status"]
+           for r in D.snapshot_diff(spark, SF_DIR, old=old, new=new).collect()}
+    assert got == {
+        "u1": "unchanged",  # null == null content, present both sides
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }
