@@ -53,6 +53,8 @@ HEADLINE = [
     # sliding-window span removal (passage granularity, position-aware)
     "passage_dedup",
     "dedup_incremental",
+    # bounded-memory Bloom screen (vectorized bitmap-gather probe, r4)
+    "dedup_bloom",
     "host_reputation_gate",
     # sequence packing (two-level prefix sum) + exact length quantiles
     "seq_pack",

@@ -267,8 +267,13 @@ def bloom_gate(
     Build: history digests → k bit positions each (md5-keyed,
     bloom_positions) → the DISTINCT set positions is collected into an
     m-bit numpy bitmap (bounded by m — the whole point) and broadcast.
-    Probe: one Arrow-batched kernel computes the same k positions per
-    batch digest (hashlib md5 ≡ Spark md5) and ANDs the bitmap lookups.
+    Probe: the SAME k positions are projected as JVM plan columns with
+    bloom_positions (codegen'd md5, identical bytes to the history side),
+    so the Arrow kernel is a single vectorized bitmap gather per batch —
+    `bm[p_j].all()` — with no per-row Python and no hashing in Python at
+    all. (The earlier form re-derived the positions with hashlib inside a
+    per-row loop; same answers, but row-at-a-time Python on the hot path
+    of a gate whose whole point is cheap screening.)
     Null text takes the per-doc sentinel digest (shared convention): it
     carries its own identity rather than the shared NULL key, though like
     ANY digest its positions can still false-positive at the filter's
@@ -312,6 +317,14 @@ def bloom_gate(
             F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
         ).alias("content_hash"),
     )
+    probe = probe.select(
+        "doc_id",
+        "content_hash",
+        *[
+            bloom_positions(F.col("content_hash"), j, m_bits).alias(f"_bp{j}")
+            for j in range(k_hashes)
+        ],
+    )
     if fixture:
         # the toy parquet is one split and the remap join broadcasts, so
         # without this the whole probe kernel runs as a single task (the
@@ -320,27 +333,18 @@ def bloom_gate(
         probe = probe.repartition(spark.sparkContext.defaultParallelism)
 
     def kern(batches):
-        import hashlib as _hl
-
         bm = bc.value
-        m = len(bm)
         for pdf in batches:
             if not len(pdf):
                 continue
-            hits = []
-            for h in pdf["content_hash"]:
-                ok = True
-                for j in range(k_hashes):
-                    p = int(_hl.md5(f"{h}|{j}".encode()).hexdigest()[:15], 16) % m
-                    if not bm[p]:
-                        ok = False
-                        break
-                hits.append(1 if ok else 0)
+            hit = np.ones(len(pdf), dtype=bool)
+            for j in range(k_hashes):
+                hit &= bm[pdf[f"_bp{j}"].to_numpy()]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "content_hash": pdf["content_hash"],
-                    "bloom_hit": hits,
+                    "bloom_hit": hit.astype("int32"),
                 }
             )
 
