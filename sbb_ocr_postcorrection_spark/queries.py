@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import (
+    bpe,
     components,
     dedup,
     evaluation,
@@ -346,6 +347,13 @@ def _warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_scan(spark, sf_dir)
 
 
+def _warc_gz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_gz_scan
+
+    _pin(spark)
+    return warc_gz_scan(spark, sf_dir)
+
+
 def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.robots import robots_gate
 
@@ -435,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC file framing roundtrip (S-row: the Common-Crawl archive
         # format) — multi-record blobs parsed by cursor walk
         "warc_scan": _warc_scan,
+        # .warc.gz form: per-record gzip members (Common Crawl layout),
+        # member-walk + inflate + same framing parse, same oracle
+        "warc_gz_scan": _warc_gz_scan,
         # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
         # the fixture rules have a closed-form verdict the oracle states)
         "robots_gate": _robots_gate,
@@ -547,6 +558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle; deterministic fancy-char augmentation)
         "text_normalize": pinned(textstats.text_normalize),
         "bpe_token_stats": pinned(textstats.bpe_token_stats),
+        # learned BPE: distributed merge training (selection certified by
+        # a full replay oracle) + token counts under the learned merges
+        "bpe_train": pinned(bpe.bpe_train),
+        "bpe_tokenize": pinned(bpe.bpe_tokenize),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
@@ -569,6 +584,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": pinned(multimodal.feature_components),
         "frame_sample": pinned(multimodal.frame_sample_plan),
     }
+
+
+def _bpe_stages_sql(num_merges: int) -> str:
+    """CTE chain replaying operators.bpe.train_merges in DuckDB: per
+    stage, adjacent-pair counts over the word-freq table, top-1 with the
+    pinned tie-break (scalar subquery), one anchored replace. Every
+    stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    4 scalar-subquery references per stage would otherwise expand the
+    chain into ~4^K scans of documents (measured: blows the 20k fd
+    limit at K=8). Certifies
+    merge SELECTION, not just the apply — the whole training loop is in
+    the oracle. Generated (not hand-written) so num_merges stays one
+    constant shared with the Spark side."""
+    from .operators.textstats import _BPE_PATTERN
+
+    parts = [
+        f"""pieces AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(coalesce(text, ''),
+                                       '{_BPE_PATTERN}')) AS piece
+      FROM documents
+    ),
+    wf0 AS MATERIALIZED (
+      SELECT regexp_replace(piece, '(.)', chr(31) || '\\1' || chr(31), 'gs')
+               AS w,
+             count(*) AS freq
+      FROM pieces GROUP BY 1
+    )"""
+    ]
+    for k in range(num_merges):
+        parts.append(
+            f"""pr{k} AS MATERIALIZED (
+      SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r, sum(s.freq) AS cnt
+      FROM (SELECT list_filter(string_split(w, chr(31)), x -> x <> '')
+                     AS syms, freq
+            FROM wf{k}) s,
+           unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    p{k} AS MATERIALIZED (SELECT l, r FROM pr{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    wf{k + 1} AS MATERIALIZED (
+      SELECT replace(w,
+          chr(31) || (SELECT l FROM p{k}) || chr(31) || chr(31)
+                  || (SELECT r FROM p{k}) || chr(31),
+          chr(31) || (SELECT l FROM p{k}) || (SELECT r FROM p{k}) || chr(31))
+            AS w,
+          freq
+      FROM wf{k})"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_train_oracle(num_merges: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, (SELECT l FROM p{k}) AS lhs, "
+        f"(SELECT r FROM p{k}) AS rhs"
+        for k in range(num_merges)
+    )
+    return _bpe_stages_sql(num_merges) + "\n" + union
+
+
+def _bpe_tokenize_oracle(num_merges: int) -> str:
+    chain = "w"
+    for k in range(num_merges):
+        chain = (
+            f"replace({chain}, chr(31) || (SELECT l FROM p{k}) || chr(31)"
+            f" || chr(31) || (SELECT r FROM p{k}) || chr(31),"
+            f" chr(31) || (SELECT l FROM p{k}) || (SELECT r FROM p{k})"
+            f" || chr(31))"
+        )
+    return (
+        _bpe_stages_sql(num_merges)
+        + f""",
+    dw AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_replace(piece, '(.)', chr(31) || '\\1' || chr(31), 'gs')
+               AS w
+      FROM pieces
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n_pieces,
+             sum(len(list_filter(string_split({chain}, chr(31)),
+                                 x -> x <> ''))) AS n_tok
+      FROM dw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.n_pieces, 0) AS INTEGER) AS n_pieces,
+           CAST(coalesce(g.n_tok, 0) AS INTEGER) AS n_bpe_tokens
+    FROM documents d LEFT JOIN g USING (doc_id)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1948,6 +2053,14 @@ def oracle_sql() -> dict[str, str]:
     # the Arrow-batched fingerprint kernel must reproduce the JVM fold's
     # oracle bit-for-bit — same SQL, so the driver certifies the fast path
     sql["fingerprints_np"] = sql["fingerprints"]
+    # the .warc.gz scan must inflate back to EXACTLY the plain archive's
+    # records — same oracle, so the driver certifies the member walk +
+    # inflate + framing parse end-to-end
+    sql["warc_gz_scan"] = sql["warc_scan"]
+    # learned-BPE oracles replay the ENTIRE training loop (merge selection
+    # + apply) as generated CTE stages — see _bpe_stages_sql
+    sql["bpe_train"] = _bpe_train_oracle(8)
+    sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
     # the composite curation verdict reuses the stage oracles as CTEs, so
     # the END-TO-END flow is hash-checked, not just its parts (DuckDB
     # supports nested WITH inside a CTE body)

@@ -22,8 +22,16 @@ importable anywhere (the kernel.py convention).
 
 from __future__ import annotations
 
+import zlib
+
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
+
+# feed size for the gzip member walk: bounds the per-step copy (zlib's
+# unused_data materializes whatever tail it was fed) so a 100k-member
+# archive stays O(n) instead of O(n²) — same lesson as the byte-walk
+# separator skip in parse_warc_records below
+_GZ_CHUNK = 1 << 16
 
 
 def build_warc_record(url: str, warc_date: str, payload: bytes) -> bytes:
@@ -87,26 +95,56 @@ def parse_warc_records(blob: bytes) -> list[dict]:
     return out
 
 
-def warc_scan(spark, sf_dir, records_per_file: int = 50):
-    """S-row surface: synthesize WARC files from the pages fixture (one
-    multi-record blob per ``records_per_file`` doc_id range, records in
-    doc_id order — deterministic, like every fixture), then parse them
-    back with the Arrow kernel. Returns one row per record:
-    (url, warc_date, content_length, payload_md5).
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One standalone gzip member (RFC 1952 container via zlib wbits
+    16+15). Common Crawl `.warc.gz` files are a CONCATENATION of these —
+    one member per WARC record — so a reader can seek to any record
+    offset from the index and inflate just that member."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
 
-    Scale shape: file assembly is one groupBy on the bucket key (in
-    production the blobs simply ARE the input files — binaryFile source
-    or a (path, content) table); the parse kernel is a narrow mapInPandas
-    over whole blobs, one cursor walk per file, no shuffle. The oracle
-    re-derives every field from the documents table (the payload is the
-    synthesized page html), so the whole framing roundtrip is
-    hash-checked — a parser that mis-advances the cursor breaks the
-    value hash of every subsequent record in the file."""
-    import hashlib
-    from collections.abc import Iterator
 
-    import pandas as pd
+def parse_warc_gz_records(blob: bytes) -> list[dict]:
+    """Gzip-member walk over a `.warc.gz` archive → the same record dicts
+    as parse_warc_records.
 
+    Each member is inflated with its own zlib.decompressobj; the member
+    boundary is wherever the DEFLATE stream itself ends (d.eof) — never
+    guessed by scanning for magic bytes, which can legally appear inside
+    compressed data. The walk feeds bounded chunks so the per-member tail
+    copy zlib makes (`unused_data`) is capped at _GZ_CHUNK, keeping the
+    whole walk O(n) (the flood test pins this). A member that ends
+    mid-stream (truncated archive) or fails the CRC raises — the
+    manifest-corrupt convention: crash over silent truncation. A member
+    holding several records, or zero bytes, is handled by delegating its
+    inflated bytes to parse_warc_records."""
+    out: list[dict] = []
+    mv = memoryview(blob)
+    i, n = 0, len(mv)
+    while i < n:
+        if not (n - i >= 2 and blob[i] == 0x1F and blob[i + 1] == 0x8B):
+            raise ValueError(f"not a gzip member at offset {i}")
+        d = zlib.decompressobj(31)
+        parts: list[bytes] = []
+        while not d.eof:
+            if i >= n:
+                raise ValueError("truncated gzip member at end of archive")
+            chunk = mv[i : i + _GZ_CHUNK]
+            try:
+                parts.append(d.decompress(chunk))
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt gzip member near offset {i}: {e}"
+                ) from None
+            i += len(chunk) - len(d.unused_data)
+        out.extend(parse_warc_records(b"".join(parts)))
+    return out
+
+
+def _synth_record_table(spark, sf_dir, records_per_file: int):
+    """(file_id, doc_id, rec) — one serialized WARC record per fixture
+    page, bucketed ``records_per_file`` per file. JVM-side template
+    concat; shared by the plain and gzip scan fixtures."""
     from pyspark.sql import functions as F
 
     from ..queries import synth_pages_from_documents
@@ -130,7 +168,7 @@ def warc_scan(spark, sf_dir, records_per_file: int = 50):
         F.col("html"),
         F.encode(F.lit("\r\n\r\n"), "us-ascii"),
     )
-    per_rec = pages.select(
+    return pages.select(
         F.expr("cast(split(url, '/')[4] as long)").alias("doc_id"),
         rec.alias("rec"),
     ).select(
@@ -138,6 +176,49 @@ def warc_scan(spark, sf_dir, records_per_file: int = 50):
         "doc_id",
         "rec",
     )
+
+
+_SCAN_SCHEMA = (
+    "url string, warc_date string, content_length long, payload_md5 string"
+)
+
+
+def _records_to_rows(records: list[dict]) -> list[dict]:
+    import hashlib
+
+    return [
+        {
+            "url": r["url"],
+            "warc_date": r["warc_date"],
+            "content_length": r["content_length"],
+            "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
+        }
+        for r in records
+    ]
+
+
+def warc_scan(spark, sf_dir, records_per_file: int = 50):
+    """S-row surface: synthesize WARC files from the pages fixture (one
+    multi-record blob per ``records_per_file`` doc_id range, records in
+    doc_id order — deterministic, like every fixture), then parse them
+    back with the Arrow kernel. Returns one row per record:
+    (url, warc_date, content_length, payload_md5).
+
+    Scale shape: file assembly is one groupBy on the bucket key (in
+    production the blobs simply ARE the input files — binaryFile source
+    or a (path, content) table); the parse kernel is a narrow mapInPandas
+    over whole blobs, one cursor walk per file, no shuffle. The oracle
+    re-derives every field from the documents table (the payload is the
+    synthesized page html), so the whole framing roundtrip is
+    hash-checked — a parser that mis-advances the cursor breaks the
+    value hash of every subsequent record in the file."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    per_rec = _synth_record_table(spark, sf_dir, records_per_file)
     blobs = per_rec.groupBy("file_id").agg(
         F.aggregate(
             F.transform(
@@ -153,22 +234,58 @@ def warc_scan(spark, sf_dir, records_per_file: int = 50):
         for pdf in batches:
             rows = []
             for blob in pdf["warc"]:
-                for r in parse_warc_records(bytes(blob)):
-                    rows.append(
-                        {
-                            "url": r["url"],
-                            "warc_date": r["warc_date"],
-                            "content_length": r["content_length"],
-                            "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
-                        }
-                    )
+                rows.extend(_records_to_rows(parse_warc_records(bytes(blob))))
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_date", "content_length", "payload_md5"],
             )
 
-    return blobs.mapInPandas(
-        kern,
-        schema="url string, warc_date string, content_length long, "
-        "payload_md5 string",
+    return blobs.mapInPandas(kern, schema=_SCAN_SCHEMA)
+
+
+def warc_gz_scan(spark, sf_dir, records_per_file: int = 50):
+    """`.warc.gz` form of warc_scan: the actual Common Crawl layout — each
+    record individually gzip-compressed, members concatenated per file.
+
+    The fixture synthesizes the SAME records as warc_scan (JVM template
+    concat, doc_id order), then one Arrow kernel per file blob wraps each
+    record in its own gzip member, concatenates, and hands the compressed
+    archive to parse_warc_gz_records — so the bytes crossing the parser
+    are a faithful .warc.gz. In production the blobs simply ARE the input
+    files (binaryFile source); only the member walk + framing parse runs,
+    one narrow task per file, no shuffle. Compress-then-parse lives in
+    ONE kernel (never two chained mapInPandas stages — the fused-stage
+    rule); the parser itself is additionally pinned by pure-Python
+    corruption/boundary tests.
+
+    The oracle is byte-for-byte the warc_scan oracle: decompression must
+    reproduce every record of the plain archive or the value hash breaks.
+    Reference analog: the one-XML-at-a-time archive ingest
+    (preprocessing/xml_parser.py:84-164), lifted to compressed web
+    archives."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    per_rec = _synth_record_table(spark, sf_dir, records_per_file)
+    blobs = per_rec.groupBy("file_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+            lambda s: s["rec"],
+        ).alias("recs")
     )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec_list in pdf["recs"]:
+                gz = b"".join(gzip_member(bytes(r)) for r in rec_list)
+                rows.extend(_records_to_rows(parse_warc_gz_records(gz)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_date", "content_length", "payload_md5"],
+            )
+
+    return blobs.mapInPandas(kern, schema=_SCAN_SCHEMA)

@@ -310,6 +310,98 @@ def test_warc_parse_is_linear_in_record_count():
     assert time.time() - t0 < 5.0
 
 
+def test_warc_gz_member_roundtrip():
+    """Per-record gzip members (the Common Crawl .warc.gz layout) inflate
+    back to exactly the plain archive's records; a member holding several
+    records and an empty member are both legal."""
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        gzip_member,
+        parse_warc_gz_records,
+        parse_warc_records,
+    )
+
+    recs = [
+        build_warc_record(f"http://a.test/{i}", "2024-01-01T00:00:00Z",
+                          f"payload WARC/1.0 \r\n\r\n {i}".encode())
+        for i in range(7)
+    ]
+    # one member per record ...
+    gz = b"".join(gzip_member(r) for r in recs)
+    got = parse_warc_gz_records(gz)
+    assert got == parse_warc_records(b"".join(recs))
+    # ... plus a multi-record member and an empty member interleaved
+    mixed = (
+        gzip_member(recs[0] + recs[1])
+        + gzip_member(b"")
+        + gzip_member(recs[2])
+    )
+    assert [r["url"] for r in parse_warc_gz_records(mixed)] == [
+        "http://a.test/0", "http://a.test/1", "http://a.test/2",
+    ]
+    assert parse_warc_gz_records(b"") == []
+
+
+def test_warc_gz_corruption_raises():
+    """Manifest-corrupt convention: truncated member, flipped byte (CRC),
+    and non-gzip garbage between members all raise instead of silently
+    truncating the archive."""
+    import pytest
+
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        gzip_member,
+        parse_warc_gz_records,
+    )
+
+    rec = build_warc_record("http://a.test/1", "2024-01-01T00:00:00Z", b"xyz")
+    member = gzip_member(rec)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_gz_records(member[:-5])
+    flipped = bytearray(member)
+    flipped[len(flipped) // 2] ^= 0xFF  # inside the deflate stream
+    with pytest.raises(ValueError):
+        parse_warc_gz_records(bytes(flipped) + member)
+    with pytest.raises(ValueError, match="not a gzip member"):
+        parse_warc_gz_records(member + b"GARBAGE" + member)
+
+
+def test_warc_gz_flood_linear():
+    """The member walk must stay O(n): zlib's unused_data copies whatever
+    tail it was fed, so an unchunked feed would be quadratic in member
+    count (the same class of bug as the old blob[i:].strip() separator
+    skip). 20k members parse well under the generous VM-noise bound."""
+    import time
+
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        build_warc_record,
+        gzip_member,
+        parse_warc_gz_records,
+    )
+
+    gz = b"".join(
+        gzip_member(
+            build_warc_record(f"http://h.test/{i}", "2024-01-01T00:00:00Z", b"pp")
+        )
+        for i in range(20_000)
+    )
+    t0 = time.time()
+    recs = parse_warc_gz_records(gz)
+    assert len(recs) == 20_000
+    assert time.time() - t0 < 5.0
+
+
+def test_warc_gz_scan_spark_surface(spark):
+    """The compressed scan reproduces the plain scan's relation exactly
+    (same records, same hashes) over multi-member files."""
+    from sbb_ocr_postcorrection_spark.sources.warc import warc_gz_scan, warc_scan
+
+    sf = "/root/testdata/sf0.001"
+    plain = {tuple(r) for r in warc_scan(spark, sf).collect()}
+    gz = {tuple(r) for r in warc_gz_scan(spark, sf).collect()}
+    assert gz == plain and len(gz) == 500
+
+
 def test_crawl_schedule_per_host_politeness(spark):
     """Injected relations: within each host, slots are dense from 0 in
     doc_id order and offsets honor THAT host's Crawl-delay; hosts without
