@@ -1,0 +1,190 @@
+"""BPE merge learning + apply, distributed (closing VERDICT r3 #5).
+
+`bpe_token_stats` counts GPT-2-style *pre-tokenizer pieces* — fine for
+rough budgets, but a trained tokenizer merges frequent symbol pairs, so
+piece counts over-estimate real token counts and the budgets feeding
+`seq_pack` / `corpus_mix` drift from what a production model sees. This
+module learns the merge table itself with the same distributed machinery
+as the vocab counters (A1/A2 shape — explode → two-phase count → top-1):
+
+* the training relation is the DISTINCT-piece frequency table (classic
+  BPE trains on word frequencies, not the raw corpus — one shuffle to
+  build, then every merge round runs over |vocab| rows, not |corpus|);
+* a word is represented with EACH SYMBOL individually wrapped:
+  ``␟s1␟␟s2␟…`` (U+001F, absent from the corpus). Applying a merge
+  (a, b) is then ONE literal string replace ``␟a␟␟b␟ → ␟ab␟`` —
+  provably equal to the greedy left-to-right adjacent-pair merge:
+  a match can only align on real symbol boundaries (symbols never
+  contain ␟, and after a trailing wrap the next char is always the
+  following symbol's leading wrap), each match consumes exactly the
+  two merged symbols' own wraps, leaving the next symbol's leading
+  wrap intact for the scan to continue — replace() is left-to-right
+  non-overlapping in both engines. The single-shared-separator form
+  ``␟a␟b␟`` is WRONG here: consecutive occurrences share the boundary
+  separator, so ``aaaa`` under (a,a) merges to [aa,a,a] instead of
+  [aa,aa] (caught by the reference-trainer test). No per-row Python
+  anywhere;
+* each round: adjacent pairs via one array transform → two-phase
+  count → top-1 with the pinned tie-break (max count, then
+  lexicographic (l, r)) → collect ONE row → one more replace on the
+  cached word table. num_merges driver-side rounds of a |vocab|-sized
+  job — the standard Spark BPE-training shape (at 100 TB the word table
+  is rebuilt once per corpus and checkpointed every ~32 merges to cap
+  lineage);
+* the DuckDB oracle RECOMPUTES the whole training loop (chained CTE
+  stages with scalar-subquery pair selection — queries._bpe_stage_sql),
+  so merge SELECTION is certified, not just the apply.
+
+Reference analog: the wordpiece vocab counter this generalizes
+(SURVEY §2 A1/A2; reference preprocessing/database.py token counting) —
+the reference ships no tokenizer training; this is part of the
+training-data-pipeline surface the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .relational import load
+from .textstats import _BPE_PATTERN
+
+SEP = "\x1f"
+DEFAULT_MERGES = 8
+
+
+def wrapped_symbols(col):
+    """piece → per-symbol-wrapped string ``␟a␟␟b␟␟c␟`` ((?s): a piece
+    can be any char the pre-tokenizer emits)."""
+    return F.regexp_replace(col, "(?s)(.)", SEP + "$1" + SEP)
+
+
+def piece_freq(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
+    """(piece, freq): the BPE training relation — one explode + one
+    two-phase count over the corpus, the only corpus-sized job in
+    training."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    piece = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
+        )
+    ).alias("piece")
+    return d.select(piece).groupBy("piece").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _symbols(w):
+    """Symbol array of a wrapped word: the non-empty split fields (the
+    wraps contribute only empty fields, in order)."""
+    return F.filter(F.split(w, SEP), lambda x: x != "")
+
+
+def _adjacent_pairs(w):
+    """array<struct<l,r>> of adjacent symbol pairs of a wrapped word."""
+    syms = _symbols(w)
+    return F.transform(
+        F.slice(syms, 1, F.size(syms) - 1),
+        lambda s, i: F.struct(s.alias("l"), F.element_at(syms, i + 2).alias("r")),
+    )
+
+
+def merge_replace(w, a: str, b: str):
+    """Apply merge (a, b): one anchored literal replace ≡ greedy
+    left-to-right adjacent merge (module docstring proves why)."""
+    return F.replace(
+        w, F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP)
+    )
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges; returns [(l, r), …] in rank order.
+
+    Raises if the corpus exhausts its pairs early — the oracle replays a
+    FIXED number of stages, so a short table would silently diverge
+    (fixture corpora are far richer than any sane num_merges)."""
+    wf = (
+        piece_freq(spark, sf_dir, docs=docs)
+        .select(wrapped_symbols(F.col("piece")).alias("w"), "freq")
+        .persist()
+    )
+    wf.count()  # materialize once; every round re-reads the cached table
+    cur = wf
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (
+            cur.select(F.explode(_adjacent_pairs(F.col("w"))).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            wf.unpersist()
+            raise ValueError(
+                f"corpus exhausted after {len(merges)} merges "
+                f"(asked for {num_merges})"
+            )
+        a, b = top[0]["l"], top[0]["r"]
+        merges.append((a, b))
+        cur = cur.withColumn("w", merge_replace(F.col("w"), a, b))
+    wf.unpersist()
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """Query surface: the learned merge table (merge_rank, lhs, rhs)."""
+    merges = train_merges(spark, sf_dir, num_merges, docs=docs)
+    return spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def bpe_tokenize(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None, merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, n_pieces, n_bpe_tokens): per-document token counts under
+    the LEARNED merges — the counts seq_pack/corpus_mix budgets should
+    use. Merges collected once (a ``num_merges``-literal plan table);
+    the apply is explode → num_merges chained JVM replaces → one
+    count/sum agg: one shuffle, no Python. NULL text ≡ empty doc → the
+    explode_outer row keeps it at (0, 0) rather than dropping it."""
+    if merges is None:
+        merges = train_merges(spark, sf_dir, num_merges, docs=docs)
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    pieces_arr = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
+    )
+    ex = d.select("doc_id", F.explode_outer(pieces_arr).alias("piece"))
+    w = wrapped_symbols(F.col("piece"))
+    for a, b in merges:
+        w = merge_replace(w, a, b)
+    n_tok = F.when(F.col("piece").isNull(), F.lit(0)).otherwise(
+        F.size(_symbols(w))
+    )
+    return (
+        ex.select("doc_id", n_tok.alias("t"), F.col("piece"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("piece").cast("int").alias("n_pieces"),
+            F.sum("t").cast("int").alias("n_bpe_tokens"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Learned-BPE operator tests: merge selection against a from-first-
+principles reference trainer, the anchored-replace ≡ greedy-merge law,
+token-count conservation, and the exhaustion guard."""
+
+import pytest
+
+from sbb_ocr_postcorrection_spark.operators.bpe import (
+    SEP,
+    bpe_tokenize,
+    train_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------- pure reference
+
+
+def _ref_merge_word(syms, a, b):
+    """Greedy left-to-right adjacent merge of (a, b) on a symbol list —
+    the textbook definition the string-replace form must equal."""
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(word_freqs, num_merges):
+    """Classic BPE training over a word-frequency dict with the pinned
+    tie-break (max count, then lexicographic pair)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        a, b = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append((a, b))
+        vocab = {
+            tuple(_ref_merge_word(list(s), a, b)): f for s, f in vocab.items()
+        }
+    return merges
+
+
+def _wrap(syms):
+    return "".join(SEP + s + SEP for s in syms)
+
+
+def test_anchored_replace_equals_greedy_merge():
+    """␟a␟b␟ → ␟ab␟ string replace == greedy adjacent merge, including
+    the traps: overlapping runs (aaa), shared boundaries (abab), and a
+    symbol that is a prefix/suffix of another (xa + b must NOT match
+    merge (a, b))."""
+    cases = [
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "b", "a", "b"], ("a", "b"), ["ab", "ab"]),
+        (["a", "b", "b"], ("a", "b"), ["ab", "b"]),
+        (["xa", "b"], ("a", "b"), ["xa", "b"]),
+        (["a", "bx"], ("a", "b"), ["a", "bx"]),
+        (["lo", "w", "e", "r"], ("lo", "w"), ["low", "e", "r"]),
+    ]
+    for syms, (a, b), want in cases:
+        got = _wrap(syms).replace(
+            SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP
+        )
+        assert got == _wrap(want), (syms, (a, b))
+        assert _ref_merge_word(syms, a, b) == want, (syms, (a, b))
+
+
+# ------------------------------------------------------------ spark side
+
+
+def test_train_merges_matches_reference_trainer(spark):
+    """Distributed training == the classic single-machine trainer on an
+    injected corpus with real tie-breaks (low/lower/lowest plus digit
+    runs and punctuation pieces)."""
+    rows = [
+        (1, "low lower lowest low"),
+        (2, "new newer low!"),
+        (3, "newest 2024 2024 lowly"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = train_merges(spark, SF, num_merges=6, docs=docs)
+
+    import re
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import _BPE_PATTERN
+
+    freqs = {}
+    for _, text in rows:
+        for piece in re.findall(_BPE_PATTERN, text or ""):
+            freqs[piece] = freqs.get(piece, 0) + 1
+    want = _ref_train(freqs, 6)
+    assert got == want
+
+
+def test_bpe_tokenize_conservation(spark):
+    """Under the learned merges every document's BPE token count sits
+    between its piece count (each piece ≥ 1 token) and its piece char
+    total (zero merges applied), and strictly fewer total tokens than
+    chars corpus-wide (the merges actually fired)."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.operators.relational import load
+    from sbb_ocr_postcorrection_spark.operators.textstats import _BPE_PATTERN
+
+    out = {r["doc_id"]: r for r in bpe_tokenize(spark, SF).collect()}
+    chars = {
+        r["doc_id"]: (r["n_pieces"], r["n_chars"])
+        for r in load(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce("text", F.lit("")), F.lit(_BPE_PATTERN), 0
+                )
+            ).alias("n_pieces"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(
+                        F.coalesce("text", F.lit("")), F.lit(_BPE_PATTERN), 0
+                    ),
+                    F.length,
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("n_chars"),
+        )
+        .collect()
+    }
+    assert set(out) == set(chars) and len(out) == 500
+    for doc_id, r in out.items():
+        n_pieces, n_chars = chars[doc_id]
+        assert r["n_pieces"] == n_pieces
+        assert n_pieces <= r["n_bpe_tokens"] <= n_chars
+    assert sum(r["n_bpe_tokens"] for r in out.values()) < sum(
+        c for _, c in chars.values()
+    )
+
+
+def test_train_merges_exhaustion_raises(spark):
+    """A corpus with fewer learnable pairs than num_merges must raise —
+    the fixed-stage oracle would silently diverge otherwise."""
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exhausted"):
+        train_merges(spark, SF, num_merges=5, docs=docs)
