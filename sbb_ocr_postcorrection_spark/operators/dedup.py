@@ -249,6 +249,65 @@ def bloom_positions(digest, j: int, m_bits: int):
     ).cast("int")
 
 
+def build_bloom_bitmap(history, m_bits: int = BLOOM_M_BITS,
+                       k_hashes: int = BLOOM_K_HASHES):
+    """m-bit boolean numpy bitmap of the history's content digests: every
+    digest's k md5-keyed positions (bloom_positions, JVM-side) set. The
+    collect is bounded by m (DISTINCT positions), never by |history| —
+    the whole point of the summary. Shared by the batch gate and the
+    streaming stream-static probe so the two cannot drift."""
+    import numpy as np
+
+    hist_digest = (
+        history.select(F.md5(F.col("text")).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    pos_rows = (
+        hist_digest.select(
+            F.explode(
+                F.array(
+                    *[bloom_positions(F.col("h"), j, m_bits) for j in range(k_hashes)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if pos_rows:
+        bitmap[[r["pos"] for r in pos_rows]] = True
+    return bitmap
+
+
+def bloom_probe_cols(digest_col, m_bits: int = BLOOM_M_BITS,
+                     k_hashes: int = BLOOM_K_HASHES):
+    """The k bit-position plan columns for a probe-side digest."""
+    return [
+        bloom_positions(digest_col, j, m_bits).alias(f"_bp{j}")
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_hits_np(bitmap, pos_series):
+    """Vectorized bitmap gather: AND of the bitmap at each position
+    column. One numpy op per hash function, no per-row Python."""
+    import numpy as np
+
+    hit = np.ones(len(pos_series[0]), dtype=bool)
+    for p in pos_series:
+        hit &= bitmap[p.to_numpy()]
+    return hit
+
+
+def content_digest(text_col, id_col):
+    """Shared probe-key convention: md5(text), with the per-doc sentinel
+    for NULL text (carries its own identity, not the shared NULL key)."""
+    return F.coalesce(
+        F.md5(text_col), F.concat(F.lit("null:"), id_col.cast("string"))
+    )
+
+
 def bloom_gate(
     spark, sf_dir, history=None, batch=None,
     m_bits: int = BLOOM_M_BITS, k_hashes: int = BLOOM_K_HASHES,
@@ -284,46 +343,22 @@ def bloom_gate(
     iff all k positions appear in the history position set — semantically
     identical to the bitmap, so the driver gate certifies the kernel's
     false positives bit-for-bit, not just the true hits."""
-    import numpy as np
     import pandas as pd
 
     fixture = history is None and batch is None
     history, batch = _history_batch_or_synth(spark, sf_dir, history, batch)
-    hist_digest = (
-        history.select(F.md5(F.col("text")).alias("h"))
-        .filter(F.col("h").isNotNull())
-        .distinct()
+    bc = spark.sparkContext.broadcast(
+        build_bloom_bitmap(history, m_bits, k_hashes)
     )
-    pos_rows = (
-        hist_digest.select(
-            F.explode(
-                F.array(
-                    *[bloom_positions(F.col("h"), j, m_bits) for j in range(k_hashes)]
-                )
-            ).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
-    bitmap = np.zeros(m_bits, dtype=bool)
-    if pos_rows:
-        bitmap[[r["pos"] for r in pos_rows]] = True
-    bc = spark.sparkContext.broadcast(bitmap)
 
     probe = batch.select(
         "doc_id",
-        F.coalesce(
-            F.md5(F.col("text")),
-            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
-        ).alias("content_hash"),
+        content_digest(F.col("text"), F.col("doc_id")).alias("content_hash"),
     )
     probe = probe.select(
         "doc_id",
         "content_hash",
-        *[
-            bloom_positions(F.col("content_hash"), j, m_bits).alias(f"_bp{j}")
-            for j in range(k_hashes)
-        ],
+        *bloom_probe_cols(F.col("content_hash"), m_bits, k_hashes),
     )
     if fixture:
         # the toy parquet is one split and the remap join broadcasts, so
@@ -337,9 +372,7 @@ def bloom_gate(
         for pdf in batches:
             if not len(pdf):
                 continue
-            hit = np.ones(len(pdf), dtype=bool)
-            for j in range(k_hashes):
-                hit &= bm[pdf[f"_bp{j}"].to_numpy()]
+            hit = bloom_hits_np(bm, [pdf[f"_bp{j}"] for j in range(k_hashes)])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -162,6 +162,70 @@ def url_dedup_stream(
     )
 
 
+def bloom_gate_stream(
+    stream: DataFrame, history: DataFrame,
+    m_bits: int | None = None, k_hashes: int | None = None,
+    key: str = "text", id_col: str = "doc_id", drop: bool = False,
+) -> DataFrame:
+    """Bounded-memory history screen on the stream: the streaming form of
+    operators/dedup.bloom_gate (VERDICT r3 #7).
+
+    The stateful dedup above keeps one state row per distinct digest —
+    exact, but state grows with the corpus. The steady-state crawl wants
+    the CONSTANT-memory screen in front: an m-bit Bloom bitmap of the
+    full crawl HISTORY (built once from the static relation at query
+    definition — bounded by m, not |history|), broadcast, probed locally
+    by every micro-batch. Stateless by construction: no state store, no
+    watermark, no shuffle — the k bit positions are JVM plan columns
+    (bloom_probe_cols) and the verdict is one scalar pandas UDF doing
+    the SAME vectorized bitmap gather as the batch kernel
+    (bloom_hits_np — shared code, so stream and batch cannot drift).
+    Only the k int columns cross Arrow; the page payload stays JVM-side
+    (the robots-gate lesson). bloom_hit=1 means MAYBE seen (known FP
+    rate), 0 is definite-new; ``drop=True`` keeps definite-new rows only
+    and restores the caller's schema. Survivors still meet the exact
+    stateful dedup downstream — the screen only spares the kernel."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.dedup import (
+        BLOOM_K_HASHES,
+        BLOOM_M_BITS,
+        bloom_hits_np,
+        bloom_probe_cols,
+        build_bloom_bitmap,
+        content_digest,
+    )
+
+    m = m_bits if m_bits is not None else BLOOM_M_BITS
+    k = k_hashes if k_hashes is not None else BLOOM_K_HASHES
+    bc = stream.sparkSession.sparkContext.broadcast(
+        build_bloom_bitmap(history, m, k)
+    )
+    # non-decorator scalar form (stringified annotations break hint
+    # inference under `from __future__ import annotations`)
+    probe = pandas_udf(
+        lambda *ps: pd.Series(
+            bloom_hits_np(bc.value, list(ps)).astype("int32"), index=ps[0].index
+        ),
+        "int",
+    )
+
+    pre_cols = set(stream.columns)
+    pos = bloom_probe_cols(F.col("content_hash"), m, k)
+    out = (
+        stream.withColumn(
+            "content_hash", content_digest(F.col(key), F.col(id_col))
+        )
+        .withColumn("bloom_hit", probe(*pos))
+    )
+    if drop:
+        added = [c for c in ("content_hash",) if c not in pre_cols]
+        return out.filter(F.col("bloom_hit") == 0).drop(*added, "bloom_hit")
+    return out
+
+
 def extract_dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
     """The full streaming ingest pipeline in ONE query: fused extraction
     kernel (mapInPandas on the stream) → stateful online dedup keyed on the

@@ -543,3 +543,79 @@ def test_robots_gate_stream_matches_batch(spark, tmp_path):
         "https://a.test/open", "https://norobots.test/z"
     }
     assert set(kept[0].asDict()) == {"url", "warc_ts"}
+
+
+def test_bloom_gate_stream_matches_batch(spark, tmp_path):
+    """Stream-static Bloom screen (VERDICT r3 #7): per-document verdicts
+    across micro-batches equal the batch bloom_gate on the same
+    (history, batch) relations — bitmap build and probe gather are
+    SHARED code, and the oracle-certified false-positive semantics carry
+    over unchanged. The gate is stateless (append mode, no watermark);
+    drop=True keeps only definite-new rows and restores the input
+    schema."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import bloom_gate
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
+        bloom_gate_stream,
+    )
+
+    hist_rows = [(i, f"history doc {i}") for i in range(40)]
+    batch_rows = (
+        [(100 + i, f"history doc {i}") for i in range(20)]  # true re-crawls
+        + [(200 + i, f"fresh doc {i}") for i in range(20)]  # definite-new
+        + [(999, None)]  # null text → per-doc sentinel digest
+    )
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch_df = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    pd.DataFrame(batch_rows[:15], columns=["doc_id", "text"]).to_parquet(
+        d / "b1.parquet"
+    )
+    pd.DataFrame(batch_rows[15:], columns=["doc_id", "text"]).to_parquet(
+        d / "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+
+    seen = []
+    q = (
+        bloom_gate_stream(stream, history, m_bits=512, k_hashes=4)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: (r["content_hash"], r["bloom_hit"]) for r in seen}
+
+    want = {
+        r["doc_id"]: (r["content_hash"], r["bloom_hit"])
+        for r in bloom_gate(
+            spark, "/root/testdata/sf0.001", history=history, batch=batch_df,
+            m_bits=512, k_hashes=4,
+        ).collect()
+    }
+    assert got == want and len(got) == 41
+    # no false negatives: every true re-crawl is flagged maybe-seen
+    assert all(got[100 + i][1] == 1 for i in range(20))
+    # the screen lets at least some definitely-new docs through
+    new_ids = [200 + i for i in range(20)] + [999]
+    assert any(got[i][1] == 0 for i in new_ids)
+
+    kept = []
+    q2 = (
+        bloom_gate_stream(stream, history, m_bits=512, k_hashes=4, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in kept} == {
+        i for i, (_, hit) in got.items() if hit == 0
+    }
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
