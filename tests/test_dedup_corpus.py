@@ -248,3 +248,46 @@ def test_curation_new_stages_fire(spark, tmp_path):
     assert got[4] == "bad_host"      # clean page, majority-junk host
     assert got[11] == "lang_filtered" and got[18] == "lang_filtered"
     assert got[5] == "kept"
+
+
+def test_passage_dedup_banner_on_every_page(spark):
+    """VERDICT r3 #6: total contamination — EVERY document carries the
+    boilerplate banner, so the covered-position relation is corpus-sized
+    (one reason the covered join deliberately carries no broadcast hint;
+    a forced broadcast would ship the whole corpus to every executor at
+    scale). The banner must be stripped from every document while each
+    document's unique tail survives untouched, and the plan must stay
+    equality-joined (no cartesian fallback)."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.operators.lines import (
+        PASSAGE_BOILER,
+        passage_dedup,
+    )
+
+    n = 400
+    # banner = exactly 2 lines (6 tokens at 3 tokens/line); tail = 6
+    # unique tokens (2 more lines), distinct across documents
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(PASSAGE_BOILER + " "),
+            F.format_string(
+                "u%da u%db u%dc u%dd u%de u%df",
+                *([F.col("id").cast("int")] * 6),
+            ),
+        ).alias("text"),
+    )
+    out = passage_dedup(spark, "/root/testdata/sf0.001", docs=docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == n
+    for i in range(n):
+        r = rows[i]
+        assert r["n_lines"] == 4 and r["n_kept"] == 2
+        assert r["cleaned_text"] == (
+            f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        )
