@@ -634,6 +634,149 @@ def quality_classifier(spark, sf_dir, dim: int = CLF_DIM, docs=None) -> DataFram
     )
 
 
+CLF_EPOCHS = 3
+
+
+def train_perceptron(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> dict[int, int]:
+    """LEARN the quality-classifier weights in-engine: distributed batch
+    perceptron over the hashed token features — the training loop behind
+    the fasttext/DCLM-style filter, not just its scoring pass (the
+    quality_classifier docstring's "learned weight table" swap-in, made
+    real).
+
+    Batch perceptron because it is DETERMINISTIC and INTEGER-EXACT: per
+    epoch, score every document under the current weights (one broadcast
+    map lookup + one doc agg), mark mistakes (y·score ≤ 0 — sign(0)
+    counts as wrong, standard), and apply the SUMMED update
+    Δ_b = Σ_mistakes y·x_b (one bucket agg, ≤ dim rows collected). No
+    learning rate, no floats, no iteration order — so the whole training
+    loop replays bit-for-bit in SQL (the BPE-oracle pattern:
+    queries._perceptron_stages_sql certifies weight LEARNING, not just
+    scoring). Labels are the quality_score heuristic verdict mapped to
+    ±1 — the classic bootstrap: distill a cheap heuristic into a model
+    that generalizes past it (swap in human labels the same way).
+
+    Scale shape: the feature relation (doc, bucket, cnt) is built once
+    (explode + two-phase count) and persisted; each epoch is two
+    equality-keyed aggregations over it, weights ride as a dim-sized
+    literal map (64 entries — plan literal, zero joins), and only the
+    ≤ dim delta rows ever reach the driver. epochs × 2 jobs total, the
+    same driver-side loop discipline as BPE training."""
+    from ..functions.exprs import quality_cols
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    from .dedup import md5_60
+
+    labels = d.select(
+        "doc_id",
+        (quality_cols(F.col("text"))["quality_keep"] * 2 - 1).alias("y"),
+    ).persist()
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    feats = (
+        tok.select(
+            "doc_id",
+            F.pmod(md5_60(F.col("token")), F.lit(dim)).cast("int").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    feats.count()
+
+    weights = {b: 0 for b in range(dim)}
+    for _ in range(epochs):
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        scores = (
+            feats.select(
+                "doc_id",
+                (F.col("cnt") * F.element_at(wmap, F.col("bucket"))).alias("wc"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("wc").alias("s"))
+        )
+        mistakes = (
+            labels.join(scores, "doc_id", "left")
+            .filter(F.col("y") * F.coalesce(F.col("s"), F.lit(0)) <= 0)
+            .select("doc_id", "y")
+        )
+        delta = (
+            mistakes.join(feats, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("delta"))
+            .collect()
+        )
+        for r in delta:
+            weights[r["bucket"]] += r["delta"]
+    labels.unpersist()
+    feats.unpersist()
+    return weights
+
+
+def quality_classifier_train(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Query surface: the learned weight table (bucket, weight) after
+    ``epochs`` batch-perceptron rounds — all dim rows, zeros included
+    (deterministic cardinality)."""
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=docs)
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket int, weight long"
+    )
+
+
+def quality_classifier_learned(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Score every document under the LEARNED weights: (doc_id,
+    clf_score, pred_keep, label_keep). pred_keep is score > 0 (the
+    mistake rule treats 0 as not-kept). Training accuracy is then one
+    aggregation away — and the driver hash-checks every per-doc score,
+    so the learned model's entire inference surface is certified."""
+    from ..functions.exprs import quality_cols
+
+    from .dedup import md5_60
+
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=docs)
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    scores = (
+        tok.select(
+            "doc_id",
+            F.element_at(
+                wmap, F.pmod(md5_60(F.col("token")), F.lit(dim)).cast("int")
+            ).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("s"))
+    )
+    lab = d.select(
+        "doc_id", quality_cols(F.col("text"))["quality_keep"].alias("label_keep")
+    )
+    return lab.join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("clf_score"),
+        (F.coalesce(F.col("s"), F.lit(0)) > 0).cast("int").alias("pred_keep"),
+        "label_keep",
+    )
+
+
 # mix-sampler fixture constants (interpolated into the DuckDB oracle):
 # budget = MIX_BUDGET_NUM/MIX_BUDGET_DEN of the corpus' total tokens, and
 # the synthetic per-source weight is 1 + 3·(source index mod 4) → weights

@@ -526,6 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pinned(textstats.pii_redact),
         "corpus_mix": pinned(textstats.source_mix_sample),
         "quality_classifier": pinned(textstats.quality_classifier),
+        # in-engine classifier TRAINING: batch perceptron (integer-exact,
+        # so the learning loop itself is SQL-replay-certified) + scoring
+        # under the learned weights
+        "quality_classifier_train": pinned(textstats.quality_classifier_train),
+        "quality_classifier_learned": pinned(
+            textstats.quality_classifier_learned
+        ),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
@@ -673,6 +680,90 @@ def _bpe_tokenize_oracle(num_merges: int) -> str:
            CAST(coalesce(g.n_pieces, 0) AS INTEGER) AS n_pieces,
            CAST(coalesce(g.n_tok, 0) AS INTEGER) AS n_bpe_tokens
     FROM documents d LEFT JOIN g USING (doc_id)"""
+    )
+
+
+def _perceptron_stages_sql(epochs: int) -> str:
+    """CTE chain replaying operators.textstats.train_perceptron in DuckDB
+    (the _bpe_stages_sql pattern): per epoch, score under the current
+    weights, mark mistakes (y·score ≤ 0), apply the summed integer
+    update. Certifies weight LEARNING end-to-end — batch perceptron is
+    deterministic and integer-only, so there is nothing to drift.
+    MATERIALIZED for the same ~4^K-inlining reason as the BPE stages."""
+    from .operators.textstats import CLF_DIM
+
+    bucket = _hex2int("md5(token)") + f" % {CLF_DIM}"
+    parts = [
+        f"""t AS MATERIALIZED (
+      SELECT doc_id, coalesce(text, '') AS text, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 10
+                   AND round(length(regexp_replace(lower(text), '[^a-z]',
+                                                   '', 'g'))
+                             / greatest(length(text), 1), 4) > 0.6
+                  THEN 1 ELSE -1 END AS y
+      FROM t
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY 1, 2
+    ),
+    w0 AS MATERIALIZED (
+      SELECT unnest(generate_series(0, {CLF_DIM - 1})) AS bucket,
+             CAST(0 AS BIGINT) AS weight
+    )"""
+    ]
+    for k in range(epochs):
+        parts.append(
+            f"""sc{k} AS MATERIALIZED (
+      SELECT f.doc_id, sum(w.weight * f.cnt) AS s
+      FROM feats f JOIN w{k} w USING (bucket) GROUP BY 1
+    ),
+    mis{k} AS MATERIALIZED (
+      SELECT l.doc_id, l.y FROM lab l LEFT JOIN sc{k} s USING (doc_id)
+      WHERE l.y * coalesce(s.s, 0) <= 0
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT f.bucket, sum(m.y * f.cnt) AS delta
+      FROM mis{k} m JOIN feats f USING (doc_id) GROUP BY 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT w.bucket, w.weight + coalesce(d.delta, 0) AS weight
+      FROM w{k} w LEFT JOIN d{k} d USING (bucket)
+    )"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _perceptron_train_oracle(epochs: int) -> str:
+    return (
+        _perceptron_stages_sql(epochs)
+        + f"""
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(weight AS BIGINT) AS weight
+    FROM w{epochs}"""
+    )
+
+
+def _perceptron_learned_oracle(epochs: int) -> str:
+    return (
+        _perceptron_stages_sql(epochs)
+        + f""",
+    scf AS MATERIALIZED (
+      SELECT f.doc_id, sum(w.weight * f.cnt) AS s
+      FROM feats f JOIN w{epochs} w USING (bucket) GROUP BY 1
+    )
+    SELECT l.doc_id,
+           CAST(coalesce(s.s, 0) AS BIGINT) AS clf_score,
+           CAST(CASE WHEN coalesce(s.s, 0) > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS pred_keep,
+           CAST(CASE WHEN l.y = 1 THEN 1 ELSE 0 END AS INTEGER)
+             AS label_keep
+    FROM lab l LEFT JOIN scf s USING (doc_id)"""
     )
 
 
@@ -2061,6 +2152,13 @@ def oracle_sql() -> dict[str, str]:
     # + apply) as generated CTE stages — see _bpe_stages_sql
     sql["bpe_train"] = _bpe_train_oracle(8)
     sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
+    # batch-perceptron training replay (learned weights + learned scoring)
+    sql["quality_classifier_train"] = _perceptron_train_oracle(
+        textstats.CLF_EPOCHS
+    )
+    sql["quality_classifier_learned"] = _perceptron_learned_oracle(
+        textstats.CLF_EPOCHS
+    )
     # the composite curation verdict reuses the stage oracles as CTEs, so
     # the END-TO-END flow is hash-checked, not just its parts (DuckDB
     # supports nested WITH inside a CTE body)

@@ -3,11 +3,17 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count +
 sorted-column value multiset. Exit nonzero on any mismatch.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes the machine-readable per-query result artifact the repo
+commits every round (CORRECTNESS_local_r{N}.json) so the driver's ~50-query
+sampling can never hide a regression in the unsampled remainder
+(VERDICT r3 next-step #2).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -44,8 +50,14 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -62,19 +74,32 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        def record(status: str, n_rows: int, detail: str = "") -> None:
+            results[name] = {
+                "status": status,
+                "rows": n_rows,
+                "seconds": round(time.time() - t0, 1),
+            }
+            if detail:
+                results[name]["detail"] = detail
+
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record("fail", 0, f"spark error: {e}")
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(rows)} rows, {time.time()-t0:.1f}s)")
             if not rows:
                 failures.append(name)
+                record("fail", 0, "zero rows in rows-only query")
                 print(f"FAIL  {name}: zero rows in rows-only query")
+            else:
+                record("rows_only", len(rows))
             continue
         try:
             res = con.execute(oracles[name])
@@ -82,14 +107,17 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record("fail", len(rows), f"duckdb error: {e}")
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         if sorted(cols) != sorted(ocols):
             failures.append(name)
+            record("fail", len(rows), f"columns {sorted(cols)} != {sorted(ocols)}")
             print(f"FAIL  {name}: columns {sorted(cols)} != {sorted(ocols)}")
             continue
         if len(rows) != len(orows):
             failures.append(name)
+            record("fail", len(rows), f"rowcount {len(rows)} != {len(orows)}")
             print(f"FAIL  {name}: rowcount {len(rows)} != {len(orows)}")
             continue
         a = canon(rows, cols)
@@ -97,11 +125,29 @@ def main() -> int:
         if a != b:
             failures.append(name)
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            record("fail", len(rows), f"value mismatch, first diffs: {diff}")
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
             continue
+        record("hash_match", len(rows))
         print(f"OK    {name}: {len(rows)} rows match ({time.time()-t0:.1f}s)")
 
     spark.stop()
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "hash_match": sum(
+                1 for r in results.values() if r["status"] == "hash_match"
+            ),
+            "rows_only": sorted(
+                n for n, r in results.items() if r["status"] == "rows_only"
+            ),
+            "failures": sorted(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
