@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .relational import load
+from .relational import load, persist_slot
 from .textstats import _BPE_PATTERN
 
 SEP = "\x1f"
@@ -100,19 +100,21 @@ def merge_replace(w, a: str, b: str):
     )
 
 
-def train_merges(
-    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
-    docs=None,
-) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges; returns [(l, r), …] in rank order.
+def _train(spark, sf_dir, num_merges: int, docs):
+    """Shared training loop: (merges, final word table). The base
+    word-freq relation lives in a persist slot (one cached copy per
+    session, replaced on re-invocation — the persist_slot contract), so
+    callers that consume the FINAL table lazily (bpe_vocab) stay
+    correct.
 
     Raises if the corpus exhausts its pairs early — the oracle replays a
     FIXED number of stages, so a short table would silently diverge
     (fixture corpora are far richer than any sane num_merges)."""
-    wf = (
-        piece_freq(spark, sf_dir, docs=docs)
-        .select(wrapped_symbols(F.col("piece")).alias("w"), "freq")
-        .persist()
+    wf = persist_slot(
+        "bpe_wordfreq",
+        piece_freq(spark, sf_dir, docs=docs).select(
+            wrapped_symbols(F.col("piece")).alias("w"), "freq"
+        ),
     )
     wf.count()  # materialize once; every round re-reads the cached table
     cur = wf
@@ -127,7 +129,6 @@ def train_merges(
             .collect()
         )
         if not top:
-            wf.unpersist()
             raise ValueError(
                 f"corpus exhausted after {len(merges)} merges "
                 f"(asked for {num_merges})"
@@ -135,8 +136,39 @@ def train_merges(
         a, b = top[0]["l"], top[0]["r"]
         merges.append((a, b))
         cur = cur.withColumn("w", merge_replace(F.col("w"), a, b))
-    wf.unpersist()
-    return merges
+    return merges, cur
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges; returns [(l, r), …] in rank order."""
+    return _train(spark, sf_dir, num_merges, docs)[0]
+
+
+def bpe_vocab(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """The symbol vocabulary AFTER the learned merges: (vocab_id, symbol,
+    freq) — the id table a tokenizer ships. freq = corpus occurrences of
+    the symbol under the final segmentation; ids assign by (freq desc,
+    symbol asc). The global id window runs over vocab-sized input only
+    (≈ alphabet + num_merges symbols — dimension-sized at any corpus
+    scale; the corpus-sized work is the one word-freq build)."""
+    from pyspark.sql import Window
+
+    _, wf_final = _train(spark, sf_dir, num_merges, docs)
+    agg = (
+        wf_final.select(F.explode(_symbols(F.col("w"))).alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("symbol"))
+    return agg.select(
+        F.row_number().over(w).cast("int").alias("vocab_id"), "symbol", "freq"
+    )
 
 
 def bpe_train(

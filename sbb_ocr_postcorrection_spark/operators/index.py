@@ -1,0 +1,104 @@
+"""Inverted index + conjunctive keyword search over the corpus.
+
+Every serious training-data pipeline grows a search surface: "which
+documents contain this phrase/term set" drives contamination audits
+(find the benchmark string), curation debugging (find the boilerplate),
+and takedown/PII response (find the offending page). The reference's
+dictionary-membership scans (SURVEY §2 P10/S13, detect.py) answer
+per-token membership; this is the corpus-side dual — a term → postings
+index and a multi-term AND query on top of it.
+
+Scale shape: the postings relation (doc_id, token, tf) is one explode +
+two-phase count (the token_stats shape, the only corpus-sized job);
+index statistics are one more aggregation on the token key. A query
+joins the postings against a TINY term dimension (broadcast), so the
+scan never explodes more than the probed terms' postings; conjunctive
+matching is a count-distinct-equals-n gate inside the same aggregation;
+ranking is integer tf with a pinned doc_id tie-break, and top-k goes
+through TakeOrderedAndProject (the window only ever sees the k
+survivors). No floats anywhere — BM25-style log/idf weighting is the
+documented production swap (engine-specific float math stays outside
+the oracle projection by design, the approx_percentile convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.exprs import tokens_expr as _tokens
+from .relational import load
+
+INDEX_POSTING_CAP = 20
+SEARCH_TERMS = 2
+SEARCH_K = 20
+
+
+def token_postings(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
+    """(doc_id, token, tf): the postings relation both surfaces share."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
+    """Term statistics + capped postings: (token, df, cf, top_postings).
+    df = document frequency, cf = collection frequency; top_postings is
+    the first INDEX_POSTING_CAP doc_ids in sorted order (bounded row
+    width — full postings stay relational in token_postings, which is
+    how a real consumer joins against them)."""
+    tf = token_postings(spark, sf_dir, docs=docs)
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, INDEX_POSTING_CAP
+        ).alias("top_postings"),
+    )
+
+
+def keyword_search(
+    spark: SparkSession, sf_dir: str, docs=None,
+    n_terms: int = SEARCH_TERMS, k: int = SEARCH_K,
+) -> DataFrame:
+    """Conjunctive (AND) multi-term query: (rank, doc_id, score).
+
+    The driver fixture derives its probe terms IN-PLAN — the n_terms
+    globally most frequent tokens (cf desc, token asc tie-break) — so
+    the whole query is self-contained and SQL-replayable; a real caller
+    passes its own term dimension the same way. A document matches when
+    it carries ALL probed terms (count(distinct matched terms) ==
+    n_terms inside the one scoring aggregation); score = total tf of
+    the probed terms, integer; top-k by (score desc, doc_id asc)."""
+    tf = token_postings(spark, sf_dir, docs=docs)
+    terms = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(n_terms)
+        .select("token")
+    )
+    hits = (
+        tf.join(F.broadcast(terms), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("n_matched") == n_terms)
+    )
+    topk = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+    )

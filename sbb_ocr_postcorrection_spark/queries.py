@@ -20,6 +20,7 @@ from .operators import (
     bpe,
     components,
     dedup,
+    index,
     evaluation,
     lines,
     multimodal,
@@ -569,6 +570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a full replay oracle) + token counts under the learned merges
         "bpe_train": pinned(bpe.bpe_train),
         "bpe_tokenize": pinned(bpe.bpe_tokenize),
+        "bpe_vocab": pinned(bpe.bpe_vocab),
+        # corpus search surface: postings statistics + conjunctive
+        # multi-term query (contamination audits / takedown lookups)
+        "inverted_index": pinned(index.inverted_index),
+        "keyword_search": pinned(index.keyword_search),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
@@ -2152,6 +2158,44 @@ def oracle_sql() -> dict[str, str]:
     # + apply) as generated CTE stages — see _bpe_stages_sql
     sql["bpe_train"] = _bpe_train_oracle(8)
     sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
+    sql["bpe_vocab"] = (
+        _bpe_stages_sql(8)
+        + """
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, symbol)
+                AS INTEGER) AS vocab_id,
+           symbol, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT s AS symbol, sum(freq) AS freq
+          FROM (SELECT unnest(list_filter(string_split(w, chr(31)),
+                                          x -> x <> '')) AS s, freq
+                FROM wf8)
+          GROUP BY 1)"""
+    )
+    sql["inverted_index"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               list_sort(list(doc_id))[1:{index.INDEX_POSTING_CAP}]
+                 AS top_postings
+        FROM tf GROUP BY token
+    """
+    sql["keyword_search"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        terms AS (SELECT token
+                  FROM (SELECT token, sum(tf) AS cf FROM tf GROUP BY 1)
+                  ORDER BY cf DESC, token LIMIT {index.SEARCH_TERMS}),
+        hits AS (SELECT f.doc_id, count(*) AS n_matched, sum(f.tf) AS score
+                 FROM tf f JOIN terms t USING (token) GROUP BY 1),
+        sel AS (SELECT doc_id, score FROM hits
+                WHERE n_matched = {index.SEARCH_TERMS})
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, CAST(score AS BIGINT) AS score
+        FROM sel ORDER BY 1 LIMIT {index.SEARCH_K}
+    """
     # batch-perceptron training replay (learned weights + learned scoring)
     sql["quality_classifier_train"] = _perceptron_train_oracle(
         textstats.CLF_EPOCHS

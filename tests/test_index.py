@@ -1,0 +1,58 @@
+"""Inverted index + keyword search: hand-computed fixture, conjunctive
+semantics, tie-breaks, and the broadcast-probe plan shape."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "alpha beta beta"),
+        (3, "alpha delta"),
+        (4, "beta beta beta"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_index_stats(spark):
+    from sbb_ocr_postcorrection_spark.operators.index import inverted_index
+
+    idx = {r["token"]: r for r in
+           inverted_index(spark, SF, docs=_docs(spark)).collect()}
+    assert idx["alpha"]["df"] == 3 and idx["alpha"]["cf"] == 4
+    assert idx["beta"]["df"] == 3 and idx["beta"]["cf"] == 6
+    assert idx["gamma"]["df"] == 1 and idx["gamma"]["cf"] == 1
+    assert idx["alpha"]["top_postings"] == [1, 2, 3]
+    assert idx["beta"]["top_postings"] == [1, 2, 4]
+    # null text contributes nothing
+    assert all(5 not in r["top_postings"] for r in idx.values())
+
+
+def test_keyword_search_conjunctive_topk(spark):
+    """Probe terms self-derive as the 2 most frequent tokens (beta cf=6,
+    alpha cf=4); only docs carrying BOTH match; score = total tf with
+    doc_id tie-break."""
+    from sbb_ocr_postcorrection_spark.operators.index import keyword_search
+
+    rows = keyword_search(spark, SF, docs=_docs(spark)).collect()
+    # d1: alpha·2 + beta·1 = 3; d2: alpha·1 + beta·2 = 3; d3/d4 lack one
+    # term; the 3-3 tie breaks on doc_id
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in rows] == [
+        (1, 1, 3),
+        (2, 2, 3),
+    ]
+
+
+def test_keyword_search_plan_broadcasts_terms(spark):
+    from sbb_ocr_postcorrection_spark.operators.index import keyword_search
+
+    plan = (
+        keyword_search(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
