@@ -355,6 +355,13 @@ def _warc_gz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_gz_scan(spark, sf_dir)
 
 
+def _warc_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_scan_quarantine
+
+    _pin(spark)
+    return warc_scan_quarantine(spark, sf_dir)
+
+
 def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.robots import robots_gate
 
@@ -447,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # .warc.gz form: per-record gzip members (Common Crawl layout),
         # member-walk + inflate + same framing parse, same oracle
         "warc_gz_scan": _warc_gz_scan,
+        # error-resilient mode: corrupt archives quarantine (one status
+        # row for the re-fetch queue), clean archives parse normally
+        "warc_quarantine_scan": _warc_quarantine_scan,
         # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
         # the fixture rules have a closed-form verdict the oracle states)
         "robots_gate": _robots_gate,
@@ -2154,6 +2164,35 @@ def oracle_sql() -> dict[str, str]:
     # records — same oracle, so the driver certifies the member walk +
     # inflate + framing parse end-to-end
     sql["warc_gz_scan"] = sql["warc_scan"]
+    # quarantine mode: clean files replay the warc_scan relation with an
+    # 'ok' status; the deterministically-corrupted files (file_id % 7 == 3)
+    # contribute exactly one 'quarantined' row each — both branches in
+    # closed form
+    sql["warc_quarantine_scan"] = f"""
+        WITH h AS (
+          SELECT doc_id, {_URL_SQL} AS url,
+                 strftime(TIMESTAMP '2024-01-01 00:00:00'
+                          + to_seconds(doc_id * 61),
+                          '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                 {_sq(_PAGE_TMPL.split("{paras}")[0] + "<p>")} || text
+                   || {_sq(_PROMO)} || reverse(text)
+                   || {_sq("</p>" + _PAGE_TMPL.split("{paras}")[1])}
+                   AS html
+          FROM documents
+        )
+        SELECT CAST(doc_id // 50 AS BIGINT) AS file_id, url, warc_date,
+               CAST(octet_length(encode(html)) AS BIGINT) AS content_length,
+               md5(html) AS payload_md5, 'ok' AS status
+        FROM h WHERE (doc_id // 50) % 7 <> 3
+        UNION ALL
+        SELECT DISTINCT CAST(doc_id // 50 AS BIGINT) AS file_id,
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS VARCHAR) AS warc_date,
+               CAST(NULL AS BIGINT) AS content_length,
+               CAST(NULL AS VARCHAR) AS payload_md5,
+               'quarantined' AS status
+        FROM documents WHERE (doc_id // 50) % 7 = 3
+    """
     # learned-BPE oracles replay the ENTIRE training loop (merge selection
     # + apply) as generated CTE stages — see _bpe_stages_sql
     sql["bpe_train"] = _bpe_train_oracle(8)

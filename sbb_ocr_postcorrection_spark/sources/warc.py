@@ -289,3 +289,87 @@ def warc_gz_scan(spark, sf_dir, records_per_file: int = 50):
             )
 
     return blobs.mapInPandas(kern, schema=_SCAN_SCHEMA)
+
+
+QUARANTINE_EVERY = 7  # fixture: file_id % 7 == 3 archives arrive corrupt
+
+
+def warc_scan_quarantine(
+    spark, sf_dir, records_per_file: int = 50,
+    corrupt_every: int = QUARANTINE_EVERY,
+):
+    """Error-RESILIENT archive scan: the production posture for a 100-TB
+    crawl where some archives WILL be corrupt. The strict scans raise
+    (right for a single manifest you control); a fleet-wide ingest must
+    neither crash the job on one bad file nor silently keep a partial
+    parse — a mis-advanced cursor poisons every later record in the
+    file, so salvaging the prefix risks exactly the silent truncation
+    the raise exists to prevent. Policy pinned here: quarantine the
+    WHOLE file (one 'quarantined' row carrying the file_id for the
+    re-fetch queue; zero record rows from it) and parse everything else
+    normally, in the same single pass — per-file try/except around the
+    SAME strict parser, so tolerant and strict modes cannot drift.
+
+    The fixture deterministically corrupts file_id % corrupt_every == 3
+    archives (first byte flipped — framing breaks at offset 0), giving
+    the oracle a closed form over BOTH branches: quarantined files
+    contribute exactly one status row, clean files replay the warc_scan
+    relation. status is a column, not an exception — downstream filters
+    route records vs re-fetch work relationally."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    per_rec = _synth_record_table(spark, sf_dir, records_per_file)
+    blobs = per_rec.groupBy("file_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("warc")
+    ).select(
+        "file_id",
+        "warc",
+        (F.col("file_id") % corrupt_every == 3).alias("corrupt"),
+    )
+
+    cols = ["file_id", "url", "warc_date", "content_length", "payload_md5",
+            "status"]
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file_id, blob, corrupt in zip(
+                pdf["file_id"], pdf["warc"], pdf["corrupt"]
+            ):
+                blob = bytes(blob)
+                if corrupt:  # fixture-injected transport corruption
+                    blob = bytes([blob[0] ^ 0xFF]) + blob[1:]
+                try:
+                    recs = _records_to_rows(parse_warc_records(blob))
+                except ValueError:
+                    rows.append(
+                        {
+                            "file_id": file_id,
+                            "url": None,
+                            "warc_date": None,
+                            "content_length": None,
+                            "payload_md5": None,
+                            "status": "quarantined",
+                        }
+                    )
+                    continue
+                for r in recs:
+                    rows.append({"file_id": file_id, **r, "status": "ok"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(
+        kern,
+        schema="file_id long, url string, warc_date string, "
+        "content_length long, payload_md5 string, status string",
+    )

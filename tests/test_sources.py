@@ -555,3 +555,31 @@ def test_crawl_schedule_mega_host_skew(spark):
         assert [r["slot"] for r in hr] == list(range(len(hr)))
         assert all(r["delay_s"] == want_delay for r in hr)
         assert all(r["fetch_offset_s"] == r["slot"] * want_delay for r in hr)
+
+
+def test_warc_quarantine_scan(spark):
+    """Error-resilient mode: corrupt archives yield exactly one
+    'quarantined' row (whole-file policy — no partial parses that could
+    silently truncate), clean archives reproduce the strict scan's
+    records with status 'ok', all in one pass."""
+    from sbb_ocr_postcorrection_spark.sources.warc import (
+        warc_scan,
+        warc_scan_quarantine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = warc_scan_quarantine(spark, sf).collect()
+    quarantined = {r["file_id"] for r in rows if r["status"] == "quarantined"}
+    ok = [r for r in rows if r["status"] == "ok"]
+    # 10 files (500 docs / 50), file_ids 0..9 → corrupt = {3}
+    assert quarantined == {3}
+    assert len([r for r in rows if r["status"] == "quarantined"]) == 1
+    assert len(ok) == 450  # 9 clean files × 50 records
+    strict = {
+        r["url"]: (r["warc_date"], r["content_length"], r["payload_md5"])
+        for r in warc_scan(spark, sf).collect()
+    }
+    for r in ok:
+        assert strict[r["url"]] == (
+            r["warc_date"], r["content_length"], r["payload_md5"]
+        )
