@@ -352,3 +352,46 @@ def url_dedup(spark, sf_dir, docs=None) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
     )
+
+
+def crawl_cube(spark, sf_dir, docs=None) -> DataFrame:
+    """Crawl-ops reporting CUBE: one pass producing all four grouping
+    levels of (host, crawl day) — per (host, dt), per host, per day, and
+    the grand total — with `gid` (grouping_id) distinguishing them.
+
+    Catalyst compiles CUBE into a single Expand + one aggregation (each
+    input row fans into the 4 grouping combinations map-side, partial
+    aggregation still applies), so the full operations dashboard costs
+    ONE shuffle instead of four separate rollup jobs — the shape that
+    matters when the input is a day of crawl manifests, not a fixture.
+    Fixture dimensions are the repo's host convention
+    (site{doc_id%7}.example.com, shared with host_reputation/robots) and
+    a 5-day synthetic crawl calendar; a real caller feeds (host, dt)
+    straight from its manifests. NULL dimension values in the output are
+    the rolled-up rows (inputs are never NULL here, so there is no
+    ambiguity; gid is authoritative regardless)."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    base = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 5).cast("int")
+        ).alias("dt"),
+        "n_chars",
+    )
+    return (
+        base.cube("host", "dt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )

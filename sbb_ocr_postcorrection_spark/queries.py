@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline): canonicalize scheme/case/www/query/fragment/slash
         # noise, one hash-agg on the canonical key
         "url_dedup": pinned(urls.url_dedup),
+        # one-pass CUBE over (host, crawl day): all four grouping levels
+        # of the crawl-ops dashboard from a single Expand + aggregation
+        "crawl_cube": pinned(urls.crawl_cube),
         "url_blocklist": pinned(urls.url_blocklist_gate),
         # inter-document repeated-line removal (RefinedWeb/CCNet-style
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
@@ -2164,6 +2167,21 @@ def oracle_sql() -> dict[str, str]:
     # records — same oracle, so the driver certifies the member walk +
     # inflate + framing parse end-to-end
     sql["warc_gz_scan"] = sql["warc_scan"]
+    # CUBE report: DuckDB GROUP BY CUBE with GROUPING() mirroring Spark's
+    # grouping_id() bit order (first listed dimension = high bit)
+    sql["crawl_cube"] = """
+        WITH b AS (
+          SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS host,
+                 DATE '2024-01-01' + CAST(doc_id % 5 AS INTEGER) AS dt,
+                 n_chars
+          FROM documents
+        )
+        SELECT host, dt, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(GROUPING(host, dt) AS INTEGER) AS gid
+        FROM b GROUP BY CUBE (host, dt)
+    """
     # quarantine mode: clean files replay the warc_scan relation with an
     # 'ok' status; the deterministically-corrupted files (file_id % 7 == 3)
     # contribute exactly one 'quarantined' row each — both branches in

@@ -69,3 +69,47 @@ def extract_curate_stream(
     from .ingest import extract_stream
 
     return curate_gate(extract_stream(pages_stream), conf_threshold)
+
+
+def decontaminate_stream(
+    stream: DataFrame, eval_shingles: DataFrame,
+    min_overlap: int = 1, text_col: str = "text", drop: bool = False,
+) -> DataFrame:
+    """Benchmark-contamination screen on the stream: the streaming form of
+    operators/dedup.decontaminate. A continuous crawl must not let pages
+    overlapping the held-out eval suites into the training corpus — and
+    the check belongs at ingest, before a contaminated page costs
+    downstream curation.
+
+    Stateless stream-static shape: the eval shingle set is collected ONCE
+    at query definition (dimension-sized by construction — eval suites
+    are fixed while the corpus is 100 TB; the bloom-bitmap collect
+    rationale) into a literal array, and the verdict is pure JVM exprs —
+    the SAME `_shingles` builder the batch operator and the LSH family
+    use (tokenizer/shingle drift impossible), then
+    size(array_intersect(...)) against the literal. No state store, no
+    watermark, no Python, nothing crosses Arrow. n_overlap counts
+    DISTINCT shared shingles, matching the batch semantics exactly
+    (both sides are distinct sets)."""
+    from ..functions.exprs import tokens_expr
+    from ..operators.dedup import _shingles
+
+    evals = sorted(
+        r["shingle"]
+        for r in eval_shingles.select("shingle").distinct().collect()
+    )
+    pre_cols = set(stream.columns)
+    overlap = F.size(
+        F.array_intersect(
+            _shingles(tokens_expr(F.col(text_col))), F.lit(evals)
+        )
+    )
+    out = stream.withColumn("n_overlap", overlap).withColumn(
+        "contaminated", (F.col("n_overlap") >= min_overlap).cast("int")
+    )
+    if drop:
+        added = [c for c in ("n_overlap",) if c not in pre_cols]
+        return out.filter(F.col("contaminated") == 0).drop(
+            *added, "contaminated"
+        )
+    return out

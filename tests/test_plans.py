@@ -201,3 +201,14 @@ def test_crawl_schedule_no_global_window(spark):
     plan = plan_of(crawl_schedule(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(host" in plan
+
+
+def test_crawl_cube_single_pass(spark):
+    """CUBE compiles to ONE Expand + one aggregation (one shuffle for all
+    four grouping levels), not four separate jobs."""
+    from sbb_ocr_postcorrection_spark.operators.urls import crawl_cube
+
+    plan = plan_of(crawl_cube(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+    assert "CartesianProduct" not in plan

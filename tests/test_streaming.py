@@ -619,3 +619,81 @@ def test_bloom_gate_stream_matches_batch(spark, tmp_path):
         i for i, (_, hit) in got.items() if hit == 0
     }
     assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Streaming contamination screen == the batch decontaminate verdicts
+    on the same corpus (shared _shingles builder, distinct-overlap
+    counts), stateless, with drop=True filtering contaminated pages and
+    restoring the input schema."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.functions.exprs import tokens_expr
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        _shingles,
+        decontaminate,
+    )
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        decontaminate_stream,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # bench
+        (5, "benchmark question about spark adaptive joins"), # bench
+        (1, "totally unrelated text about gardening tips"),
+        (2, "the quick brown fox appears here verbatim"),      # contaminated
+        (3, "question about spark adaptive joins copied in"),  # contaminated
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select(
+        "doc_id",
+        F.explode(_shingles(tokens_expr(F.col("text")))).alias("shingle"),
+    )
+    want = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(
+            spark, "/root/testdata/sf0.001", bench_mod=5, sh=sh, docs=docs
+        ).collect()
+        if r["role"] == "train"
+    }
+
+    import os
+
+    train = [(i, t) for i, t in rows if i % 5 != 0]
+    d = tmp_path / "in"
+    os.makedirs(d)
+    pd.DataFrame(train, columns=["doc_id", "text"]).to_parquet(
+        d / "b1.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    evals = sh.filter(F.col("doc_id") % 5 == 0).select("shingle")
+    seen = []
+    q = (
+        decontaminate_stream(stream, evals)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in seen}
+    assert got == want
+    assert got[2][1] == 1 and got[3][1] == 1  # the two verbatim carriers
+    assert got[1][1] == 0 and got[4][1] == 0
+
+    kept = []
+    q2 = (
+        decontaminate_stream(stream, evals, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in kept} == {1, 4}
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
