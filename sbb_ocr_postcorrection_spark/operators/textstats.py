@@ -910,3 +910,42 @@ def quality_weighted_sample(
         slot.alias("slot"),
         (slot < rate).cast("int").alias("sampled"),
     )
+
+
+HIST_BUCKET_WIDTH = 100
+HIST_BUCKETS = 20
+
+
+def length_histogram(spark, sf_dir, docs=None) -> DataFrame:
+    """Per-source document-length histogram on a fixed integer grid:
+    bucket 0 = underflow (never fires; n_chars ≥ 0), buckets 1..20 cover
+    [0, 2000) at width 100, bucket 21 = overflow. The bucket id is PURE
+    INTEGER arithmetic (n_chars DIV width + 1) rather than a float
+    width_bucket — the same engine-exactness rule as the classifier
+    scores: float bin boundaries are where histogram counts silently
+    drift between engines. One projection + one two-phase count; the
+    report a corpus build prints next to length_percentiles."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    hi = HIST_BUCKET_WIDTH * HIST_BUCKETS
+    bucket = (
+        F.when(F.col("n_chars") < 0, F.lit(0))
+        .when(F.col("n_chars") >= hi, F.lit(HIST_BUCKETS + 1))
+        .otherwise(
+            F.expr(f"n_chars DIV {HIST_BUCKET_WIDTH}").cast("int") + 1
+        )
+    )
+    return (
+        d.select("source", bucket.alias("bucket"), "n_chars")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

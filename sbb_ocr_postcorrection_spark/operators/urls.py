@@ -395,3 +395,38 @@ def crawl_cube(spark, sf_dir, docs=None) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
     )
+
+
+def host_tiers(spark, sf_dir, n_tiers: int = 4, docs=None) -> DataFrame:
+    """Host quality tiers: per-host rollup → NTILE(n_tiers) ranking —
+    the crawl-budget allocator's view (tier 1 hosts get recrawled first,
+    bottom tier gets demoted). The global NTILE window runs over the
+    HOST dimension only (hosts ≪ docs — dimension-sized at any corpus
+    scale; the corpus-sized work is the one per-host aggregation), with
+    a pinned total order (total_chars desc, host asc) so tier assignment
+    is deterministic and engine-exact — NTILE's ceil-division bucket
+    sizing is SQL-standard in both engines."""
+    from pyspark.sql import Window
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    per_host = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "n_chars",
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.orderBy(F.desc("total_chars"), F.asc("host"))
+    return per_host.select(
+        "host", "n_docs", "total_chars",
+        F.ntile(n_tiers).over(w).cast("int").alias("tier"),
+    )

@@ -496,6 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-pass CUBE over (host, crawl day): all four grouping levels
         # of the crawl-ops dashboard from a single Expand + aggregation
         "crawl_cube": pinned(urls.crawl_cube),
+        # crawl-budget tiers: per-host rollup + NTILE over the host dim
+        "host_tiers": pinned(urls.host_tiers),
+        # integer-grid length histogram (float-free bin boundaries)
+        "length_histogram": pinned(textstats.length_histogram),
         "url_blocklist": pinned(urls.url_blocklist_gate),
         # inter-document repeated-line removal (RefinedWeb/CCNet-style
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
@@ -2167,6 +2171,31 @@ def oracle_sql() -> dict[str, str]:
     # records — same oracle, so the driver certifies the member walk +
     # inflate + framing parse end-to-end
     sql["warc_gz_scan"] = sql["warc_scan"]
+    sql["host_tiers"] = """
+        WITH h AS (
+          SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS host,
+                 n_chars
+          FROM documents
+        ), per_host AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM h GROUP BY host
+        )
+        SELECT host, n_docs, total_chars,
+               CAST(ntile(4) OVER (ORDER BY total_chars DESC, host)
+                    AS INTEGER) AS tier
+        FROM per_host
+    """
+    sql["length_histogram"] = """
+        SELECT source,
+               CAST(CASE WHEN n_chars < 0 THEN 0
+                         WHEN n_chars >= 2000 THEN 21
+                         ELSE n_chars // 100 + 1 END AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2
+    """
     # CUBE report: DuckDB GROUP BY CUBE with GROUPING() mirroring Spark's
     # grouping_id() bit order (first listed dimension = high bit)
     sql["crawl_cube"] = """
