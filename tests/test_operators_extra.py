@@ -319,3 +319,44 @@ def test_text_normalize_ws_class_cross_engine(spark):
     }
     assert got == want
     assert got[0][0].startswith("a b c ")  # \x0B collapsed on both sides
+
+
+def test_length_histogram_bucket_edges(spark):
+    """Integer-grid bucketing: underflow impossible on real data but the
+    guard exists; 0 and 99 share bucket 1; 100 starts bucket 2; 1999 is
+    the last in-range bucket; 2000+ overflows to 21."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 99), (3, "a", 100), (4, "a", 1999),
+         (5, "a", 2000), (6, "a", 123456), (7, "b", 150)],
+        "doc_id long, source string, n_chars int",
+    )
+    rows = {(r["source"], r["bucket"]): r
+            for r in length_histogram(spark, "/root/testdata/sf0.001",
+                                      docs=docs).collect()}
+    assert rows[("a", 1)]["n_docs"] == 2
+    assert rows[("a", 1)]["min_chars"] == 0 and rows[("a", 1)]["max_chars"] == 99
+    assert rows[("a", 2)]["n_docs"] == 1
+    assert rows[("a", 20)]["max_chars"] == 1999
+    assert rows[("a", 21)]["n_docs"] == 2  # 2000 and 123456 both overflow
+    assert rows[("b", 2)]["n_docs"] == 1
+
+
+def test_host_tiers_deterministic_ranking(spark):
+    """NTILE tiers: pinned (total_chars desc, host asc) order; ceil
+    division puts the extra hosts in the top tiers (7 hosts → tiers of
+    2,2,2,1 — wait: ntile(4) over 7 rows = 2,2,2,1)."""
+    from sbb_ocr_postcorrection_spark.operators.urls import host_tiers
+
+    rows = host_tiers(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 7
+    ordered = sorted(rows, key=lambda r: (-r["total_chars"], r["host"]))
+    assert [r["tier"] for r in ordered] == [1, 1, 2, 2, 3, 3, 4]
+    # tier assignment is a function of the pinned order alone
+    assert [r["host"] for r in ordered if r["tier"] == 1] == \
+        [ordered[0]["host"], ordered[1]["host"]]
