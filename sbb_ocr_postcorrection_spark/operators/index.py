@@ -102,3 +102,38 @@ def keyword_search(
         "doc_id",
         F.col("score").cast("long").alias("score"),
     )
+
+
+RARE_TERMS_K = 3
+
+
+def rare_terms(
+    spark: SparkSession, sf_dir: str, docs=None, k: int = RARE_TERMS_K,
+) -> DataFrame:
+    """Per-document distinctive terms: (doc_id, rnk, token, tf, df) — the
+    k terms ranked by (df asc, tf desc, token asc). This is the
+    keyword-extraction / routing-signal op (what is this page ABOUT)
+    done integer-only: classic TF-IDF's log-idf is a float whose libm
+    rounding differs across engines, but its RANKING inside a document
+    is (almost) the lexicographic order on (rarity, frequency) used
+    here — engine-exact, so the driver hash-checks it.
+
+    Plan: postings ⋈ document-frequency stats on the token key (two-phase
+    agg both sides, equality shuffle — the df side is vocab-sized, too
+    big to force-broadcast at corpus scale), then a per-doc window whose
+    partitions are document-sized. No floats, no global sort."""
+    from pyspark.sql import Window
+
+    tf = token_postings(spark, sf_dir, docs=docs)
+    df_stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    j = tf.join(df_stats, "token")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "token", "tf", "df")
+    )

@@ -592,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-term query (contamination audits / takedown lookups)
         "inverted_index": pinned(index.inverted_index),
         "keyword_search": pinned(index.keyword_search),
+        # per-doc distinctive terms: integer-only TF-IDF stand-in
+        "rare_terms": pinned(index.rare_terms),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
@@ -2171,6 +2173,23 @@ def oracle_sql() -> dict[str, str]:
     # records — same oracle, so the driver certifies the member walk +
     # inflate + framing parse end-to-end
     sql["warc_gz_scan"] = sql["warc_scan"]
+    sql["rare_terms"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        r AS (
+          SELECT f.doc_id, f.token, CAST(f.tf AS BIGINT) AS tf, d.df,
+                 row_number() OVER (
+                   PARTITION BY f.doc_id
+                   ORDER BY d.df ASC, f.tf DESC, f.token ASC
+                 ) AS rnk
+          FROM tf f JOIN dfs d USING (token)
+        )
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tf, df
+        FROM r WHERE rnk <= {index.RARE_TERMS_K}
+    """
     sql["host_tiers"] = """
         WITH h AS (
           SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'

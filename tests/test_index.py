@@ -56,3 +56,20 @@ def test_keyword_search_plan_broadcasts_terms(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rare_terms_ranking(spark):
+    """Distinctive-term ranking: rarity (df) first, then in-doc tf, then
+    token; docs with fewer terms than k emit what they have; null text
+    emits nothing."""
+    from sbb_ocr_postcorrection_spark.operators.index import rare_terms
+
+    rows = rare_terms(spark, SF, docs=_docs(spark)).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rnk"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    # d1: gamma (df=1) beats alpha (df=3, tf=2) beats beta (df=3, tf=1)
+    assert by_doc[1] == ["gamma", "alpha", "beta"]
+    assert by_doc[3] == ["delta", "alpha"]
+    assert by_doc[4] == ["beta"]
+    assert 5 not in by_doc
