@@ -183,6 +183,79 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """Full tokenizer INFERENCE under the learned model: (doc_id,
+    n_tokens, token_ids) — each document segmented into the learned
+    symbols and mapped to vocab ids (bpe_vocab's (freq desc, symbol)
+    ranking). This is the array a training pipeline actually feeds to
+    seq_pack: train → vocab → encode, end-to-end in-engine.
+
+    Plan: pieces keep their position (posexplode), the merge chain is
+    the same num_merges JVM replaces as bpe_tokenize, symbols keep
+    their in-piece position (posexplode again), the id lookup is a
+    broadcast join against the DIMENSION-sized vocab (alphabet +
+    num_merges symbols), and each document reassembles with ONE ordered
+    collect over (piece_pos, sym_pos) — one shuffle on doc_id. Every id
+    in every array is hash-checked by the replay oracle."""
+    merges, wf_final = _train(spark, sf_dir, num_merges, docs)
+    from pyspark.sql import Window
+
+    vocab = (
+        wf_final.select(F.explode(_symbols(F.col("w"))).alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("vfreq"))
+        .select(
+            "symbol",
+            F.row_number()
+            .over(Window.orderBy(F.desc("vfreq"), F.asc("symbol")))
+            .cast("int")
+            .alias("vocab_id"),
+        )
+    )
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    pieces_arr = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
+    )
+    ex = d.select("doc_id", F.posexplode(pieces_arr).alias("piece_pos", "piece"))
+    w = wrapped_symbols(F.col("piece"))
+    for a, b in merges:
+        w = merge_replace(w, a, b)
+    syms = ex.select(
+        "doc_id", "piece_pos",
+        F.posexplode(_symbols(w)).alias("sym_pos", "symbol"),
+    )
+    ids = syms.join(F.broadcast(vocab), "symbol").groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("piece_pos", "sym_pos", "vocab_id"))
+            ),
+            lambda s: s["vocab_id"],
+        ).alias("token_ids")
+    )
+    return (
+        d.select("doc_id")
+        .join(ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("token_ids"), F.lit(0)).cast("int").alias(
+                "n_tokens"
+            ),
+            F.coalesce(
+                F.col("token_ids"), F.array().cast("array<int>")
+            ).alias("token_ids"),
+        )
+    )
+
+
 def bpe_tokenize(
     spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
     docs=None, merges: list[tuple[str, str]] | None = None,

@@ -588,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": pinned(bpe.bpe_train),
         "bpe_tokenize": pinned(bpe.bpe_tokenize),
         "bpe_vocab": pinned(bpe.bpe_vocab),
+        # tokenizer inference: text → learned-vocab id arrays (the input
+        # seq_pack actually wants)
+        "bpe_encode": pinned(bpe.bpe_encode),
         # corpus search surface: postings statistics + conjunctive
         # multi-term query (contamination audits / takedown lookups)
         "inverted_index": pinned(index.inverted_index),
@@ -705,6 +708,67 @@ def _bpe_tokenize_oracle(num_merges: int) -> str:
            CAST(coalesce(g.n_pieces, 0) AS INTEGER) AS n_pieces,
            CAST(coalesce(g.n_tok, 0) AS INTEGER) AS n_bpe_tokens
     FROM documents d LEFT JOIN g USING (doc_id)"""
+    )
+
+
+def _bpe_chain(num_merges: int) -> str:
+    """Nested replace expression applying the learned merges in rank
+    order to a wrapped-word column ``w`` (shared by the tokenize and
+    encode oracles)."""
+    chain = "w"
+    for k in range(num_merges):
+        chain = (
+            f"replace({chain}, chr(31) || (SELECT l FROM p{k}) || chr(31)"
+            f" || chr(31) || (SELECT r FROM p{k}) || chr(31),"
+            f" chr(31) || (SELECT l FROM p{k}) || (SELECT r FROM p{k})"
+            f" || chr(31))"
+        )
+    return chain
+
+
+def _bpe_encode_oracle(num_merges: int) -> str:
+    from .operators.textstats import _BPE_PATTERN
+
+    return (
+        _bpe_stages_sql(num_merges)
+        + f""",
+    vocab AS MATERIALIZED (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY vfreq DESC, symbol)
+                  AS INTEGER) AS vocab_id
+      FROM (SELECT s AS symbol, sum(freq) AS vfreq
+            FROM (SELECT unnest(list_filter(string_split(w, chr(31)),
+                                            x -> x <> '')) AS s, freq
+                  FROM wf{num_merges})
+            GROUP BY 1)
+    ),
+    dp AS MATERIALIZED (
+      SELECT doc_id, i AS piece_pos,
+             regexp_replace(t.ps[i], '(.)', chr(31) || '\\1' || chr(31),
+                            'gs') AS w
+      FROM (SELECT doc_id,
+                   regexp_extract_all(coalesce(text, ''),
+                                      '{_BPE_PATTERN}') AS ps
+            FROM documents) t,
+           unnest(generate_series(1, len(t.ps))) AS u(i)
+    ),
+    dsym AS MATERIALIZED (
+      SELECT doc_id, piece_pos, j AS sym_pos, t.syms[j] AS symbol
+      FROM (SELECT doc_id, piece_pos,
+                   list_filter(string_split({_bpe_chain(num_merges)},
+                                            chr(31)), x -> x <> '') AS syms
+            FROM dp) t,
+           unnest(generate_series(1, len(t.syms))) AS u(j)
+    ),
+    enc AS MATERIALIZED (
+      SELECT s.doc_id,
+             list(v.vocab_id ORDER BY s.piece_pos, s.sym_pos) AS token_ids
+      FROM dsym s JOIN vocab v USING (symbol) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(e.token_ids), 0) AS INTEGER) AS n_tokens,
+           coalesce(e.token_ids, CAST([] AS INTEGER[])) AS token_ids
+    FROM documents d LEFT JOIN enc e USING (doc_id)"""
     )
 
 
@@ -2275,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM wf8)
           GROUP BY 1)"""
     )
+    sql["bpe_encode"] = _bpe_encode_oracle(8)
     sql["inverted_index"] = f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
                      FROM documents),

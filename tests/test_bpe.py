@@ -155,3 +155,37 @@ def test_train_merges_exhaustion_raises(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="exhausted"):
         train_merges(spark, SF, num_merges=5, docs=docs)
+
+
+def test_bpe_encode_decode_roundtrip(spark):
+    """Ids decode back to the exact document text (modulo the
+    pre-tokenizer's discarded spaces): concatenating each doc's decoded
+    symbols equals concatenating its pieces, and n_tokens agrees with
+    bpe_tokenize's count — encode and tokenize are two views of one
+    segmentation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.operators.bpe import (
+        bpe_encode,
+        bpe_tokenize,
+        bpe_vocab,
+    )
+    from sbb_ocr_postcorrection_spark.operators.textstats import _BPE_PATTERN
+
+    sf = SF
+    id2sym = {r["vocab_id"]: r["symbol"]
+              for r in bpe_vocab(spark, sf).collect()}
+    enc = {r["doc_id"]: r for r in bpe_encode(spark, sf).collect()}
+    tok = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_tokenize(spark, sf).collect()}
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id", "text").collect()}
+    assert len(enc) == 500
+    for doc_id, r in enc.items():
+        assert r["n_tokens"] == tok[doc_id] == len(r["token_ids"])
+        decoded = "".join(id2sym[i] for i in r["token_ids"])
+        pieces = "".join(re.findall(_BPE_PATTERN, texts[doc_id] or ""))
+        assert decoded == pieces
