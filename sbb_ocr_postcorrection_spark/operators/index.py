@@ -137,3 +137,68 @@ def rare_terms(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", "token", "tf", "df")
     )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, docs=None,
+    phrase: list[str] | None = None,
+) -> DataFrame:
+    """Exact phrase lookup via positional postings: (doc_id, n_matches,
+    first_pos) for every document containing the phrase with exact
+    token adjacency — the contamination-audit query an inverted index
+    without positions cannot answer (conjunctive AND finds co-occurring
+    terms anywhere; a benchmark string must match in order).
+
+    Classic positional intersection, fully relational: the positions
+    relation (doc_id, pos, token) joins the tiny (term, offset) phrase
+    dimension (broadcast), each match votes for its ANCHOR (pos −
+    offset), and an anchor where every phrase offset voted
+    (count(distinct offset) == |phrase|) is an occurrence. Overlapping
+    occurrences count separately ("a b a b" contains "a b" twice). One
+    equality join + two aggregations on doc-keyed groups; no arrays
+    cross task boundaries.
+
+    The driver fixture self-derives the phrase as the corpus' most
+    frequent bigram (count desc, bigram asc — one collect of one row,
+    the BPE-loop discipline); real callers pass their benchmark
+    string's tokens."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    if phrase is None:
+        bigram_arr = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            toks.select(F.explode(bigram_arr).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("bigram"))
+            .limit(1)
+            .collect()
+        )
+        phrase = top[0]["bigram"].split(" ")
+    ph = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "token string, off int"
+    )
+    pos = toks.select("doc_id", F.posexplode("toks").alias("p", "token"))
+    anchors = (
+        pos.join(F.broadcast(ph), "token")
+        .select("doc_id", (F.col("p") - F.col("off")).alias("anchor"), "off")
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("off").alias("k"))
+        .filter(F.col("k") == len(phrase))
+    )
+    return anchors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("anchor").cast("int").alias("first_pos"),
+    )

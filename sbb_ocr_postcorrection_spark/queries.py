@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": pinned(index.keyword_search),
         # per-doc distinctive terms: integer-only TF-IDF stand-in
         "rare_terms": pinned(index.rare_terms),
+        # exact-adjacency phrase lookup via positional intersection
+        "phrase_search": pinned(index.phrase_search),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
         "fingerprints": pinned(textstats.fingerprints),
@@ -2253,6 +2255,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tf, df
         FROM r WHERE rnk <= {index.RARE_TERMS_K}
+    """
+    sql["phrase_search"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t WHERE len(toks) >= 2
+        ),
+        top AS (SELECT bigram
+                FROM (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+                ORDER BY c DESC, bigram LIMIT 1),
+        ph AS (
+          SELECT string_split((SELECT bigram FROM top), ' ')[i] AS token,
+                 i - 1 AS off
+          FROM unnest(generate_series(1, 2)) AS u(i)
+        ),
+        pos AS (
+          SELECT doc_id, i - 1 AS p, t.toks[i] AS token
+          FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+        ),
+        a AS (
+          SELECT pos.doc_id, pos.p - ph.off AS anchor,
+                 count(DISTINCT ph.off) AS k
+          FROM pos JOIN ph USING (token) GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(anchor) AS INTEGER) AS first_pos
+        FROM a WHERE k = 2 GROUP BY doc_id
     """
     sql["host_tiers"] = """
         WITH h AS (

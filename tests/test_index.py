@@ -73,3 +73,27 @@ def test_rare_terms_ranking(spark):
     assert by_doc[3] == ["delta", "alpha"]
     assert by_doc[4] == ["beta"]
     assert 5 not in by_doc
+
+
+def test_phrase_search_exact_adjacency(spark):
+    """Positional intersection: adjacency required (alpha...gamma with a
+    word between must NOT match), overlapping occurrences each count,
+    first_pos is the earliest anchor."""
+    from sbb_ocr_postcorrection_spark.operators.index import phrase_search
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta"),  # 3 occurrences at 0,2,4
+        (2, "alpha x beta"),                       # co-occur, not adjacent
+        (3, "x alpha beta y"),                     # one at pos 1
+        (4, "beta alpha"),                         # wrong order
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(spark, SF, docs=docs,
+                                  phrase=["alpha", "beta"]).collect()}
+    assert got == {1: (3, 0), 3: (1, 1)}
+    # self-derived probe: the corpus' top bigram here is "alpha beta"
+    auto = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(spark, SF, docs=docs).collect()}
+    assert auto == {1: 3, 3: 1}
