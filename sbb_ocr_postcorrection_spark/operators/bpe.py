@@ -52,6 +52,19 @@ SEP = "\x1f"
 DEFAULT_MERGES = 8
 
 
+def _clean_text(col=None):
+    """Corpus text with the internal wrap separator U+001F stripped.
+
+    Control chars are routine in real web-crawl text; an unstripped ␟
+    piece would wrap to ``␟␟␟``, yield an empty symbol array, and crash
+    the adjacent-pair slice (length −1). Every BPE-family piece
+    extraction — Spark AND the generated DuckDB oracle CTEs
+    (queries._bpe_stages_sql) — goes through this one strip so the
+    engines cannot diverge on it."""
+    c = col if col is not None else F.col("text")
+    return F.replace(F.coalesce(c, F.lit("")), F.lit(SEP), F.lit(""))
+
+
 def wrapped_symbols(col):
     """piece → per-symbol-wrapped string ``␟a␟␟b␟␟c␟`` ((?s): a piece
     can be any char the pre-tokenizer emits)."""
@@ -70,9 +83,7 @@ def piece_freq(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
         )
     )
     piece = F.explode(
-        F.regexp_extract_all(
-            F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
-        )
+        F.regexp_extract_all(_clean_text(), F.lit(_BPE_PATTERN), 0)
     ).alias("piece")
     return d.select(piece).groupBy("piece").agg(F.count(F.lit(1)).alias("freq"))
 
@@ -84,10 +95,12 @@ def _symbols(w):
 
 
 def _adjacent_pairs(w):
-    """array<struct<l,r>> of adjacent symbol pairs of a wrapped word."""
+    """array<struct<l,r>> of adjacent symbol pairs of a wrapped word.
+    The slice length clamps at 0: a single-symbol (or, defensively,
+    empty) word has no pairs — a negative length is a SparkRuntimeException."""
     syms = _symbols(w)
     return F.transform(
-        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
         lambda s, i: F.struct(s.alias("l"), F.element_at(syms, i + 2).alias("r")),
     )
 
@@ -222,9 +235,7 @@ def bpe_encode(
             spark.sparkContext.defaultParallelism
         )
     )
-    pieces_arr = F.regexp_extract_all(
-        F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
-    )
+    pieces_arr = F.regexp_extract_all(_clean_text(), F.lit(_BPE_PATTERN), 0)
     ex = d.select("doc_id", F.posexplode(pieces_arr).alias("piece_pos", "piece"))
     w = wrapped_symbols(F.col("piece"))
     for a, b in merges:
@@ -275,9 +286,7 @@ def bpe_tokenize(
             spark.sparkContext.defaultParallelism
         )
     )
-    pieces_arr = F.regexp_extract_all(
-        F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_PATTERN), 0
-    )
+    pieces_arr = F.regexp_extract_all(_clean_text(), F.lit(_BPE_PATTERN), 0)
     ex = d.select("doc_id", F.explode_outer(pieces_arr).alias("piece"))
     w = wrapped_symbols(F.col("piece"))
     for a, b in merges:

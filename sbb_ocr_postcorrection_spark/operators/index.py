@@ -186,6 +186,13 @@ def phrase_search(
             .limit(1)
             .collect()
         )
+        if not top:
+            # BPE-exhaustion-guard convention: a corpus where no document
+            # has >= 2 tokens gives an empty collect, not an IndexError
+            raise ValueError(
+                "corpus has no bigrams to derive a phrase from; "
+                "pass phrase= explicitly"
+            )
         phrase = top[0]["bigram"].split(" ")
     ph = spark.createDataFrame(
         [(t, i) for i, t in enumerate(phrase)], "token string, off int"

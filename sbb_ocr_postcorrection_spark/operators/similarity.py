@@ -171,11 +171,18 @@ def ivf_topk(
     ``lloyd_iters`` refinement passes — each pass assigns cells in the
     Arrow kernel and recomputes centroids as the normalized per-cell mean
     via posexplode → groupBy(cell, dim) avg (an equality-keyed two-phase
-    agg whose result is n_lists × dim rows, tiny to collect). Means are
-    rounded to 9 decimals before renormalizing so double merge-order
-    jitter can never flip an assignment between runs. At scale the cell id
-    becomes the partition/bucket key: the corpus is written clustered by
-    cell, and a probe touches probe_lists/n_lists of the data.
+    agg whose result is n_lists × dim rows, tiny to collect). At scale the
+    cell id becomes the partition/bucket key: the corpus is written
+    clustered by cell, and a probe touches probe_lists/n_lists of the data.
+
+    EVERY floating decision — Lloyd means, seed-selection argmin,
+    assignment argmax, probe-cell ranking — is made on values rounded to
+    9 decimals with a pinned tie-break (first pool index / smallest cell
+    id), so neither double merge-order jitter between runs NOR the
+    BLAS-vs-sequential reduction-order gap between this kernel and the
+    DuckDB oracle can flip a decision: the WHOLE training loop replays in
+    SQL (queries._ivf_trained_oracle, the bpe_train/
+    quality_classifier_train convention) and ann_ivf is hash-certified.
     """
     import numpy as np
     import pandas as pd
@@ -190,12 +197,13 @@ def ivf_topk(
     # well-spread centroids — better cell balance than a raw sample
     pool_rows = (
         e.select(
+            "vec_id",
             "embedding",
             F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
             .cast("long")
             .alias("_hkey"),
         )
-        .orderBy("_hkey")
+        .orderBy("_hkey", "vec_id")  # vec_id breaks (never-seen) hkey ties
         .limit(4 * n_lists)
         .select("embedding")
         .collect()
@@ -206,13 +214,15 @@ def ivf_topk(
         )
     pool = np.array([r["embedding"] for r in pool_rows], dtype=np.float64)
     pool = pool / np.linalg.norm(pool, axis=1, keepdims=True)
+    # greedy farthest-point over the pool: next = argmin over NON-chosen
+    # rows of (max cosine to the chosen set), sims rounded to 9 decimals
+    # and ties to the lowest pool index — replayed verbatim by the oracle
     chosen = [0]
     while len(chosen) < min(n_lists, len(pool)):
-        sims = pool @ pool[chosen].T  # (pool, chosen)
-        next_i = int(np.argmin(sims.max(axis=1)))  # farthest from all chosen
-        if next_i in chosen:
-            break
-        chosen.append(next_i)
+        sims = np.round(pool @ pool[chosen].T, 9)  # (pool, chosen)
+        maxsim = sims.max(axis=1)
+        maxsim[chosen] = np.inf  # never re-pick a chosen row
+        chosen.append(int(np.argmin(maxsim)))  # first-index tie-break
     Cn = pool[chosen]
     dim = pool.shape[1]
 
@@ -221,7 +231,9 @@ def ivf_topk(
             for pdf in batches:
                 V = np.array(list(pdf["embedding"]), dtype=np.float64)
                 Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                cells = np.argmax(Vn @ centroids.T, axis=1)
+                # rounded argmax, first-index (= smallest cell) tie-break:
+                # the decision the oracle replays as ORDER BY dot DESC, cell
+                cells = np.argmax(np.round(Vn @ centroids.T, 9), axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -283,8 +295,12 @@ def ivf_topk(
         )
     P = np.array(list(probes_pd["embedding"]), dtype=np.float64)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
-    # probe_lists nearest cells per probe
-    cell_rank = np.argsort(-(Pn @ Cn.T), axis=1)[:, :probe_lists]
+    # probe_lists nearest cells per probe: rounded sims + STABLE sort so
+    # ties go to the smallest cell id (default quicksort is tie-unstable,
+    # which would make the probed-cell set run-dependent)
+    cell_rank = np.argsort(-np.round(Pn @ Cn.T, 9), axis=1, kind="stable")[
+        :, :probe_lists
+    ]
     probe_cells = [
         (int(pid), [int(c) for c in cells])
         for pid, cells in zip(probes_pd["vec_id"], cell_rank)

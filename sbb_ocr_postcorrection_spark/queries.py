@@ -195,6 +195,131 @@ def _ivf_cents_sql(n_lists: int = 8, dim: int = 64) -> str:
     return f"(VALUES {vals}) cents(cell, w)"
 
 
+def _ivf_trained_oracle(
+    n_probes: int = 5,
+    k: int = 5,
+    n_lists: int = 8,
+    probe_lists: int = 4,
+    lloyd_iters: int = 1,
+) -> str:
+    """Full SQL replay of operators.similarity.ivf_topk — the TRAINED IVF
+    (closing VERDICT r4 next-step #2, the bpe_train /
+    quality_classifier_train convention): hash-sampled pool → greedy
+    farthest-point seeding (one MATERIALIZED CTE stage per pick) →
+    ``lloyd_iters`` Lloyd passes (rounded-9 argmax assignment, per-dim
+    rounded-9 means, renormalize, empty/zero cells keep their previous
+    centroid) → final assignment → probe-cell ranking → in-cell cosine
+    top-k. Every decision both engines make runs on values rounded to 9
+    decimals with the pinned tie-breaks (first pool index / smallest cell
+    id), so the BLAS-vs-sequential reduction-order gap cannot flip a pick;
+    MATERIALIZED everywhere because the seed stages reference each other
+    through scalar IN-subqueries (the _bpe_stages_sql inlining lesson)."""
+    hk = _hex2int("md5(CAST(vec_id AS VARCHAR))")
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS MATERIALIZED (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+      FROM e),
+    pool AS MATERIALIZED (
+      SELECT vn, row_number() OVER (ORDER BY hkey, vec_id) AS pr
+      FROM (SELECT vec_id, vn, """
+        + hk
+        + f""" AS hkey FROM en
+            ORDER BY hkey, vec_id LIMIT {4 * n_lists}))"""
+    ]
+    # greedy farthest-point seeding: pick 0 is pool rank 1; pick k is the
+    # non-chosen pool row minimizing (max rounded cosine to chosen), ties
+    # to the lowest pool rank — exactly np.argmin over the masked matrix
+    for s in range(1, n_lists):
+        chosen = " UNION ALL ".join(
+            ["SELECT CAST(1 AS BIGINT) AS pr"]
+            + [f"SELECT pr FROM pk{j}" for j in range(1, s)]
+        )
+        parts.append(
+            f"""fs{s} AS MATERIALIZED (
+      SELECT p.pr, max(round(list_inner_product(p.vn, c.vn), 9)) AS ms
+      FROM pool p, pool c
+      WHERE c.pr IN ({chosen}) AND p.pr NOT IN ({chosen})
+      GROUP BY p.pr),
+    pk{s} AS MATERIALIZED (
+      SELECT pr FROM fs{s} ORDER BY ms ASC, pr ASC LIMIT 1)"""
+        )
+    cents0 = " UNION ALL ".join(
+        ["SELECT 0 AS cell, p.vn AS w FROM pool p WHERE p.pr = 1"]
+        + [
+            f"SELECT {j}, p.vn FROM pool p JOIN pk{j} USING (pr)"
+            for j in range(1, n_lists)
+        ]
+    )
+    parts.append(f"cents0 AS MATERIALIZED ({cents0})")
+    # Lloyd refinement: rounded-9 argmax assignment (ties → smallest cell),
+    # per-(cell, dim) mean rounded to 9, renormalized; cells with no
+    # members (or a zero-norm mean) keep their previous centroid
+    for it in range(max(lloyd_iters, 0)):
+        parts.append(
+            f"""asg{it} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT en.vec_id, c.cell,
+               row_number() OVER (PARTITION BY en.vec_id
+                   ORDER BY round(list_inner_product(en.vn, c.w), 9) DESC,
+                            c.cell) AS rn
+        FROM en, cents{it} c) WHERE rn = 1),
+    mn{it} AS MATERIALIZED (
+      SELECT a.cell, u.d, round(avg(en.v[u.d]), 9) AS m
+      FROM asg{it} a JOIN en USING (vec_id),
+           unnest(generate_series(1, len(en.v))) AS u(d)
+      GROUP BY 1, 2),
+    mv{it} AS MATERIALIZED (
+      SELECT cell, list(m ORDER BY d) AS mv FROM mn{it} GROUP BY cell),
+    cents{it + 1} AS MATERIALIZED (
+      SELECT c.cell,
+             CASE WHEN mv.mv IS NOT NULL
+                       AND sqrt(list_inner_product(mv.mv, mv.mv)) > 0
+                  THEN list_transform(mv.mv,
+                         x -> x / sqrt(list_inner_product(mv.mv, mv.mv)))
+                  ELSE c.w END AS w
+      FROM cents{it} c LEFT JOIN mv{it} mv USING (cell))"""
+        )
+    fin = max(lloyd_iters, 0)
+    parts.append(
+        f"""afin AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT en.vec_id, c.cell,
+               row_number() OVER (PARTITION BY en.vec_id
+                   ORDER BY round(list_inner_product(en.vn, c.w), 9) DESC,
+                            c.cell) AS rn
+        FROM en, cents{fin} c) WHERE rn = 1),
+    pcells AS MATERIALIZED (
+      SELECT probe_id, cell FROM (
+        SELECT en.vec_id AS probe_id, c.cell,
+               row_number() OVER (PARTITION BY en.vec_id
+                   ORDER BY round(list_inner_product(en.vn, c.w), 9) DESC,
+                            c.cell) AS rn
+        FROM en, cents{fin} c WHERE en.vec_id < {n_probes})
+      WHERE rn <= {probe_lists}),
+    scored AS MATERIALIZED (
+      SELECT p.probe_id, a.vec_id AS cand_id,
+             round(list_inner_product(pe.vn, ce.vn), 4) AS cosine
+      FROM pcells p
+      JOIN afin a ON a.cell = p.cell AND a.vec_id >= {n_probes}
+      JOIN en pe ON pe.vec_id = p.probe_id
+      JOIN en ce ON ce.vec_id = a.vec_id),
+    ranked AS (
+      SELECT probe_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT probe_id, rank, cand_id, cosine FROM ranked"
+        f" WHERE rank <= {k}"
+    )
+
+
 def _lsh_sig_cte() -> str:
     """Shared CTE: embeddings → (vec_id, v, nm, bucket) with the
     random-hyperplane bucket mirroring operators.similarity._plane_weight
@@ -558,7 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": pinned(similarity.brute_force_topk),
         "ann_lsh_bucketed": pinned(similarity.lsh_bucketed_topk),
         "ann_lsh_multiprobe": pinned(similarity.lsh_multiprobe_topk),
-        "ann_ivf": pinned(similarity.ivf_topk),                      # rows-only
+        "ann_ivf": pinned(similarity.ivf_topk),
         "ann_ivf_pinned": pinned(similarity.ivf_topk_pinned),
         "fingerprints_np": pinned(textstats.fingerprints_np),
         # the NumPy signature fast path, hash-certified against the
@@ -639,8 +764,9 @@ def _bpe_stages_sql(num_merges: int) -> str:
     parts = [
         f"""pieces AS MATERIALIZED (
       SELECT doc_id,
-             unnest(regexp_extract_all(coalesce(text, ''),
-                                       '{_BPE_PATTERN}')) AS piece
+             unnest(regexp_extract_all(
+                 replace(coalesce(text, ''), chr(31), ''),
+                 '{_BPE_PATTERN}')) AS piece
       FROM documents
     ),
     wf0 AS MATERIALIZED (
@@ -749,8 +875,9 @@ def _bpe_encode_oracle(num_merges: int) -> str:
              regexp_replace(t.ps[i], '(.)', chr(31) || '\\1' || chr(31),
                             'gs') AS w
       FROM (SELECT doc_id,
-                   regexp_extract_all(coalesce(text, ''),
-                                      '{_BPE_PATTERN}') AS ps
+                   regexp_extract_all(
+                       replace(coalesce(text, ''), chr(31), ''),
+                       '{_BPE_PATTERN}') AS ps
             FROM documents) t,
            unnest(generate_series(1, len(t.ps))) AS u(i)
     ),
@@ -2225,9 +2352,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM s GROUP BY 1, 2
         """,
-        # no oracle (rows-only): ann_ivf (k-means-style centroid collect +
-        # argmax assignment is not SQL; see ann_ivf_pinned for the
-        # fixed-centroid hash-checked variant)
+        # trained IVF: the whole k-means training (hash-pool seeding +
+        # Lloyd) replays as MATERIALIZED CTE stages — rounded-9 decisions
+        # with pinned tie-breaks make the centroid collect SQL-decidable
+        # (formerly the registry's one rows-only query)
+        "ann_ivf": _ivf_trained_oracle(),
     }
     # the salted LSH expansion must produce EXACTLY the unsalted candidate
     # set — same oracle, so the driver itself certifies the equivalence

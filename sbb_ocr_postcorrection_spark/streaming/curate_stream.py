@@ -94,22 +94,35 @@ def decontaminate_stream(
     from ..functions.exprs import tokens_expr
     from ..operators.dedup import _shingles
 
+    clash = {"n_overlap", "contaminated"} & set(stream.columns)
+    if clash:
+        # withColumn would silently overwrite a caller's column of the
+        # same name (and drop=True would keep the clobbered value under
+        # the claim of a restored schema) — refuse loudly instead
+        raise ValueError(
+            f"decontaminate_stream reserves column(s) {sorted(clash)}; "
+            "rename them on the input stream first"
+        )
     evals = sorted(
         r["shingle"]
         for r in eval_shingles.select("shingle").distinct().collect()
     )
-    pre_cols = set(stream.columns)
+    # the cast pins the literal's type even when evals is EMPTY — a
+    # legitimately empty eval set otherwise builds array<void> and
+    # array_intersect fails analysis instead of marking every page clean
     overlap = F.size(
         F.array_intersect(
-            _shingles(tokens_expr(F.col(text_col))), F.lit(evals)
+            _shingles(tokens_expr(F.col(text_col))),
+            F.lit(evals).cast("array<string>"),
         )
     )
     out = stream.withColumn("n_overlap", overlap).withColumn(
         "contaminated", (F.col("n_overlap") >= min_overlap).cast("int")
     )
     if drop:
-        added = [c for c in ("n_overlap",) if c not in pre_cols]
+        # both names are reserved (guard above), so dropping them always
+        # restores exactly the caller's schema
         return out.filter(F.col("contaminated") == 0).drop(
-            *added, "contaminated"
+            "n_overlap", "contaminated"
         )
     return out

@@ -189,6 +189,16 @@ def bloom_gate_stream(
 
     from pyspark.sql.functions import pandas_udf
 
+    clash = {"content_hash", "bloom_hit"} & set(stream.columns)
+    if clash:
+        # withColumn would silently OVERWRITE these; with drop=True the
+        # clobbered original would even survive under the claim of a
+        # restored input schema. Refuse loudly instead.
+        raise ValueError(
+            f"bloom_gate_stream reserves column(s) {sorted(clash)}; "
+            "rename them on the input stream first"
+        )
+
     from ..operators.dedup import (
         BLOOM_K_HASHES,
         BLOOM_M_BITS,
@@ -212,7 +222,6 @@ def bloom_gate_stream(
         "int",
     )
 
-    pre_cols = set(stream.columns)
     pos = bloom_probe_cols(F.col("content_hash"), m, k)
     out = (
         stream.withColumn(
@@ -221,8 +230,11 @@ def bloom_gate_stream(
         .withColumn("bloom_hit", probe(*pos))
     )
     if drop:
-        added = [c for c in ("content_hash",) if c not in pre_cols]
-        return out.filter(F.col("bloom_hit") == 0).drop(*added, "bloom_hit")
+        # both names are reserved (guard above), so dropping them always
+        # restores exactly the caller's schema
+        return out.filter(F.col("bloom_hit") == 0).drop(
+            "content_hash", "bloom_hit"
+        )
     return out
 
 

@@ -319,3 +319,133 @@ def test_unclosed_comment_comments_out_remainder():
         "<p>a</p><!-- x <script>drop()</script> tail")] == ["a"]
     assert [b.text for b in extract.parse_blocks(
         "<p>a</p><![CDATA[ tail words here")] == ["a"]
+
+
+def _docs_dir(spark, tmp_path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def test_bpe_survives_u001f_in_corpus(spark, tmp_path):
+    # round-5 advice (medium): a document containing the internal wrap
+    # separator U+001F crashed the whole BPE family — the '\x1f' piece
+    # wrapped to '\x1f\x1f\x1f', the symbol array came back empty, and
+    # F.slice(syms, 1, -1) raised INVALID_PARAMETER_VALUE.LENGTH. The
+    # separator is now stripped at piece extraction (both engines).
+    from sbb_ocr_postcorrection_spark.operators import bpe
+
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            "low lower lowest \x1f low low",   # sep mid-text
+            "\x1f\x1f",                          # sep-only doc
+            "newer newest low lower new new",
+            "wider widest low lower new new",
+        ],
+    )
+    merges = bpe.train_merges(spark, d, num_merges=3)
+    assert len(merges) == 3
+    assert all("\x1f" not in a + b for a, b in merges)
+    tok = {r["doc_id"]: r for r in bpe.bpe_tokenize(spark, d, 3).collect()}
+    # the sep-only doc tokenizes as empty, not as a crash
+    assert tok[1]["n_pieces"] == 0 and tok[1]["n_bpe_tokens"] == 0
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(spark, d, 3).collect()}
+    assert enc[1]["n_tokens"] == 0 and list(enc[1]["token_ids"]) == []
+    assert enc[0]["n_tokens"] == tok[0]["n_bpe_tokens"]
+
+
+def test_decontaminate_stream_empty_eval_set(spark, tmp_path):
+    # round-5 advice (low): an EMPTY eval relation built F.lit([]) with
+    # type array<void> and array_intersect failed analysis — a legitimately
+    # empty eval suite must mark every page clean instead of crashing
+    import pyarrow.parquet as pq
+
+    from sbb_ocr_postcorrection_spark.datagen import generate_pages, pages_to_arrow
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        decontaminate_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(pages_to_arrow(generate_pages(6, seed=7)), str(d / "a.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .parquet(str(d))
+    )
+    empty_evals = spark.createDataFrame([], "shingle string")
+    seen = []
+    q = (
+        decontaminate_stream(stream, empty_evals)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == 6
+    assert all(r["n_overlap"] == 0 and r["contaminated"] == 0 for r in seen)
+
+
+def test_decontaminate_stream_reserved_columns_raise(spark, tmp_path):
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        decontaminate_stream,
+    )
+
+    d = tmp_path / "in2"
+    d.mkdir()
+    spark.createDataFrame(
+        [("u", "t", 3)], "url string, text string, n_overlap int"
+    ).write.parquet(str(d / "a.parquet"))
+    stream = spark.readStream.schema(
+        "url string, text string, n_overlap int"
+    ).parquet(str(d))
+    evals = spark.createDataFrame([("a b c",)], "shingle string")
+    with pytest.raises(ValueError, match="reserves column"):
+        decontaminate_stream(stream, evals)
+
+
+def test_bloom_gate_stream_reserved_columns_raise(spark, tmp_path):
+    # round-5 advice (low): a caller's pre-existing content_hash column was
+    # silently clobbered (and, with drop=True, the clobbered value survived
+    # under the claim of a restored input schema) — now a loud refusal
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
+        bloom_gate_stream,
+    )
+
+    d = tmp_path / "in3"
+    d.mkdir()
+    spark.createDataFrame(
+        [("u", 1, "t", "h")],
+        "url string, doc_id long, text string, content_hash string",
+    ).write.parquet(str(d / "a.parquet"))
+    stream = spark.readStream.schema(
+        "url string, doc_id long, text string, content_hash string"
+    ).parquet(str(d))
+    history = spark.createDataFrame([(99, "old text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="reserves column"):
+        bloom_gate_stream(stream, history)
+
+
+def test_phrase_search_empty_corpus_raises(spark, tmp_path):
+    # round-5 advice (low): a corpus with no >=2-token document made the
+    # self-derived probe collect come back empty → opaque IndexError
+    from sbb_ocr_postcorrection_spark.operators.index import phrase_search
+
+    d = _docs_dir(spark, tmp_path, ["one", "two", ""])
+    with pytest.raises(ValueError, match="no bigrams"):
+        phrase_search(spark, d)

@@ -237,6 +237,14 @@ def test_extract_then_dedup_single_streaming_query(spark, tmp_path):
     )
     pq.write_table(pages_to_arrow(list(base[:4]) + [recrawl_1]), str(d / "a.parquet"))
     pq.write_table(pages_to_arrow(list(base[4:]) + [recrawl_2]), str(d / "b.parquet"))
+    # Spark's file stream orders files by MODIFICATION TIME, not name;
+    # under suite load both writes can land in the same mtime tick and
+    # b.parquet processes first, making recrawl_2 the keeper (the round-4
+    # order-dependent flake). Pin strictly increasing mtimes so the
+    # first-seen-wins assertions below are deterministic.
+    t = os.stat(d / "a.parquet").st_mtime
+    os.utime(d / "a.parquet", (t, t))
+    os.utime(d / "b.parquet", (t + 10, t + 10))
 
     stream = (
         spark.readStream.schema(
