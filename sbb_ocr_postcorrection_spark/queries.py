@@ -623,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cube": pinned(urls.crawl_cube),
         # crawl-budget tiers: per-host rollup + NTILE over the host dim
         "host_tiers": pinned(urls.host_tiers),
+        # same result via the distributed rank path (no global window) —
+        # same oracle, so the driver certifies the equivalence
+        "host_tiers_scaled": pinned(urls.host_tiers_scaled),
         # integer-grid length histogram (float-free bin boundaries)
         "length_histogram": pinned(textstats.length_histogram),
         "url_blocklist": pinned(urls.url_blocklist_gate),
@@ -2429,6 +2432,8 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS tier
         FROM per_host
     """
+    # the scale-out path must reproduce the NTILE window bit-for-bit
+    sql["host_tiers_scaled"] = sql["host_tiers"]
     sql["length_histogram"] = """
         SELECT source,
                CAST(CASE WHEN n_chars < 0 THEN 0

@@ -215,3 +215,18 @@ def test_crawl_cube_single_pass(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
     assert "CartesianProduct" not in plan
+
+
+def test_host_tiers_scaled_no_global_window(spark):
+    """The scale-out tier path must never funnel the host dimension
+    through one task: rank = bucket-partitioned row_number + broadcast
+    offsets, so no SinglePartition exchange anywhere (the NTILE form keeps
+    one by design and stays the oracle projection for dimension-sized
+    inputs — VERDICT r4 next-step #3)."""
+    from sbb_ocr_postcorrection_spark.operators.urls import host_tiers, host_tiers_scaled
+
+    plan = plan_of(host_tiers_scaled(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bkt" in plan
+    # and the dimension-sized form keeps the literal NTILE window
+    assert "ntile" in plan_of(host_tiers(spark, SF_DIR)).lower()
