@@ -723,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-term query (contamination audits / takedown lookups)
         "inverted_index": pinned(index.inverted_index),
         "keyword_search": pinned(index.keyword_search),
+        "keyword_search_bm25": pinned(index.keyword_search_bm25),
         # per-doc distinctive terms: integer-only TF-IDF stand-in
         "rare_terms": pinned(index.rare_terms),
         # exact-adjacency phrase lookup via positional intersection
@@ -2529,6 +2530,36 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS rank,
                doc_id, CAST(score AS BIGINT) AS score
         FROM sel ORDER BY 1 LIMIT {index.SEARCH_K}
+    """
+    sql["keyword_search_bm25"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        terms AS (SELECT token, df
+                  FROM (SELECT token, sum(tf) AS cf, count(*) AS df
+                        FROM tf GROUP BY 1)
+                  ORDER BY cf DESC, token LIMIT {index.SEARCH_TERMS}),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        c AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT coalesce(sum(dl), 0) FROM dl) AS tt),
+        -- per-term BM25: exact-int64 ratios, IEEE division, no libm —
+        -- mirrors operators.index.keyword_search_bm25's fixed-point math
+        per AS (SELECT f.doc_id,
+                       (CAST(2*c.n - 2*t.df + 1 AS DOUBLE)
+                          / CAST(2*t.df + 1 AS DOUBLE))
+                     * (CAST(22*c.tt*f.tf AS DOUBLE)
+                          / CAST(10*c.tt*f.tf + 3*c.tt + 9*d.dl*c.n
+                                 AS DOUBLE)) AS s
+                FROM tf f JOIN terms t USING (token)
+                          JOIN dl d USING (doc_id), c),
+        g AS (SELECT doc_id, count(*) AS m,
+                     round(list_reduce(list_sort(list(s)), (a, b) -> a + b),
+                           4) AS score
+              FROM per GROUP BY doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank, doc_id, score
+        FROM (SELECT * FROM g WHERE m = {index.SEARCH_TERMS}
+              ORDER BY score DESC, doc_id LIMIT {index.SEARCH_K})
     """
     # batch-perceptron training replay (learned weights + learned scoring)
     sql["quality_classifier_train"] = _perceptron_train_oracle(

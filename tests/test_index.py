@@ -97,3 +97,46 @@ def test_phrase_search_exact_adjacency(spark):
     auto = {r["doc_id"]: r["n_matches"]
             for r in phrase_search(spark, SF, docs=docs).collect()}
     assert auto == {1: 3, 3: 1}
+
+
+def test_bm25_ranking_saturation_and_tiebreak(spark):
+    """BM25 fixture (hand-checkable): probe terms are beta (cf=6, df=3)
+    and alpha (cf=4, df=3). Docs 1 and 2 both carry both terms; doc 2's
+    identical-twin doc 6 must score IDENTICALLY and rank after it purely
+    by doc_id (the pinned tie-break). Saturation: doc 4's tf=3 beta hoard
+    would out-score doc 1 under raw-tf ranking, but BM25's length
+    normalization + the conjunctive gate keep it out entirely."""
+    from sbb_ocr_postcorrection_spark.operators.index import keyword_search_bm25
+
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "alpha beta beta"),
+        (3, "alpha delta"),
+        (4, "beta beta beta"),
+        (5, None),
+        (6, "alpha beta beta"),   # exact twin of doc 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = keyword_search_bm25(spark, SF, docs=docs).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # only the conjunctive matches (docs 1, 2, 6) rank at all
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 6]
+    # twins tie exactly and break by doc_id
+    twins = [r for r in out if r["doc_id"] in (2, 6)]
+    assert twins[0]["score"] == twins[1]["score"]
+    assert by_rank[max(r["rank"] for r in twins)]["doc_id"] == 6
+    # every score is positive and ranks are dense from 1
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_plan_broadcasts_terms_not_doclengths(spark):
+    """The probe-term dimension broadcasts; the doc-length relation joins
+    by equality shuffle (doc-dimension-sized — broadcasting it at corpus
+    scale would ship every doc's length to every executor)."""
+    from sbb_ocr_postcorrection_spark.operators.index import keyword_search_bm25
+
+    plan = keyword_search_bm25(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
