@@ -27,6 +27,7 @@ from .operators import (
     packing,
     relational as R,
     similarity,
+    substring,
     temporal,
     textstats,
     urls,
@@ -633,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate-line filter): tiny hot-line set → broadcast anti-join
         "line_dedup": pinned(lines.line_dedup),
         "passage_dedup": pinned(lines.passage_dedup),
+        "substring_dedup": pinned(substring.substring_dedup),
         # host-level reputation gate: per-host lang-pass rate, integer
         # threshold, broadcast rejoin
         "host_reputation_gate": pinned(urls.host_reputation_gate),
@@ -2560,6 +2562,66 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS rank, doc_id, score
         FROM (SELECT * FROM g WHERE m = {index.SEARCH_TERMS}
               ORDER BY score DESC, doc_id LIMIT {index.SEARCH_K})
+    """
+    L = substring.SUBSTR_L
+    sql["substring_dedup"] = f"""
+        WITH aug AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN {_sq(substring.SUBSTR_BOILER + ' ')} || coalesce(text, '')
+                      ELSE text END AS text
+          FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, {_TOKS_SQL} AS l FROM aug),
+        anch AS MATERIALIZED (
+          -- alias must NOT be i: _hex2int's inner lambda variable i would
+          -- shadow it inside the md5 argument (round-5 lesson)
+          SELECT doc_id, ap AS p,
+                 CAST({_hex2int("md5(array_to_string(t.l[ap:ap+" + str(L - 1) + "], ' '))")}
+                      AS BIGINT) AS h
+          FROM tk t, unnest(generate_series(1, len(t.l) - {L - 1})) AS u(ap)),
+        hot AS MATERIALIZED (
+          SELECT h FROM anch GROUP BY h
+          HAVING count(DISTINCT doc_id) >= {substring.SUBSTR_DUP_DF}),
+        cov AS MATERIALIZED (
+          SELECT a.doc_id, a.p FROM anch a JOIN hot USING (h)),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN max(p) OVER w1 IS NULL
+                           OR p > max(p) OVER w1 + {L} THEN 1 ELSE 0 END AS f
+          FROM cov
+          WINDOW w1 AS (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl2 AS (
+          SELECT doc_id, p,
+                 sum(f) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+          FROM isl),
+        spans AS MATERIALIZED (
+          SELECT doc_id, isl, min(p) AS s, max(p) + {L - 1} AS e
+          FROM isl2 GROUP BY 1, 2),
+        pos AS MATERIALIZED (
+          SELECT doc_id, i AS pos, t.l[i] AS tok
+          FROM tk t, unnest(generate_series(1, len(t.l))) AS u(i)),
+        dropped AS MATERIALIZED (
+          SELECT p.doc_id, p.pos FROM pos p
+          JOIN spans s ON p.doc_id = s.doc_id AND p.pos BETWEEN s.s AND s.e),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.tok
+          FROM pos p LEFT JOIN dropped d
+            ON p.doc_id = d.doc_id AND p.pos = d.pos
+          WHERE d.pos IS NULL),
+        g AS MATERIALIZED (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS text_deduped
+          FROM kept GROUP BY 1),
+        sc AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.l) AS INTEGER) AS n_tokens,
+               CAST(coalesce(sc.n_spans, 0) AS INTEGER) AS n_spans,
+               CAST(len(t.l) - coalesce(g.n_kept, 0) AS INTEGER) AS n_dropped,
+               coalesce(g.text_deduped, '') AS text_deduped
+        FROM tk t LEFT JOIN sc USING (doc_id) LEFT JOIN g USING (doc_id)
     """
     # batch-perceptron training replay (learned weights + learned scoring)
     sql["quality_classifier_train"] = _perceptron_train_oracle(
