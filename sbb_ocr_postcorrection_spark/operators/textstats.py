@@ -268,6 +268,64 @@ def cer_bands_kernel(spark, sf_dir, prefix: int = 60) -> DataFrame:
     )
 
 
+def cer_clusters_kernel(
+    spark, sf_dir, prefix: int = 40, docs=None
+) -> DataFrame:
+    """Grapheme-cluster CER as a driver query (VERDICT r4 next-step #8,
+    SURVEY §7.3): dinglehopper's unit of edit distance is the extended
+    grapheme cluster (dinglehopper edit_distance.distance →
+    reference sequence_similarity.py:61-66), not the codepoint, so the
+    fixture INJECTS combining marks in-plan — every 'e' on the gt side
+    and every 'a' on the ocr side gains U+0301 — and the Arrow kernel
+    runs the cluster DP (textkit.levenshtein_clusters / cer_clusters,
+    both NFC-first). The per-doc CER therefore differs from codepoint
+    CER on every document containing 'e' or 'a' (the denominator counts
+    clusters, not chars) — which is exactly what the oracle certifies:
+    each base+mark pair is ONE cluster, so remapping it to a single
+    otherwise-absent ASCII letter ('e'+U+0301 → 'E') turns DuckDB's
+    byte-level levenshtein into the exact cluster-level distance."""
+    import pandas as pd
+
+    from ..textkit import cer_clusters, grapheme_clusters, levenshtein_clusters, nfc
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    p = F.substring(F.lower(F.coalesce(F.col("text"), F.lit(""))), 1, prefix)
+    src = d.select(
+        "doc_id",
+        F.regexp_replace(p, "e", "e\u0301").alias("gt"),
+        F.regexp_replace(p, "a", "a\u0301").alias("ocr"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lev_c": [
+                        levenshtein_clusters(o, g)
+                        for o, g in zip(pdf["ocr"], pdf["gt"])
+                    ],
+                    "cer_c": [
+                        round(cer_clusters(o, g), 6)
+                        for o, g in zip(pdf["ocr"], pdf["gt"])
+                    ],
+                    "n_clusters": [
+                        len(grapheme_clusters(nfc(g))) for g in pdf["gt"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, schema="doc_id long, lev_c int, cer_c double, n_clusters int"
+    )
+
+
 def fingerprints(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (order-insensitive, whitespace-insensitive)."""
@@ -734,26 +792,15 @@ def quality_classifier_train(
     )
 
 
-def quality_classifier_learned(
-    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
-) -> DataFrame:
-    """Score every document under the LEARNED weights: (doc_id,
-    clf_score, pred_keep, label_keep). pred_keep is score > 0 (the
-    mistake rule treats 0 as not-kept). Training accuracy is then one
-    aggregation away — and the driver hash-checks every per-doc score,
-    so the learned model's entire inference surface is certified."""
+def _score_under_weights(d: DataFrame, weights: dict[int, int], dim: int) -> DataFrame:
+    """Score documents under a learned weight table: (doc_id, clf_score,
+    pred_keep, label_keep). Weights ride as a dim-sized plan-literal map
+    (zero joins); pred_keep is score > 0 (the mistake rule treats 0 as
+    not-kept); label_keep is the bootstrap heuristic verdict."""
     from ..functions.exprs import quality_cols
 
     from .dedup import md5_60
 
-    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=docs)
-    d = (
-        docs
-        if docs is not None
-        else load(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     scores = (
@@ -774,6 +821,62 @@ def quality_classifier_learned(
         F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("clf_score"),
         (F.coalesce(F.col("s"), F.lit(0)) > 0).cast("int").alias("pred_keep"),
         "label_keep",
+    )
+
+
+def quality_classifier_learned(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Score every document under the LEARNED weights: (doc_id,
+    clf_score, pred_keep, label_keep). Training accuracy is then one
+    aggregation away — and the driver hash-checks every per-doc score,
+    so the learned model's entire inference surface is certified."""
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=docs)
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    return _score_under_weights(d, weights, dim)
+
+
+CLF_EVAL_FOLD = 5  # doc_id % FOLD == 0 is the held-out fifth
+
+
+def quality_classifier_eval(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """HELD-OUT P/R/F1 of the learned quality classifier (VERDICT r4
+    next-step #6) — the reference's A9 confusion surface
+    (mt/cli_correct.py:368-393) applied to the in-engine-trained filter:
+    train the batch perceptron on the 4/5 training fold (doc_id %
+    CLF_EVAL_FOLD != 0, deterministic in both engines), score the
+    held-out fifth it never saw, aggregate the 4 integer confusion cells
+    against the bootstrap heuristic labels in ONE two-phase pass.
+
+    Every cell is an exact integer and the derived metrics are the shared
+    _prf_exprs divisions, so the whole eval — including the TRAINING that
+    produced the weights — replays in the oracle
+    (queries._perceptron_eval_oracle)."""
+    from .evaluation import confusion_metrics
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    train = d.filter(F.col("doc_id") % CLF_EVAL_FOLD != 0)
+    held = d.filter(F.col("doc_id") % CLF_EVAL_FOLD == 0)
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=train)
+    scored = _score_under_weights(held, weights, dim)
+    return confusion_metrics(
+        scored,
+        pred_col=F.col("pred_keep") == 1,
+        truth_col=F.col("label_keep") == 1,
     )
 
 

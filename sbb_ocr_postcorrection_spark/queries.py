@@ -681,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_learned": pinned(
             textstats.quality_classifier_learned
         ),
+        # held-out P/R/F1 of the learned filter: train on 4/5, score the
+        # unseen fifth, aggregate the A9 confusion surface — fully replayed
+        "quality_classifier_eval": pinned(textstats.quality_classifier_eval),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
@@ -732,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": pinned(index.phrase_search),
         "token_class_freq": pinned(textstats.token_class_freq),
         "cer_bands_kernel": pinned(textstats.cer_bands_kernel),
+        # grapheme-cluster CER (dinglehopper's distance unit, SURVEY §7.3):
+        # combining marks injected in-plan, cluster DP in the kernel, and
+        # a cluster→ASCII remap makes DuckDB levenshtein the exact oracle
+        "cer_clusters": pinned(textstats.cer_clusters_kernel),
         "fingerprints": pinned(textstats.fingerprints),
         # wordpiece vocabulary build (A1/F3 surface) — distributed 1..3-gram
         # piece counting, top-200
@@ -907,20 +914,22 @@ def _bpe_encode_oracle(num_merges: int) -> str:
     )
 
 
-def _perceptron_stages_sql(epochs: int) -> str:
+def _perceptron_stages_sql(epochs: int, train_where: str = "") -> str:
     """CTE chain replaying operators.textstats.train_perceptron in DuckDB
     (the _bpe_stages_sql pattern): per epoch, score under the current
     weights, mark mistakes (y·score ≤ 0), apply the summed integer
     update. Certifies weight LEARNING end-to-end — batch perceptron is
     deterministic and integer-only, so there is nothing to drift.
-    MATERIALIZED for the same ~4^K-inlining reason as the BPE stages."""
+    MATERIALIZED for the same ~4^K-inlining reason as the BPE stages.
+    train_where (e.g. "WHERE doc_id % 5 != 0") restricts the TRAINING
+    fold for the held-out eval oracle."""
     from .operators.textstats import CLF_DIM
 
     bucket = _hex2int("md5(token)") + f" % {CLF_DIM}"
     parts = [
         f"""t AS MATERIALIZED (
       SELECT doc_id, coalesce(text, '') AS text, {_TOKS_SQL} AS toks
-      FROM documents
+      FROM documents {train_where}
     ),
     lab AS MATERIALIZED (
       SELECT doc_id,
@@ -988,6 +997,65 @@ def _perceptron_learned_oracle(epochs: int) -> str:
            CAST(CASE WHEN l.y = 1 THEN 1 ELSE 0 END AS INTEGER)
              AS label_keep
     FROM lab l LEFT JOIN scf s USING (doc_id)"""
+    )
+
+
+def _perceptron_eval_oracle(epochs: int) -> str:
+    """Held-out P/R/F1 of the LEARNED classifier (VERDICT r4 next-step
+    #6): replay training on the 4/5 fold (doc_id % CLF_EVAL_FOLD != 0),
+    score the held-out fifth under the final weights, then fold the 4
+    integer confusion cells into the detector_eval metric expressions —
+    so the oracle certifies the training, the inference, AND the
+    evaluation rollup in one statement."""
+    from .operators.textstats import CLF_DIM, CLF_EVAL_FOLD
+
+    bucket = _hex2int("md5(token)") + f" % {CLF_DIM}"
+    return (
+        _perceptron_stages_sql(
+            epochs, f"WHERE doc_id % {CLF_EVAL_FOLD} != 0"
+        )
+        + f""",
+    th AS MATERIALIZED (
+      SELECT doc_id, coalesce(text, '') AS text, {_TOKS_SQL} AS toks
+      FROM documents WHERE doc_id % {CLF_EVAL_FOLD} = 0
+    ),
+    labh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 10
+                   AND round(length(regexp_replace(lower(text), '[^a-z]',
+                                                   '', 'g'))
+                             / greatest(length(text), 1), 4) > 0.6
+                  THEN 1 ELSE 0 END AS t
+      FROM th
+    ),
+    featsh AS MATERIALIZED (
+      SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM th)
+      GROUP BY 1, 2
+    ),
+    sch AS MATERIALIZED (
+      SELECT f.doc_id, sum(w.weight * f.cnt) AS s
+      FROM featsh f JOIN w{epochs} w USING (bucket) GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN coalesce(s.s, 0) > 0 THEN 1 ELSE 0 END AS p, l.t
+      FROM labh l LEFT JOIN sch s USING (doc_id)
+    ),
+    c AS (
+      SELECT CAST(sum(p * t) AS BIGINT) AS tp,
+             CAST(sum(p * (1 - t)) AS BIGINT) AS fp,
+             CAST(sum((1 - p) * t) AS BIGINT) AS fn,
+             CAST(sum((1 - p) * (1 - t)) AS BIGINT) AS tn
+      FROM b
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp / greatest(tp + fp, 1), 6) AS prec,
+           round(tp / greatest(tp + fn, 1), 6) AS rec,
+           round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+                 / greatest(tp / greatest(tp + fp, 1)
+                            + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1,
+           round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM c"""
     )
 
 
@@ -1724,6 +1792,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cer < 0.10 THEN '<0.10'
                         ELSE '>=0.10' END AS cer_band
             FROM m
+        """,
+        "cer_clusters": """
+            -- the Spark side injects U+0301 after every 'e' (gt) / 'a'
+            -- (ocr) and measures CLUSTER-level distance; each base+mark
+            -- pair is one cluster, so remapping it to an otherwise-absent
+            -- ASCII letter makes byte-level levenshtein the exact
+            -- cluster-level distance, and length() the cluster count
+            WITH s AS (
+              SELECT doc_id, substr(lower(coalesce(text, '')), 1, 40) AS p
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     replace(p, 'e', 'E') AS gtc,
+                     replace(p, 'a', 'A') AS occ
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(levenshtein(occ, gtc) AS INTEGER) AS lev_c,
+                   round(CASE WHEN levenshtein(occ, gtc) = 0 THEN 0.0
+                              ELSE levenshtein(occ, gtc)
+                                   / greatest(length(gtc), 1) END, 6) AS cer_c,
+                   CAST(length(gtc) AS INTEGER) AS n_clusters
+            FROM r
         """,
         "fingerprints": f"""
             WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
@@ -2628,6 +2719,9 @@ def oracle_sql() -> dict[str, str]:
         textstats.CLF_EPOCHS
     )
     sql["quality_classifier_learned"] = _perceptron_learned_oracle(
+        textstats.CLF_EPOCHS
+    )
+    sql["quality_classifier_eval"] = _perceptron_eval_oracle(
         textstats.CLF_EPOCHS
     )
     # the composite curation verdict reuses the stage oracles as CTEs, so

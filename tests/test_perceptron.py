@@ -87,3 +87,28 @@ def test_learned_classifier_separates_training_set(spark):
     assert acc == 1.0
     for i, r in out.items():
         assert r["label_keep"] == labels[i]
+
+def test_quality_classifier_eval_held_out(spark):
+    """Held-out eval (train on doc_id%5!=0, score the fifth it never saw):
+    on the separable corpus the pattern generalizes — every held doc of
+    each class shares its class's token buckets with the training fold —
+    so the confusion matrix is perfect and the cells partition the held
+    fold exactly."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        CLF_EVAL_FOLD,
+        quality_classifier_eval,
+    )
+
+    rows = _corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    out = quality_classifier_eval(spark, SF, docs=docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    held = [row for row in rows if row[0] % CLF_EVAL_FOLD == 0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == len(held)
+    assert r["fp"] == 0 and r["fn"] == 0
+    assert r["tp"] == sum(1 for _, _, k in held if k)
+    assert r["tn"] == sum(1 for _, _, k in held if not k)
+    assert (r["prec"], r["rec"], r["f1"], r["accuracy"]) == (1.0, 1.0, 1.0, 1.0)

@@ -168,3 +168,44 @@ def test_char_labels_clusters():
     ocr, gt = "x̃̄yz", "xyz"
     assert tk.char_labels_clusters(ocr, gt) == [2, 1, 1]
     assert len(tk.char_labels(ocr, gt)) == 5  # code-point view, shifted
+
+
+def test_cer_clusters_kernel_query(spark):
+    """The driver-query form of grapheme-cluster CER: injected combining
+    marks make cluster CER diverge from codepoint CER (smaller
+    denominator), and the kernel's per-doc numbers match a from-first-
+    principles recomputation."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        cer_clusters_kernel,
+    )
+
+    rows = [
+        (0, "peach area"),   # both e's and a's -> real substitutions
+        (1, "zzz"),          # no e/a: gt == ocr, zero distance
+        (2, ""),             # empty: 0/0 -> 0.0 by convention
+        (3, "eee"),          # gt all accented, ocr plain
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cer_clusters_kernel(spark, "", docs=docs).collect()
+    }
+    assert len(out) == 4
+    for doc_id, text in rows:
+        gt = text.replace("e", "é")
+        ocr = text.replace("a", "á")
+        r = out[doc_id]
+        assert r["lev_c"] == tk.levenshtein_clusters(ocr, gt)
+        assert r["cer_c"] == round(tk.cer_clusters(ocr, gt), 6)
+        assert r["n_clusters"] == len(tk.grapheme_clusters(tk.nfc(gt)))
+        # cluster count == visible glyphs == len(text), NOT codepoints
+        assert r["n_clusters"] == len(text)
+    # divergence from codepoint CER: "peach area" has 9 glyphs + space,
+    # codepoint gt has 12 codepoints -> denominators differ
+    r = out[0]
+    assert r["n_clusters"] == 10
+    assert r["lev_c"] == 5  # substitutions at every e (2) and a (3)
+    assert r["cer_c"] == round(5 / 10, 6)
+    assert out[1]["lev_c"] == 0 and out[1]["cer_c"] == 0.0
+    assert out[2] ["cer_c"] == 0.0 and out[2]["n_clusters"] == 0
+    assert out[3]["lev_c"] == 3 and out[3]["cer_c"] == 1.0
