@@ -133,38 +133,44 @@ def fused_extract_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     from .kernel import run_document
 
     for pdf in batches:
-        rows = []
-        for url, ts, html, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
-        ):
+        # columnar build: list-of-row-dicts + dict-per-span was ~26% of
+        # stage wall time (measured offline, 5000 docs: 0.42 s on a 1.17 s
+        # kernel) — pandas re-scans every dict's keys and each span dict is
+        # an allocation. Arrow converts tuple structs directly (and ~40%
+        # faster than dict structs), so r.spans passes through untouched.
+        hosts, texts, spans = [], [], []
+        n_blocks, n_content, n_spans, n_flagged = [], [], [], []
+        chars_in, chars_out = [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
             # null html = fetch failure row: emit an empty extraction, never
             # crash the partition (a task retry would just re-crash)
             r = run_document(bytes(html) if html is not None else b"")
-            rows.append(
-                {
-                    "url": url,
-                    "warc_ts": ts,
-                    "host": _host_of(url),
-                    "lang": lang,
-                    "extracted_text": r.extracted_text,
-                    "spans": [
-                        {"start": s, "end": e, "flagged": f} for s, e, f in r.spans
-                    ],
-                    "n_blocks": r.n_blocks,
-                    "n_content_blocks": r.n_content_blocks,
-                    "n_spans": r.n_spans,
-                    "n_flagged": r.n_flagged,
-                    "chars_in": r.chars_in,
-                    "chars_out": r.chars_out,
-                }
-            )
+            hosts.append(_host_of(url))
+            texts.append(r.extracted_text)
+            spans.append(r.spans)
+            n_blocks.append(r.n_blocks)
+            n_content.append(r.n_content_blocks)
+            n_spans.append(r.n_spans)
+            n_flagged.append(r.n_flagged)
+            chars_in.append(r.chars_in)
+            chars_out.append(r.chars_out)
+        # pass-through columns as numpy (positional — a Series would align
+        # on the incoming batch index and silently misplace rows)
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "url", "warc_ts", "host", "lang", "extracted_text", "spans",
-                "n_blocks", "n_content_blocks", "n_spans", "n_flagged",
-                "chars_in", "chars_out",
-            ],
+            {
+                "url": pdf["url"].to_numpy(),
+                "warc_ts": pdf["warc_ts"].to_numpy(),
+                "host": hosts,
+                "lang": pdf["lang"].to_numpy(),
+                "extracted_text": texts,
+                "spans": spans,
+                "n_blocks": n_blocks,
+                "n_content_blocks": n_content,
+                "n_spans": n_spans,
+                "n_flagged": n_flagged,
+                "chars_in": chars_in,
+                "chars_out": chars_out,
+            }
         )
 
 
