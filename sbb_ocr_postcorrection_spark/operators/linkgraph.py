@@ -1,0 +1,192 @@
+"""Web link-graph operators: outlink extraction, host-level edge rollup,
+and integer-exact PageRank.
+
+The reference has no link analysis (it is an OCR corpus pipeline); this
+family is part of the beyond-reference web-crawl toolkit (SURVEY §2's
+training-data-pipeline mandate): every large-scale crawl curation stack
+ranks hosts by link authority before assigning crawl budget, and the
+host-PageRank relation is the standard input to the `host_tiers` /
+`crawl_schedule` operators this repo already has.
+
+Engine-exactness (the bpe_train / ann_ivf pattern): PageRank is an
+iterative float fixpoint in the textbooks, but float SUMS are
+order-dependent and would break the value-hash oracle. Here ranks are
+int64 fixed-point (SCALE = 10^12) and every update uses only integer
+multiply / floor-divide / sum:
+
+    contrib(u -> v) = (17 * R(u)) // (20 * outdeg(u))          # d = 0.85
+    R'(v) = (3*SCALE) // (20*N) + (17 * dangling) // (20*N) + sum contribs
+
+Integer sums are associative, so Spark's parallel aggregation and
+DuckDB's serial one agree bit-for-bit, and the WHOLE K-iteration loop
+replays in the oracle as chained MATERIALIZED CTEs. The floor divisions
+leak rank mass (sum(R) drifts a few thousand units below SCALE per
+round) — deterministic, documented, and irrelevant to ranking.
+
+Scale shape (10^8 hosts, 10^10 edges): each iteration is one equality
+shuffle of the edge relation on src (contribution join) plus one on dst
+(the sum) — the standard Pregel-on-DataFrame layout. Hot dst hosts (the
+wikipedias) are absorbed by map-side partial aggregation; hot src hosts
+fan out but each carries one rank row (sort-merge + AQE skew split).
+The dangling term is ONE scalar aggregate cross-joined back — no
+driver collect inside the loop. Pre-bucketing the edge relation by host
+would make every iteration exchange-free on the contribution side; at
+toy scale the exchanges are asserted small instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .relational import load, persist_slot
+
+N_HOSTS = 101          # host universe: host{doc_id % 101}.example.net
+LINK_FANOUT = 3        # outlinks contributed per document
+PR_SCALE = 10**12      # fixed-point unit for rank mass
+PR_ITERS = 6           # replayed iterations (oracle generates the same K)
+
+_HOST_FMT = "host{}.example.net"
+
+
+def _host_col(id_col):
+    return F.concat(F.lit("host"), id_col.cast("string"), F.lit(".example.net"))
+
+
+def synth_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-host edge multiset derived from `documents`:
+    doc i contributes host(i % H) -> host((i*31 + j) % H) for j = 1..3,
+    self-loops dropped (j=1..3 give three consecutive residues, so at most
+    one of a doc's edges is a self-loop and every doc keeps >= 2).
+
+    Stands in for outlinks extracted at scale (the synthetic pages are
+    single-host, see `page_outlinks`); pure integer arithmetic so any
+    engine rebuilds the identical graph from the same table.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(LINK_FANOUT))).alias("j"),
+        )
+        .select(
+            (F.col("doc_id") % N_HOSTS).alias("src_id"),
+            ((F.col("doc_id") * 31 + F.col("j")) % N_HOSTS).alias("dst_id"),
+        )
+        .where(F.col("src_id") != F.col("dst_id"))
+    )
+
+
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level edge rollup: (src_host, dst_host, n_links) over the full
+    outlink multiset — the adjacency relation crawl analytics starts from.
+    One hash aggregation; no joins."""
+    e = synth_link_edges(spark, sf_dir)
+    return e.groupBy("src_id", "dst_id").agg(
+        F.count(F.lit(1)).alias("n_links")
+    ).select(
+        _host_col(F.col("src_id")).alias("src_host"),
+        _host_col(F.col("dst_id")).alias("dst_host"),
+        "n_links",
+    )
+
+
+def host_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Integer fixed-point PageRank over the distinct host graph.
+
+    Classic unweighted PageRank (distinct edges — multi-links collapse,
+    the simple-graph convention) with uniform dangling redistribution.
+    All arithmetic is int64 multiply / `div` / sum (see module docstring),
+    so the K-iteration loop is bit-replayable in SQL. N (node count) is a
+    dimension-sized scalar and becomes a plan literal; the dangling mass
+    rides along as a one-row cross join, never a collect. Each iteration
+    is eagerly materialized (persist + count) — the standard barrier for
+    iterative DataFrame algorithms. Nothing data-sized reaches the
+    driver.
+    """
+    edges = persist_slot(
+        "pagerank_edges", synth_link_edges(spark, sf_dir).distinct()
+    )
+    nodes = persist_slot(
+        "pagerank_nodes",
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct(),
+    )
+    n = nodes.count()  # host-dimension scalar -> plan literal (bounded)
+    deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution join input: each distinct edge with its src out-degree
+    edeg = persist_slot("pagerank_edeg", edges.join(deg, "src_id"))
+
+    base = (3 * PR_SCALE) // (20 * n)
+    ranks = nodes.select("id", F.lit(PR_SCALE // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edeg.join(ranks, edeg.src_id == ranks.id)
+            .select(
+                F.col("dst_id"),
+                F.expr("(17 * rank) div (20 * deg)").alias("c"),
+            )
+            .groupBy("dst_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank parked on nodes with no outedges, spread
+        # uniformly; a 1-row aggregate cross-joined keeps the loop lazy
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src_id, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst_id, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"(17 * dmass) div (20 * {n})")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+        )
+        # lineage truncation, not just caching: persist keeps the DATA but
+        # Catalyst still re-analyzes the whole chained plan every iteration
+        # (measured: 1.2 s/iter -> 17 s by iter 6 with persist alone).
+        # localCheckpoint materializes AND cuts the plan at the iterate —
+        # constant per-iteration cost. On a real cluster swap in reliable
+        # checkpoint() (localCheckpoint does not survive executor loss).
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        _host_col(F.col("id")).alias("host"),
+        F.col("rank").alias("rank_fp"),
+        F.round(F.col("rank") / F.lit(PR_SCALE), 9).alias("rank_share"),
+    )
+
+
+def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over the synthesized pages: JVM
+    `regexp_extract_all` on the html (no Python), exploded to one row per
+    anchor, rolled up per target path.
+
+    The synth template carries six constant hrefs; a data-dependent
+    anchor (/doc/{doc_id}) is prepended so the oracle cannot pass on a
+    constant answer — the regexp must parse per-row varying html. At
+    scale this is a narrow scan-side projection: extraction happens in
+    whole-stage codegen before any shuffle, and the single aggregation
+    shuffles (path, count) pairs only.
+    """
+    from ..queries import synth_pages_from_documents
+
+    pages = synth_pages_from_documents(spark, sf_dir)
+    doc_id = F.regexp_extract(F.col("url"), r"/(\d+)$", 1)
+    html = F.concat(
+        F.lit("<a href='/doc/"), doc_id, F.lit("'>self</a>"),
+        F.decode(F.col("html"), "utf-8"),
+    )
+    links = pages.withColumn("html2", html).select(
+        F.explode(
+            F.regexp_extract_all("html2", F.lit(r"href='([^']*)'"), F.lit(1))
+        ).alias("path")
+    )
+    return links.groupBy("path").agg(F.count(F.lit(1)).alias("n_links"))

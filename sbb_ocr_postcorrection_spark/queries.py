@@ -22,6 +22,7 @@ from .operators import (
     dedup,
     index,
     evaluation,
+    linkgraph,
     lines,
     multimodal,
     packing,
@@ -754,6 +755,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing: the codec stub is deterministic byte math, so
         # decode/resize/features all have exact DuckDB oracles over
         # hex(encode(text))
+        # link-graph family: anchor extraction from the synthesized html
+        # (JVM regexp, scan-side), host-level adjacency rollup, and
+        # integer fixed-point PageRank whose K-iteration loop replays
+        # bit-for-bit in the oracle (the bpe_train convention)
+        "page_outlinks": pinned(linkgraph.page_outlinks),
+        "link_graph": pinned(linkgraph.link_graph),
+        "host_pagerank": pinned(linkgraph.host_pagerank),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -1056,6 +1064,64 @@ def _perceptron_eval_oracle(epochs: int) -> str:
                             + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1,
            round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
     FROM c"""
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Full SQL replay of operators.linkgraph.host_pagerank: rebuild the
+    deterministic edge multiset from `documents`, then chain one
+    MATERIALIZED CTE trio (contributions, dangling mass, new ranks) per
+    iteration. All arithmetic is int64 multiply / `//` / sum — integer
+    sums are associative, so DuckDB's serial loop equals Spark's parallel
+    one bit-for-bit (the bpe_train / ivf_trained convention)."""
+    H = linkgraph.N_HOSTS
+    S = linkgraph.PR_SCALE
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT DISTINCT doc_id % {H} AS src_id,
+                      (doc_id * 31 + j) % {H} AS dst_id
+      FROM documents CROSS JOIN generate_series(1, {linkgraph.LINK_FANOUT}) t(j)
+      WHERE doc_id % {H} <> (doc_id * 31 + j) % {H})""",
+        """nodes AS MATERIALIZED (
+      SELECT src_id AS id FROM e UNION SELECT dst_id FROM e)""",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        """deg AS MATERIALIZED (
+      SELECT src_id, count(*) AS deg FROM e GROUP BY src_id)""",
+        f"""r0 AS MATERIALIZED (
+      SELECT id, CAST({S} // (SELECT n FROM nn) AS BIGINT) AS rank
+      FROM nodes)""",
+    ]
+    base = f"(3 * {S}) // (20 * (SELECT n FROM nn))"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT e.dst_id, sum((17 * r.rank) // (20 * d.deg)) AS inflow
+      FROM e JOIN deg d ON d.src_id = e.src_id
+      JOIN r{k - 1} r ON r.id = e.src_id
+      GROUP BY e.dst_id)"""
+        )
+        parts.append(
+            f"""dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0) AS dmass FROM r{k - 1}
+      WHERE id NOT IN (SELECT src_id FROM deg))"""
+        )
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT nodes.id,
+             CAST({base}
+                  + (17 * (SELECT dmass FROM dm{k}))
+                      // (20 * (SELECT n FROM nn))
+                  + coalesce(c.inflow, 0) AS BIGINT) AS rank
+      FROM nodes LEFT JOIN c{k} c ON c.dst_id = nodes.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT 'host' || CAST(id AS VARCHAR) || '.example.net' AS host,
+           rank AS rank_fp,
+           round(rank / {S}.0, 9) AS rank_share
+    FROM r{iters}"""
     )
 
 
@@ -2820,4 +2886,32 @@ def oracle_sql() -> dict[str, str]:
                  AS is_exported
         FROM cp GROUP BY reason
     """
+    # link-graph family: the outlink parse is restated as the known
+    # template href multiset (6 constant anchors per page + the
+    # data-dependent /doc/{id} self anchor the Spark side must extract
+    # per-row); adjacency and PageRank rebuild the same integer edge
+    # multiset from documents
+    sql["page_outlinks"] = """
+        WITH paths AS (
+          SELECT unnest(['/h', '/a', '/c', '/i', '/p', '/x']) AS path
+          FROM documents
+          UNION ALL
+          SELECT '/doc/' || CAST(doc_id AS VARCHAR) FROM documents
+        )
+        SELECT path, count(*) AS n_links FROM paths GROUP BY path
+    """
+    sql["link_graph"] = f"""
+        WITH e AS (
+          SELECT doc_id % {linkgraph.N_HOSTS} AS src_id,
+                 (doc_id * 31 + j) % {linkgraph.N_HOSTS} AS dst_id
+          FROM documents
+          CROSS JOIN generate_series(1, {linkgraph.LINK_FANOUT}) t(j)
+        )
+        SELECT 'host' || CAST(src_id AS VARCHAR) || '.example.net' AS src_host,
+               'host' || CAST(dst_id AS VARCHAR) || '.example.net' AS dst_host,
+               count(*) AS n_links
+        FROM e WHERE src_id <> dst_id
+        GROUP BY src_id, dst_id
+    """
+    sql["host_pagerank"] = _pagerank_oracle(linkgraph.PR_ITERS)
     return sql

@@ -1,0 +1,128 @@
+"""Link-graph family: independent-reference tests.
+
+The DuckDB oracle replays the same integer recurrence, so (per the BPE
+lesson) oracle parity alone certifies engine agreement, not algorithmic
+correctness. Here PageRank is additionally checked against (a) a pure-
+Python integer replay of the spec (validates the Spark plumbing end to
+end) and (b) a float power-iteration (independent formulation — catches
+a wrong recurrence that both engines could agree on).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sbb_ocr_postcorrection_spark.operators import linkgraph as LG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _doc_ids(spark):
+    return [
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+
+def _edges(doc_ids):
+    out = set()
+    for i in doc_ids:
+        for j in range(1, LG.LINK_FANOUT + 1):
+            s, d = i % LG.N_HOSTS, (i * 31 + j) % LG.N_HOSTS
+            if s != d:
+                out.add((s, d))
+    return out
+
+
+def _python_pagerank(edges, iters):
+    """Pure-Python integer replay of the documented recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: LG.PR_SCALE // n for v in nodes}
+    base = (3 * LG.PR_SCALE) // (20 * n)
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += (17 * rank[s]) // (20 * deg[s])
+        dmass = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: base + (17 * dmass) // (20 * n) + inflow[v] for v in nodes
+        }
+    return rank
+
+
+def test_link_graph_matches_formula(spark):
+    rows = LG.link_graph(spark, SF_DIR).collect()
+    ids = _doc_ids(spark)
+    want = {}
+    for i in ids:
+        for j in range(1, LG.LINK_FANOUT + 1):
+            s, d = i % LG.N_HOSTS, (i * 31 + j) % LG.N_HOSTS
+            if s != d:
+                want[(s, d)] = want.get((s, d), 0) + 1
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"] for r in rows
+    }
+    assert got == {
+        (f"host{s}.example.net", f"host{d}.example.net"): c
+        for (s, d), c in want.items()
+    }
+    # no self-loops survive
+    assert all(s != d for s, d in got)
+
+
+def test_host_pagerank_matches_python_replay(spark):
+    got = {
+        r["host"]: r["rank_fp"]
+        for r in LG.host_pagerank(spark, SF_DIR).collect()
+    }
+    ref = _python_pagerank(_edges(_doc_ids(spark)), LG.PR_ITERS)
+    assert got == {f"host{v}.example.net": r for v, r in ref.items()}
+
+
+def test_host_pagerank_mass_and_ranking_vs_float_power_iteration(spark):
+    rows = LG.host_pagerank(spark, SF_DIR).collect()
+    total = sum(r["rank_fp"] for r in rows)
+    # floor divisions leak mass downward only, bounded by ~(|E|+2N+2)
+    # units per iteration — total stays within a sliver of SCALE
+    assert 0 < LG.PR_SCALE - total < LG.PR_ITERS * 10**6
+    # independent float formulation (d=0.85, uniform dangling spread)
+    edges = _edges(_doc_ids(spark))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    adj = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(50):
+        dmass = sum(pr[v] for v in nodes if v not in deg)
+        nxt = {v: 0.15 / n + 0.85 * dmass / n for v in nodes}
+        for s, ds in adj.items():
+            c = 0.85 * pr[s] / deg[s]
+            for d in ds:
+                nxt[d] += c
+        pr = nxt
+    got = {r["host"]: r["rank_share"] for r in rows}
+    for v in nodes:
+        # 6 fixed-point iterations sit within ~2e-3 of the converged
+        # float fixpoint on this graph; catches any wrong recurrence
+        assert got[f"host{v}.example.net"] == pytest.approx(
+            pr[v], abs=2e-3
+        )
+
+
+def test_page_outlinks_counts(spark):
+    rows = {r["path"]: r["n_links"] for r in LG.page_outlinks(spark, SF_DIR).collect()}
+    n_docs = len(_doc_ids(spark))
+    for p in ("/h", "/a", "/c", "/i", "/p", "/x"):
+        assert rows[p] == n_docs
+    per_doc = [p for p in rows if p.startswith("/doc/")]
+    assert len(per_doc) == n_docs
+    assert all(rows[p] == 1 for p in per_doc)
