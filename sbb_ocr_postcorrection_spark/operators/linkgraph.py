@@ -91,20 +91,21 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def host_pagerank(
-    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+def _rank_loop(
+    spark: SparkSession, sf_dir: str, iters: int, seed_mod: int | None
 ) -> DataFrame:
-    """Integer fixed-point PageRank over the distinct host graph.
+    """Shared integer fixed-point rank iteration.
 
-    Classic unweighted PageRank (distinct edges — multi-links collapse,
-    the simple-graph convention) with uniform dangling redistribution.
+    seed_mod=None → classic PageRank: uniform teleport + uniform dangling
+    redistribution over all N nodes. seed_mod=m → TrustRank: teleport and
+    dangling mass flow ONLY to the trusted seed set {id % m == 0}, so
+    authority must propagate from seeds through real links.
+
     All arithmetic is int64 multiply / `div` / sum (see module docstring),
-    so the K-iteration loop is bit-replayable in SQL. N (node count) is a
-    dimension-sized scalar and becomes a plan literal; the dangling mass
-    rides along as a one-row cross join, never a collect. Each iteration
-    is eagerly materialized (persist + count) — the standard barrier for
-    iterative DataFrame algorithms. Nothing data-sized reaches the
-    driver.
+    so the K-iteration loop is bit-replayable in SQL. N and the seed count
+    are host-dimension scalars and become plan literals; the dangling mass
+    rides along as a one-row cross join, never a collect. Nothing
+    data-sized reaches the driver.
     """
     edges = persist_slot(
         "pagerank_edges", synth_link_edges(spark, sf_dir).distinct()
@@ -116,12 +117,24 @@ def host_pagerank(
         .distinct(),
     )
     n = nodes.count()  # host-dimension scalar -> plan literal (bounded)
+    if seed_mod is None:
+        is_seed = F.lit(True)
+        n_tele = n
+    else:
+        is_seed = F.col("id") % seed_mod == 0
+        n_tele = nodes.where(is_seed).count()
     deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
     # contribution join input: each distinct edge with its src out-degree
     edeg = persist_slot("pagerank_edeg", edges.join(deg, "src_id"))
 
-    base = (3 * PR_SCALE) // (20 * n)
-    ranks = nodes.select("id", F.lit(PR_SCALE // n).cast("long").alias("rank"))
+    base = (3 * PR_SCALE) // (20 * n_tele)
+    ranks = nodes.select(
+        "id",
+        F.when(is_seed, F.lit(PR_SCALE // n_tele))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
     for _ in range(iters):
         contribs = (
             edeg.join(ranks, edeg.src_id == ranks.id)
@@ -133,7 +146,8 @@ def host_pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         # dangling mass: rank parked on nodes with no outedges, spread
-        # uniformly; a 1-row aggregate cross-joined keeps the loop lazy
+        # over the teleport set; a 1-row aggregate cross-joined keeps the
+        # loop lazy
         dangling = (
             ranks.join(deg, ranks.id == deg.src_id, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
@@ -144,8 +158,11 @@ def host_pagerank(
             .select(
                 "id",
                 (
-                    F.lit(base)
-                    + F.expr(f"(17 * dmass) div (20 * {n})")
+                    F.when(
+                        is_seed,
+                        F.lit(base)
+                        + F.expr(f"(17 * dmass) div (20 * {n_tele})"),
+                    ).otherwise(F.lit(0))
                     + F.coalesce(F.col("inflow"), F.lit(0))
                 ).cast("long").alias("rank"),
             )
@@ -162,6 +179,33 @@ def host_pagerank(
         F.col("rank").alias("rank_fp"),
         F.round(F.col("rank") / F.lit(PR_SCALE), 9).alias("rank_share"),
     )
+
+
+def host_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Integer fixed-point PageRank over the distinct host graph.
+
+    Classic unweighted PageRank (distinct edges — multi-links collapse,
+    the simple-graph convention) with uniform dangling redistribution.
+    """
+    return _rank_loop(spark, sf_dir, iters, seed_mod=None)
+
+
+TRUST_SEED_MOD = 10  # trusted seed set: host ids divisible by 10
+
+
+def host_trustrank(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+    teleport vector is restricted to a trusted seed set, the standard
+    link-spam demotion / crawl-prioritization companion to PageRank.
+    Hosts reachable only through spam-farm links get near-zero trust
+    because no teleport mass lands outside the seeds. Seed set here is
+    the deterministic {id % 10 == 0}; a curated allowlist swaps in as a
+    dimension relation without touching the loop."""
+    return _rank_loop(spark, sf_dir, iters, seed_mod=TRUST_SEED_MOD)
 
 
 def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:

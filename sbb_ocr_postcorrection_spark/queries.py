@@ -762,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": pinned(linkgraph.page_outlinks),
         "link_graph": pinned(linkgraph.link_graph),
         "host_pagerank": pinned(linkgraph.host_pagerank),
+        # seeded personalized variant: teleport + dangling mass flow only
+        # to the trusted seed set (link-spam demotion / crawl priority)
+        "host_trustrank": pinned(linkgraph.host_trustrank),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -1067,15 +1070,18 @@ def _perceptron_eval_oracle(epochs: int) -> str:
     )
 
 
-def _pagerank_oracle(iters: int) -> str:
-    """Full SQL replay of operators.linkgraph.host_pagerank: rebuild the
-    deterministic edge multiset from `documents`, then chain one
-    MATERIALIZED CTE trio (contributions, dangling mass, new ranks) per
-    iteration. All arithmetic is int64 multiply / `//` / sum — integer
-    sums are associative, so DuckDB's serial loop equals Spark's parallel
-    one bit-for-bit (the bpe_train / ivf_trained convention)."""
+def _pagerank_oracle(iters: int, seed_mod: int | None = None) -> str:
+    """Full SQL replay of operators.linkgraph.host_pagerank /
+    host_trustrank: rebuild the deterministic edge multiset from
+    `documents`, then chain one MATERIALIZED CTE trio (contributions,
+    dangling mass, new ranks) per iteration. All arithmetic is int64
+    multiply / `//` / sum — integer sums are associative, so DuckDB's
+    serial loop equals Spark's parallel one bit-for-bit (the bpe_train /
+    ivf_trained convention). seed_mod restricts teleport + dangling mass
+    to the {id % seed_mod == 0} seed set (TrustRank)."""
     H = linkgraph.N_HOSTS
     S = linkgraph.PR_SCALE
+    seed = "TRUE" if seed_mod is None else f"(id % {seed_mod} = 0)"
     parts = [
         f"""e AS MATERIALIZED (
       SELECT DISTINCT doc_id % {H} AS src_id,
@@ -1084,11 +1090,12 @@ def _pagerank_oracle(iters: int) -> str:
       WHERE doc_id % {H} <> (doc_id * 31 + j) % {H})""",
         """nodes AS MATERIALIZED (
       SELECT src_id AS id FROM e UNION SELECT dst_id FROM e)""",
-        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        f"nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes WHERE {seed})",
         """deg AS MATERIALIZED (
       SELECT src_id, count(*) AS deg FROM e GROUP BY src_id)""",
         f"""r0 AS MATERIALIZED (
-      SELECT id, CAST({S} // (SELECT n FROM nn) AS BIGINT) AS rank
+      SELECT id, CAST(CASE WHEN {seed}
+                 THEN {S} // (SELECT n FROM nn) ELSE 0 END AS BIGINT) AS rank
       FROM nodes)""",
     ]
     base = f"(3 * {S}) // (20 * (SELECT n FROM nn))"
@@ -1108,9 +1115,9 @@ def _pagerank_oracle(iters: int) -> str:
         parts.append(
             f"""r{k} AS MATERIALIZED (
       SELECT nodes.id,
-             CAST({base}
+             CAST(CASE WHEN {seed} THEN {base}
                   + (17 * (SELECT dmass FROM dm{k}))
-                      // (20 * (SELECT n FROM nn))
+                      // (20 * (SELECT n FROM nn)) ELSE 0 END
                   + coalesce(c.inflow, 0) AS BIGINT) AS rank
       FROM nodes LEFT JOIN c{k} c ON c.dst_id = nodes.id)"""
         )
@@ -2914,4 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY src_id, dst_id
     """
     sql["host_pagerank"] = _pagerank_oracle(linkgraph.PR_ITERS)
+    sql["host_trustrank"] = _pagerank_oracle(
+        linkgraph.PR_ITERS, seed_mod=linkgraph.TRUST_SEED_MOD
+    )
     return sql

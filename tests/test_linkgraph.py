@@ -118,6 +118,45 @@ def test_host_pagerank_mass_and_ranking_vs_float_power_iteration(spark):
         )
 
 
+def _python_trustrank(edges, iters, seed_mod):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = [v for v in nodes if v % seed_mod == 0]
+    ns = len(seeds)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: (LG.PR_SCALE // ns if v % seed_mod == 0 else 0) for v in nodes}
+    base = (3 * LG.PR_SCALE) // (20 * ns)
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += (17 * rank[s]) // (20 * deg[s])
+        dmass = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: (base + (17 * dmass) // (20 * ns) if v % seed_mod == 0 else 0)
+            + inflow[v]
+            for v in nodes
+        }
+    return rank
+
+
+def test_host_trustrank_matches_python_replay_and_demotes_nonseeds(spark):
+    got = {
+        r["host"]: r["rank_fp"]
+        for r in LG.host_trustrank(spark, SF_DIR).collect()
+    }
+    edges = _edges(_doc_ids(spark))
+    ref = _python_trustrank(edges, LG.PR_ITERS, LG.TRUST_SEED_MOD)
+    assert got == {f"host{v}.example.net": r for v, r in ref.items()}
+    # trust concentrates: seed hosts hold more mass per-host than non-seeds
+    seeds = [r for v, r in ref.items() if v % LG.TRUST_SEED_MOD == 0]
+    others = [r for v, r in ref.items() if v % LG.TRUST_SEED_MOD != 0]
+    assert min(seeds) > sum(others) / len(others)
+    # and TrustRank really differs from uniform-teleport PageRank
+    pr = _python_pagerank(edges, LG.PR_ITERS)
+    assert ref != pr
+
+
 def test_page_outlinks_counts(spark):
     rows = {r["path"]: r["n_links"] for r in LG.page_outlinks(spark, SF_DIR).collect()}
     n_docs = len(_doc_ids(spark))
