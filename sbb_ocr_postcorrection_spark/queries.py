@@ -22,6 +22,7 @@ from .operators import (
     dedup,
     index,
     evaluation,
+    langprofile,
     linkgraph,
     lines,
     multimodal,
@@ -686,6 +687,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unseen fifth, aggregate the A9 confusion surface — fully replayed
         "quality_classifier_eval": pinned(textstats.quality_classifier_eval),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
+        # TRAINED language ID (Cavnar-Trenkle char-n-gram rank profiles,
+        # learned from labeled data in-engine — closes the langid.py
+        # parity gap with a trained detector instead of fixed heuristics):
+        # profile table, held-out per-doc verdicts, confusion matrix
+        "lang_id_train": pinned(langprofile.lang_id_train),
+        "lang_id_learned": pinned(langprofile.lang_id_learned),
+        "lang_id_eval": pinned(langprofile.lang_id_eval),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -1130,6 +1138,76 @@ def _pagerank_oracle(iters: int, seed_mod: int | None = None) -> str:
            round(rank / {S}.0, 9) AS rank_share
     FROM r{iters}"""
     )
+
+
+def _langid_ctes() -> str:
+    """Shared CTE chain replaying operators.langprofile: augmented text →
+    bounded trigram explode → training-fold class profiles (top-K rank,
+    pinned tie-break) → held-out doc profiles. One phrase CASE
+    (langprofile.phrase_case_sql) drives both engines."""
+    LP = langprofile
+    return f"""
+        aug AS (
+          SELECT doc_id, lang,
+                 substr({LP.phrase_case_sql()} || ' ' ||
+                        lower(coalesce(text, '')), 1, {LP.LID_PREFIX}) AS t
+          FROM documents),
+        tri AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   generate_series(1, greatest(length(t) - 2, 1)),
+                   i -> substr(t, i, 3))) AS g
+          FROM aug),
+        ccnt AS (
+          SELECT lang, g, count(*) AS n FROM tri
+          WHERE doc_id % {LP.LID_FOLD} <> 0 GROUP BY lang, g),
+        cprof AS (
+          SELECT lang, g, rank, n FROM (
+            SELECT lang, g, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, g) AS INTEGER) AS rank
+            FROM ccnt) WHERE rank <= {LP.LID_K}),
+        dcnt AS (
+          SELECT doc_id, g, count(*) AS n FROM tri
+          WHERE doc_id % {LP.LID_FOLD} = 0 GROUP BY doc_id, g),
+        dprof AS (
+          SELECT doc_id, g, rank FROM (
+            SELECT doc_id, g,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY n DESC, g) AS INTEGER) AS rank
+            FROM dcnt) WHERE rank <= {LP.LID_K})
+    """
+
+
+def _langid_learned_sql() -> str:
+    LP = langprofile
+    return f"""
+        WITH {_langid_ctes()},
+        matched AS (
+          SELECT d.doc_id, c.lang AS cand,
+                 sum(abs(d.rank - c.rank)) AS msum, count(*) AS nmatch
+          FROM dprof d JOIN cprof c ON c.g = d.g
+          GROUP BY d.doc_id, c.lang),
+        ntri AS (SELECT doc_id, count(*) AS ntri FROM dprof GROUP BY doc_id),
+        langs AS (SELECT DISTINCT lang AS cand FROM cprof),
+        dist AS (
+          SELECT n.doc_id, l.cand,
+                 CAST(coalesce(m.msum, 0)
+                      + (n.ntri - coalesce(m.nmatch, 0)) * {LP.LID_K}
+                   AS BIGINT) AS dist
+          FROM ntri n CROSS JOIN langs l
+          LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.cand = l.cand),
+        best AS (
+          SELECT doc_id, cand AS pred_lang, dist AS best_dist FROM (
+            SELECT doc_id, cand, dist,
+                   row_number() OVER (PARTITION BY doc_id
+                        ORDER BY dist, cand) AS rn
+            FROM dist) WHERE rn = 1)
+        SELECT d.doc_id, d.lang AS true_lang, b.pred_lang, b.best_dist,
+               CAST(b.pred_lang = d.lang AS INTEGER) AS correct
+        FROM documents d JOIN best b ON b.doc_id = d.doc_id
+        WHERE d.doc_id % {LP.LID_FOLD} = 0
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2924,4 +3002,23 @@ def oracle_sql() -> dict[str, str]:
     sql["host_trustrank"] = _pagerank_oracle(
         linkgraph.PR_ITERS, seed_mod=linkgraph.TRUST_SEED_MOD
     )
+    # trained language ID (Cavnar-Trenkle n-gram rank profiles): training
+    # is one aggregation, so the whole learn->classify->evaluate path is
+    # plain (non-chained) SQL
+    sql["lang_id_train"] = f"""
+        WITH {_langid_ctes()}
+        SELECT lang, g, rank, n FROM cprof
+    """
+    sql["lang_id_learned"] = _langid_learned_sql()
+    sql["lang_id_eval"] = f"""
+        WITH verdicts AS ({_langid_learned_sql()}),
+        agg AS (
+          SELECT true_lang, pred_lang, count(*) AS n_docs
+          FROM verdicts GROUP BY true_lang, pred_lang)
+        SELECT true_lang, pred_lang, n_docs,
+               round(n_docs * 100.0 /
+                     sum(n_docs) OVER (PARTITION BY true_lang), 6)
+                 AS pct_of_true
+        FROM agg
+    """
     return sql
