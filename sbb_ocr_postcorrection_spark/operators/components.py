@@ -163,3 +163,36 @@ def duplicate_components(
     return labeled.join(sizes, "component_id").select(
         "doc_id", "component_id", "component_size"
     )
+
+
+def component_canonical(spark, sf_dir) -> DataFrame:
+    """One keeper per duplicate component: (component_id, component_size,
+    keeper_doc_id, keeper_n_chars, n_dropped) — the selection pass a
+    dedup pipeline runs AFTER clustering. `duplicate_components` labels
+    every doc; this picks the canonical survivor per cluster by the
+    pinned total order (n_chars desc, doc_id asc): keep the LONGEST copy
+    (truncated scrapes lose to the full text), doc_id as the
+    deterministic tie-break. Emits only multi-doc components — singletons
+    need no selection.
+
+    Scale shape: one doc_id equality join onto the labels (doc-dimension,
+    not broadcast) and a window partitioned by component_id — components
+    are small by construction (duplicate clusters), so no skewed window
+    partitions; never a global sort."""
+    labels = duplicate_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        labels.where(F.col("component_size") >= 2)
+        .join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component_id",
+        "component_size",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_chars").alias("keeper_n_chars"),
+        (F.col("component_size") - 1).alias("n_dropped"),
+    )

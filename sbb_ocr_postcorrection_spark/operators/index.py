@@ -291,3 +291,73 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("anchor").cast("int").alias("first_pos"),
     )
+
+
+COLL_SCALE = 10**9   # fixed-point unit for the lift ratio
+COLL_MIN = 5         # min bigram count (the standard sparse-pair gate)
+COLL_K = 100         # reported collocations
+
+
+def collocations(
+    spark: SparkSession, sf_dir: str, docs=None, k: int = COLL_K
+) -> DataFrame:
+    """Top-k collocations: adjacent token pairs ranked by integer
+    pointwise-mutual-information lift — the corpus-statistics surface a
+    tokenizer-vocabulary or phrase-mining pass starts from (and BPE's
+    merge criterion, raw pair count, is its count-only cousin).
+
+    Ranking is the exact PMI order without any float: PMI(x,y) ranks by
+    p(xy)/(p(x)p(y)) = n_xy·N²/(n_pairs·n_x·n_y); the N²/n_pairs factor
+    is constant across pairs, so lift_fp = n_xy·COLL_SCALE div (n_x·n_y)
+    (int64 throughout — n_xy ≤ 10⁶ keeps the product far from overflow)
+    induces the identical ranking, engine-exact. Ties pinned by
+    (lift desc, w1, w2); pairs with n_xy < COLL_MIN dropped (the
+    classic sparse-pair noise gate).
+
+    Scale shape: bigram extraction is an in-array transform (no
+    self-join of positions); two two-phase counts (pairs, unigrams); the
+    unigram join keys are token-dimension-sized but NOT broadcast (open
+    vocabulary grows with the corpus — sort-merge + AQE handles it);
+    top-k is TakeOrderedAndProject, never a global sort.
+    """
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    toks = d.select(_tokens(F.col("text")).alias("t"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        bc.where(F.col("n_xy") >= COLL_MIN)
+        .join(uc.select(F.col("w").alias("w1"), F.col("n").alias("n_x")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("n").alias("n_y")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(f"(n_xy * {COLL_SCALE}) div (n_x * n_y)").alias("lift_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_fp"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

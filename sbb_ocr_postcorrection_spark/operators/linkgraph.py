@@ -234,3 +234,67 @@ def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return links.groupBy("path").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+ANCHOR_LEN = 24  # chars of source text used as the anchor string
+
+
+def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target host — the classic web-IR
+    signal (anchor text describes the TARGET better than the target's own
+    words; every production web index aggregates it, and crawl curation
+    uses it as an off-page quality feature).
+
+    Each document contributes its `synth_link_edges` outlinks carrying a
+    data-dependent anchor string (the first ANCHOR_LEN chars of the
+    source text, lowercased/trimmed — so the oracle cannot pass on
+    constants). Per target host: total anchors, distinct linking hosts,
+    and the top anchor text with a pinned total order (count desc,
+    anchor asc).
+
+    Scale shape: one narrow fanout (3 rows/doc), ONE (dst, anchor)
+    aggregation — map-side partials absorb hot targets — then a window
+    partitioned by dst_id (never global) for the argmax, plus the
+    per-dst rollup. Anchor strings are bounded (ANCHOR_LEN), so shuffle
+    rows are small; nothing reaches the driver.
+    """
+    d = load(spark, sf_dir, "documents")
+    anchor = F.trim(
+        F.substring(F.lower(F.coalesce(F.col("text"), F.lit(""))), 1, ANCHOR_LEN)
+    )
+    edges = (
+        d.select("doc_id", anchor.alias("anchor"))
+        .select(
+            "doc_id",
+            "anchor",
+            F.explode(F.sequence(F.lit(1), F.lit(LINK_FANOUT))).alias("j"),
+        )
+        .select(
+            (F.col("doc_id") % N_HOSTS).alias("src_id"),
+            ((F.col("doc_id") * 31 + F.col("j")) % N_HOSTS).alias("dst_id"),
+            "anchor",
+        )
+        .where(F.col("src_id") != F.col("dst_id"))
+    )
+    per_anchor = edges.groupBy("dst_id", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_id").orderBy(F.desc("n"), F.asc("anchor"))
+    top = (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dst_id", F.col("anchor").alias("top_anchor"), F.col("n").alias("top_anchor_n"))
+    )
+    roll = edges.groupBy("dst_id").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_id").alias("n_src_hosts"),
+    )
+    return roll.join(top, "dst_id").select(
+        _host_col(F.col("dst_id")).alias("dst_host"),
+        "n_anchors",
+        "n_src_hosts",
+        "top_anchor",
+        "top_anchor_n",
+    )

@@ -516,3 +516,41 @@ def tiers_from_rollup_scaled(spark, per_host: DataFrame, n_tiers: int) -> DataFr
             "host", "n_docs", "total_chars", tier.cast("int").alias("tier")
         )
     )
+
+
+def host_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, top_lang, top_lang_docs, top_lang_pct): per-host
+    language mix with the majority language — the crawl-steering rollup a
+    language-targeted crawler budgets from (a host that is 95 % the
+    target language gets frontier priority; mixed hosts get sampled).
+    Shares `synth_host_expr` with host_reputation_gate so the host key is
+    defined once.
+
+    Scale shape: one (host, lang) count — map-side partials absorb hot
+    hosts, and the langs-per-host fanout is bounded by the language
+    dimension — then a host-partitioned window (never global) for the
+    pinned argmax (n desc, lang asc) and one host rollup."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(synth_host_expr(F.col("doc_id")).alias("host"), "lang")
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", F.col("lang").alias("top_lang"), F.col("n").alias("top_lang_docs"))
+    )
+    roll = per.groupBy("host").agg(F.sum("n").alias("n_docs"))
+    return roll.join(top, "host").select(
+        "host",
+        "n_docs",
+        "top_lang",
+        "top_lang_docs",
+        F.round(F.col("top_lang_docs") * 100.0 / F.col("n_docs"), 6).alias(
+            "top_lang_pct"
+        ),
+    )

@@ -33,6 +33,7 @@ from .operators import (
     temporal,
     textstats,
     urls,
+    webstruct,
 )
 from .operators.textstats import DE_STOPS, EN_STOPS
 
@@ -773,6 +774,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded personalized variant: teleport + dangling mass flow only
         # to the trusted seed set (link-spam demotion / crawl priority)
         "host_trustrank": pinned(linkgraph.host_trustrank),
+        # anchor-text aggregation per target host (the off-page web-IR
+        # signal), tag-skeleton template clustering, cross-host mirror
+        # rollup, PMI collocations, canonical keeper per dup component,
+        # per-host language mix (r5 web-curation additions)
+        "anchor_text_index": pinned(linkgraph.anchor_text_index),
+        "template_fingerprint": pinned(webstruct.template_fingerprint),
+        "mirror_detection": pinned(webstruct.mirror_detection),
+        "collocations": pinned(index.collocations),
+        "component_canonical": pinned(components.component_canonical),
+        "host_language_profile": pinned(urls.host_language_profile),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -1138,6 +1149,57 @@ def _pagerank_oracle(iters: int, seed_mod: int | None = None) -> str:
            round(rank / {S}.0, 9) AS rank_share
     FROM r{iters}"""
     )
+
+
+def _components_ctes() -> str:
+    """Shared recursive CTE chain replaying `duplicate_components`:
+    exact-dup + LSH-verified near-dup edges → min-label connected
+    components (`comp`) → component sizes (`szs`). `dedup_components`
+    projects it directly; `component_canonical` adds the keeper
+    selection on top."""
+    return f"""RECURSIVE {_minhash_sig_ctes(with_lang=True)},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shf AS (SELECT * FROM sh WHERE shingle NOT IN (
+                      SELECT shingle FROM (
+                        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+                      WHERE df > 10000)),
+            bok AS (SELECT band, band_hash FROM bands
+                    GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a
+                      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id
+                      JOIN bok kk ON a.band = kk.band AND a.band_hash = kk.band_hash),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+                      FROM shf a JOIN shf b
+                        ON a.lang = b.lang AND a.shingle = b.shingle
+                       AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            near AS (SELECT i.id1, i.id2
+                     FROM inter i
+                     JOIN sizes sa ON i.id1 = sa.doc_id
+                     JOIN sizes sb ON i.id2 = sb.doc_id
+                     JOIN cands c ON c.id1 = i.id1 AND c.id2 = i.id2
+                     WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+                           >= 0.8),
+            ex AS (SELECT md5(text) AS chash, min(doc_id) AS keeper
+                   FROM documents GROUP BY 1),
+            exp AS (SELECT e.keeper AS id1, d.doc_id AS id2
+                    FROM documents d JOIN ex e ON md5(d.text) = e.chash
+                    WHERE d.doc_id <> e.keeper),
+            pairs AS (SELECT id1, id2 FROM near
+                      UNION SELECT id1, id2 FROM exp),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(comp) AS component_id
+                     FROM reach GROUP BY node),
+            szs AS (SELECT component_id, count(*) AS component_size
+                    FROM comp GROUP BY 1)"""
 
 
 def _langid_ctes() -> str:
@@ -2236,52 +2298,26 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "dedup_components": f"""
-            WITH RECURSIVE {_minhash_sig_ctes(with_lang=True)},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            shf AS (SELECT * FROM sh WHERE shingle NOT IN (
-                      SELECT shingle FROM (
-                        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
-                      WHERE df > 10000)),
-            bok AS (SELECT band, band_hash FROM bands
-                    GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
-            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                      FROM bands a
-                      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-                                  AND a.doc_id < b.doc_id
-                      JOIN bok kk ON a.band = kk.band AND a.band_hash = kk.band_hash),
-            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
-                      FROM shf a JOIN shf b
-                        ON a.lang = b.lang AND a.shingle = b.shingle
-                       AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            near AS (SELECT i.id1, i.id2
-                     FROM inter i
-                     JOIN sizes sa ON i.id1 = sa.doc_id
-                     JOIN sizes sb ON i.id2 = sb.doc_id
-                     JOIN cands c ON c.id1 = i.id1 AND c.id2 = i.id2
-                     WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
-                           >= 0.8),
-            ex AS (SELECT md5(text) AS chash, min(doc_id) AS keeper
-                   FROM documents GROUP BY 1),
-            exp AS (SELECT e.keeper AS id1, d.doc_id AS id2
-                    FROM documents d JOIN ex e ON md5(d.text) = e.chash
-                    WHERE d.doc_id <> e.keeper),
-            pairs AS (SELECT id1, id2 FROM near
-                      UNION SELECT id1, id2 FROM exp),
-            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                      UNION SELECT id2, id1 FROM pairs),
-            reach(node, comp) AS (
-                SELECT doc_id, doc_id FROM documents
-              UNION
-                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
-            ),
-            comp AS (SELECT node AS doc_id, min(comp) AS component_id
-                     FROM reach GROUP BY node),
-            szs AS (SELECT component_id, count(*) AS component_size
-                    FROM comp GROUP BY 1)
+            WITH {_components_ctes()}
             SELECT c.doc_id, c.component_id,
                    CAST(s.component_size AS BIGINT) AS component_size
             FROM comp c JOIN szs s USING (component_id)
+        """,
+        "component_canonical": f"""
+            WITH {_components_ctes()},
+            lab AS (SELECT c.doc_id, c.component_id, s.component_size
+                    FROM comp c JOIN szs s USING (component_id)
+                    WHERE s.component_size >= 2),
+            ranked AS (SELECT l.component_id, l.component_size, l.doc_id,
+                              d.n_chars,
+                              row_number() OVER (PARTITION BY l.component_id
+                                   ORDER BY d.n_chars DESC, l.doc_id) AS rn
+                       FROM lab l JOIN documents d USING (doc_id))
+            SELECT component_id,
+                   CAST(component_size AS BIGINT) AS component_size,
+                   doc_id AS keeper_doc_id, n_chars AS keeper_n_chars,
+                   CAST(component_size - 1 AS BIGINT) AS n_dropped
+            FROM ranked WHERE rn = 1
         """,
         "ann_lsh_bucketed": f"""
             WITH {_lsh_sig_cte()},
@@ -3020,5 +3056,103 @@ def oracle_sql() -> dict[str, str]:
                      sum(n_docs) OVER (PARTITION BY true_lang), 6)
                  AS pct_of_true
         FROM agg
+    """
+    # r5 web-curation additions: anchor text, templates, mirrors,
+    # collocations, canonical keepers, host language mix
+    NH, LF = linkgraph.N_HOSTS, linkgraph.LINK_FANOUT
+    sql["anchor_text_index"] = f"""
+        WITH e AS (
+          SELECT doc_id % {NH} AS src_id, (doc_id * 31 + j) % {NH} AS dst_id,
+                 trim(substr(lower(coalesce(text, '')), 1,
+                      {linkgraph.ANCHOR_LEN})) AS anchor
+          FROM documents CROSS JOIN generate_series(1, {LF}) t(j)),
+        e2 AS (SELECT * FROM e WHERE src_id <> dst_id),
+        pa AS (SELECT dst_id, anchor, count(*) AS n FROM e2 GROUP BY 1, 2),
+        top AS (SELECT dst_id, anchor AS top_anchor, n AS top_anchor_n FROM (
+                  SELECT dst_id, anchor, n,
+                         row_number() OVER (PARTITION BY dst_id
+                              ORDER BY n DESC, anchor) AS rn
+                  FROM pa) WHERE rn = 1),
+        roll AS (SELECT dst_id, count(*) AS n_anchors,
+                        count(DISTINCT src_id) AS n_src_hosts
+                 FROM e2 GROUP BY 1)
+        SELECT 'host' || CAST(r.dst_id AS VARCHAR) || '.example.net' AS dst_host,
+               r.n_anchors, r.n_src_hosts, t.top_anchor, t.top_anchor_n
+        FROM roll r JOIN top t USING (dst_id)
+    """
+    tmpl_pre, tmpl_post = (s.replace("'", "''") for s in _PAGE_TMPL.split("{paras}"))
+    promo_sql = _PROMO.replace("'", "''")
+    sql["template_fingerprint"] = f"""
+        WITH pages AS (
+          SELECT 'https://docs.example.org/' || source || '/' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+                 '<ul>' || repeat('<li>i</li>', CAST(doc_id % {webstruct.LI_MOD} AS INT))
+                   || '</ul>' || '{tmpl_pre}' || '<p>' || text || '{promo_sql}'
+                   || reverse(text) || '</p>' || '{tmpl_post}' AS html2
+          FROM documents),
+        sig AS (
+          SELECT url,
+                 md5(array_to_string(
+                   regexp_extract_all(html2, '{webstruct.TAG_RE}', 1), ','))
+                   AS template_sig,
+                 len(regexp_extract_all(html2, '{webstruct.TAG_RE}', 1)) AS n_tags
+          FROM pages)
+        SELECT template_sig, count(*) AS n_pages,
+               CAST(min(n_tags) AS INT) AS n_tags, min(url) AS example_url
+        FROM sig GROUP BY 1
+    """
+    sql["mirror_detection"] = f"""
+        WITH m AS (
+          SELECT doc_id, doc_id % {NH} AS host_id,
+                 md5(coalesce(text, '')) AS digest
+          FROM documents
+          UNION ALL
+          SELECT doc_id + {webstruct.MIRROR_ID_BASE},
+                 (doc_id + {webstruct.MIRROR_HOST_SHIFT}) % {NH},
+                 md5(coalesce(text, ''))
+          FROM documents WHERE doc_id % {webstruct.MIRROR_MOD} = 0),
+        g AS (SELECT digest, count(*) AS n_docs,
+                     count(DISTINCT host_id) AS n_hosts,
+                     min(host_id) AS cid, min(doc_id) AS first_doc
+              FROM m GROUP BY 1)
+        SELECT digest, n_docs, n_hosts,
+               'host' || CAST(cid AS VARCHAR) || '.example.net' AS canonical_host,
+               first_doc
+        FROM g WHERE n_hosts >= 2
+    """
+    sql["collocations"] = f"""
+        WITH toks AS (
+          SELECT list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             x -> x <> '') AS t
+          FROM documents),
+        big AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+                  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM toks WHERE len(t) >= 2)),
+        bc AS (SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY 1, 2
+               HAVING count(*) >= {index.COLL_MIN}),
+        uc AS (SELECT w, count(*) AS n FROM (
+                 SELECT unnest(t) AS w FROM toks) GROUP BY 1)
+        SELECT b.w1, b.w2, b.n_xy,
+               (b.n_xy * {index.COLL_SCALE}) // (u1.n * u2.n) AS lift_fp
+        FROM bc b
+        JOIN uc u1 ON u1.w = b.w1
+        JOIN uc u2 ON u2.w = b.w2
+        ORDER BY lift_fp DESC, b.w1, b.w2 LIMIT {index.COLL_K}
+    """
+    sql["host_language_profile"] = """
+        WITH per AS (
+          SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                 lang, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        top AS (SELECT host, lang AS top_lang, n AS top_lang_docs FROM (
+                  SELECT host, lang, n,
+                         row_number() OVER (PARTITION BY host
+                              ORDER BY n DESC, lang) AS rn
+                  FROM per) WHERE rn = 1),
+        roll AS (SELECT host, sum(n) AS n_docs FROM per GROUP BY 1)
+        SELECT r.host, CAST(r.n_docs AS BIGINT) AS n_docs, t.top_lang,
+               t.top_lang_docs,
+               round(t.top_lang_docs * 100.0 / r.n_docs, 6) AS top_lang_pct
+        FROM roll r JOIN top t USING (host)
     """
     return sql

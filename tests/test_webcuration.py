@@ -1,0 +1,228 @@
+"""r5 web-curation additions: anchor-text index, template fingerprints,
+mirror detection, PMI collocations, canonical keepers, host language mix —
+each checked against an independent pure-Python reference implementation
+(the BPE lesson: oracle parity certifies engine agreement, not
+algorithmic correctness), plus plan-shape assertions."""
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+
+from sbb_ocr_postcorrection_spark.operators.index import (
+    COLL_K,
+    COLL_MIN,
+    COLL_SCALE,
+    collocations,
+)
+from sbb_ocr_postcorrection_spark.operators.linkgraph import (
+    ANCHOR_LEN,
+    LINK_FANOUT,
+    N_HOSTS,
+    anchor_text_index,
+)
+from sbb_ocr_postcorrection_spark.operators.urls import host_language_profile
+from sbb_ocr_postcorrection_spark.operators.webstruct import (
+    LI_MOD,
+    MIRROR_HOST_SHIFT,
+    MIRROR_ID_BASE,
+    MIRROR_MOD,
+    mirror_detection,
+    template_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+
+def test_anchor_text_index_matches_reference(spark):
+    per_anchor = Counter()
+    srcs = defaultdict(set)
+    totals = Counter()
+    for doc_id, text, _ in _docs():
+        anchor = (text or "").lower()[:ANCHOR_LEN].strip()
+        for j in range(1, LINK_FANOUT + 1):
+            src, dst = doc_id % N_HOSTS, (doc_id * 31 + j) % N_HOSTS
+            if src == dst:
+                continue
+            per_anchor[(dst, anchor)] += 1
+            srcs[dst].add(src)
+            totals[dst] += 1
+    want = {}
+    for dst in totals:
+        top = min(
+            ((a, n) for (d, a), n in per_anchor.items() if d == dst),
+            key=lambda an: (-an[1], an[0]),
+        )
+        want[f"host{dst}.example.net"] = (
+            totals[dst],
+            len(srcs[dst]),
+            top[0],
+            top[1],
+        )
+    got = {
+        r["dst_host"]: (
+            r["n_anchors"],
+            r["n_src_hosts"],
+            r["top_anchor"],
+            r["top_anchor_n"],
+        )
+        for r in anchor_text_index(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_template_fingerprint_classes(spark):
+    rows = template_fingerprint(spark, SF).collect()
+    n_docs = len(_docs())
+    # the injected doc_id % LI_MOD structure yields exactly LI_MOD
+    # templates on the synthetic corpus (text contributes no tags), with
+    # strictly increasing tag counts (one extra <li> per class)
+    assert len(rows) == LI_MOD
+    assert sum(r["n_pages"] for r in rows) == n_docs
+    assert len({r["template_sig"] for r in rows}) == LI_MOD
+    assert sorted(r["n_tags"] for r in rows) == [
+        min(r["n_tags"] for r in rows) + k for k in range(LI_MOD)
+    ]
+    assert all(r["example_url"].startswith("https://docs.example.org/") for r in rows)
+
+
+def test_mirror_detection_matches_reference(spark):
+    hosts = defaultdict(set)
+    docs_per = Counter()
+    firsts = {}
+    for doc_id, text, _ in _docs():
+        dig = hashlib.md5((text or "").encode()).hexdigest()
+        hosts[dig].add(doc_id % N_HOSTS)
+        docs_per[dig] += 1
+        firsts[dig] = min(firsts.get(dig, doc_id), doc_id)
+        if doc_id % MIRROR_MOD == 0:
+            hosts[dig].add((doc_id + MIRROR_HOST_SHIFT) % N_HOSTS)
+            docs_per[dig] += 1
+            firsts[dig] = min(firsts[dig], doc_id + MIRROR_ID_BASE)
+    want = {
+        dig: (
+            docs_per[dig],
+            len(hs),
+            f"host{min(hs)}.example.net",
+            firsts[dig],
+        )
+        for dig, hs in hosts.items()
+        if len(hs) >= 2
+    }
+    got = {
+        r["digest"]: (
+            r["n_docs"],
+            r["n_hosts"],
+            r["canonical_host"],
+            r["first_doc"],
+        )
+        for r in mirror_detection(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "mirror groups exist (every MIRROR_MOD-th doc)"
+
+
+def test_collocations_match_reference(spark):
+    uni = Counter()
+    big = Counter()
+    for _, text, _ in _docs():
+        t = [w for w in (text or "").lower().split(" ") if w]
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    scored = [
+        (n * COLL_SCALE // (uni[w1] * uni[w2]), w1, w2, n)
+        for (w1, w2), n in big.items()
+        if n >= COLL_MIN
+    ]
+    scored.sort(key=lambda s: (-s[0], s[1], s[2]))
+    want = [(w1, w2, n, lift) for lift, w1, w2, n in scored[:COLL_K]]
+    got = [
+        (r["w1"], r["w2"], r["n_xy"], r["lift_fp"])
+        for r in collocations(spark, SF).collect()
+    ]
+    assert got == want
+    assert want, "collocations exist above the count gate"
+
+
+def test_component_canonical_consistent_with_labels(spark):
+    from sbb_ocr_postcorrection_spark.operators.components import (
+        component_canonical,
+        duplicate_components,
+    )
+
+    labels = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in duplicate_components(spark, SF).collect()
+    }
+    n_chars = {
+        d: n
+        for d, n in duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    comps = defaultdict(list)
+    for doc, (cid, size) in labels.items():
+        if size >= 2:
+            comps[cid].append(doc)
+    want = {}
+    for cid, members in comps.items():
+        keeper = min(members, key=lambda d: (-n_chars[d], d))
+        want[cid] = (len(members), keeper, n_chars[keeper], len(members) - 1)
+    got = {
+        r["component_id"]: (
+            r["component_size"],
+            r["keeper_doc_id"],
+            r["keeper_n_chars"],
+            r["n_dropped"],
+        )
+        for r in component_canonical(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_host_language_profile_matches_reference(spark):
+    per = Counter()
+    for doc_id, _, lang in _docs():
+        per[(f"site{doc_id % 7}.example.com", lang)] += 1
+    totals = Counter()
+    for (h, _), n in per.items():
+        totals[h] += n
+    want = {}
+    for h in totals:
+        lang, n = min(
+            ((l, n) for (hh, l), n in per.items() if hh == h),
+            key=lambda ln: (-ln[1], ln[0]),
+        )
+        want[h] = (totals[h], lang, n, round(n * 100.0 / totals[h], 6))
+    got = {
+        r["host"]: (
+            r["n_docs"],
+            r["top_lang"],
+            r["top_lang_docs"],
+            r["top_lang_pct"],
+        )
+        for r in host_language_profile(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_new_windows_are_partitioned_and_topk_is_take_ordered(spark):
+    """None of the r5 additions may fall back to a single-partition
+    global window; the collocations top-k must be TakeOrderedAndProject,
+    not a global sort."""
+    from tests.test_plans import plan_of
+
+    for df in (
+        anchor_text_index(spark, SF),
+        host_language_profile(spark, SF),
+    ):
+        assert "SinglePartition" not in plan_of(df)
+    cplan = plan_of(collocations(spark, SF))
+    assert "TakeOrderedAndProject" in cplan
+    assert "SinglePartition" not in cplan
