@@ -974,3 +974,119 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (quote / aggregator detection)
+
+QUOTE_MOD = 11                  # every 11th doc gets an excerpt page
+QUOTE_ID_BASE = 2 * 10**9       # excerpt doc ids
+QUOTE_SUFFIX = " via example aggregator digest"
+CONTAIN_THRESHOLD = 0.8         # min containment reported
+CONTAIN_MAX_DF = 10_000         # boilerplate-shingle cap (the 100-TB knob)
+
+
+def _quote_augmented(d: DataFrame) -> DataFrame:
+    """documents ∪ deterministic excerpt pages: every QUOTE_MOD-th doc
+    reappears as the first 2/5 of its text plus an attribution tail —
+    modeling quote/aggregator pages, identically in both engines (the
+    augmentation convention). The excerpt's Jaccard to its source is only
+    ~0.4 (invisible to the MinHash/Jaccard dedup family) while its
+    containment is near 1 — exactly the asymmetry this operator exists
+    to catch."""
+    quotes = d.where(F.col("doc_id") % QUOTE_MOD == 0).select(
+        (F.col("doc_id") + QUOTE_ID_BASE).alias("doc_id"),
+        "lang",
+        F.concat(
+            F.expr("substr(text, 1, greatest((length(text) * 2) div 5, 1))"),
+            F.lit(QUOTE_SUFFIX),
+        ).alias("text"),
+    )
+    return d.select("doc_id", "lang", "text").unionByName(quotes)
+
+
+def containment_pairs(
+    spark,
+    sf_dir,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_shingle_df: int | None = CONTAIN_MAX_DF,
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where one document's shingle
+    set is largely CONTAINED in the other's — quote pages, aggregator
+    excerpts, doc-inside-doc scrapes. The LLM-dedup modality
+    Jaccard-symmetric methods structurally miss: containment(A⊂B) =
+    |sh(A)∩sh(B)| / |sh(A)| stays ~1 however large B grows, while
+    Jaccard(A,B) → 0 (Broder's containment measure, the deduplicate-
+    text-datasets companion check).
+
+    Emits (id1, id2, n_common, containment1, containment2, jaccard,
+    contained_id) for pairs with max-side containment ≥ threshold;
+    contained_id picks the more-contained side (ties → id1, pinned).
+
+    Scale shape: the same shingle-equality blocking as jaccard_pairs —
+    only documents sharing a shingle ever meet, the df cap drops
+    boilerplate shingles from the JOIN (C(df,2) hot-key blowup carries no
+    containment signal) while per-doc sizes keep counting everything, so
+    capped containment is a lower bound. No all-pairs, no windows."""
+    from .relational import persist_slot
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs2 = _quote_augmented(d)
+    toks = docs2.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    sh = persist_slot(
+        "containment_shingles",
+        toks.select(
+            "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("id2") == F.col("sb.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            "n_common",
+            F.round(F.col("n_common") / F.col("sa.n_sh"), 6).alias("containment1"),
+            F.round(F.col("n_common") / F.col("sb.n_sh"), 6).alias("containment2"),
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.where(
+        F.greatest("containment1", "containment2") >= threshold
+    ).select(
+        "*",
+        F.when(F.col("containment1") >= F.col("containment2"), F.col("id1"))
+        .otherwise(F.col("id2"))
+        .alias("contained_id"),
+    )

@@ -779,6 +779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup, PMI collocations, canonical keeper per dup component,
         # per-host language mix (r5 web-curation additions)
         "anchor_text_index": pinned(linkgraph.anchor_text_index),
+        # asymmetric containment: quote/aggregator pages whose shingles sit
+        # inside a larger doc (high containment, LOW Jaccard — the modality
+        # the symmetric dedup family misses)
+        "containment_pairs": pinned(dedup.containment_pairs),
         "template_fingerprint": pinned(webstruct.template_fingerprint),
         "mirror_detection": pinned(webstruct.mirror_detection),
         "collocations": pinned(index.collocations),
@@ -3060,6 +3064,43 @@ def oracle_sql() -> dict[str, str]:
     # r5 web-curation additions: anchor text, templates, mirrors,
     # collocations, canonical keepers, host language mix
     NH, LF = linkgraph.N_HOSTS, linkgraph.LINK_FANOUT
+    quote_suffix = dedup.QUOTE_SUFFIX.replace("'", "''")
+    sql["containment_pairs"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + {dedup.QUOTE_ID_BASE}, lang,
+                 substr(text, 1, greatest((length(text) * 2) // 5, 1))
+                   || '{quote_suffix}'
+          FROM documents WHERE doc_id % {dedup.QUOTE_MOD} = 0),
+        toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS l FROM docs2),
+        sh AS (SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle
+               FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        shf AS (SELECT * FROM sh WHERE shingle NOT IN (
+                  SELECT shingle FROM (
+                    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+                  WHERE df > {dedup.CONTAIN_MAX_DF})),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         count(*) AS n_common
+                  FROM shf a JOIN shf b
+                    ON a.lang = b.lang AND a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sc AS (SELECT i.id1, i.id2, i.n_common,
+                      round(i.n_common / sa.n_sh, 6) AS containment1,
+                      round(i.n_common / sb.n_sh, 6) AS containment2,
+                      round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+                        AS jaccard
+               FROM inter i
+               JOIN sizes sa ON i.id1 = sa.doc_id
+               JOIN sizes sb ON i.id2 = sb.doc_id)
+        SELECT id1, id2, n_common, containment1, containment2, jaccard,
+               CASE WHEN containment1 >= containment2 THEN id1 ELSE id2 END
+                 AS contained_id
+        FROM sc
+        WHERE greatest(containment1, containment2) >= {dedup.CONTAIN_THRESHOLD}
+    """
     sql["anchor_text_index"] = f"""
         WITH e AS (
           SELECT doc_id % {NH} AS src_id, (doc_id * 31 + j) % {NH} AS dst_id,
