@@ -126,3 +126,54 @@ def decontaminate_stream(
             "n_overlap", "contaminated"
         )
     return out
+
+
+def template_gate_stream(
+    stream: DataFrame,
+    mega_sigs: DataFrame,
+    drop: bool = False,
+    html_col: str = "html",
+) -> DataFrame:
+    """Boilerplate-farm screen on the stream: tag-skeleton fingerprint of
+    each arriving page (operators/webstruct.TAG_RE — the SAME regex the
+    batch template_fingerprint hashes with, so drift is impossible)
+    checked against the known mega-template signature set. A continuous
+    crawl learns its spam/CMS templates from yesterday's batch rollup and
+    demotes matching pages at ingest, before they cost extraction.
+
+    Stateless stream-static shape (the decontaminate_stream rationale):
+    the sig set is collected ONCE at query definition — mega-templates
+    are a curated dimension, thousands at most while the stream is
+    unbounded — into a literal array; the fingerprint is pure JVM exprs
+    (regexp_extract_all → concat_ws → md5), no state store, no watermark,
+    no Python. Works identically on a batch frame, which the test
+    exploits for stream == batch."""
+    from ..operators.webstruct import TAG_RE
+
+    clash = {"template_sig", "template_flagged"} & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"template_gate_stream reserves column(s) {sorted(clash)}; "
+            "rename them on the input stream first"
+        )
+    sigs = sorted(
+        r["template_sig"]
+        for r in mega_sigs.select("template_sig").distinct().collect()
+    )
+    html_str = F.decode(F.col(html_col), "utf-8")
+    sig = F.md5(
+        F.concat_ws(
+            ",", F.regexp_extract_all(html_str, F.lit(TAG_RE), F.lit(1))
+        )
+    )
+    out = stream.withColumn("template_sig", sig).withColumn(
+        "template_flagged",
+        F.array_contains(
+            F.lit(sigs).cast("array<string>"), F.col("template_sig")
+        ).cast("int"),
+    )
+    if drop:
+        return out.filter(F.col("template_flagged") == 0).drop(
+            "template_sig", "template_flagged"
+        )
+    return out

@@ -705,3 +705,79 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     q2.stop()
     assert {r["doc_id"] for r in kept} == {1, 4}
     assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+
+def test_template_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming template screen == the same pure-expr gate applied in
+    batch; flagged = pages whose tag skeleton is a known mega-template;
+    drop=True restores the input schema exactly."""
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        template_gate_stream,
+    )
+
+    mega = "<html><body><nav><a href='/x'>m</a></nav><p>{t}</p></body></html>"
+    rare = "<html><body><article><p>{t}</p><p>extra</p></article></body></html>"
+    rows = [
+        (f"u{i}", (mega if i % 3 else rare).format(t=f"text {i}").encode())
+        for i in range(9)
+    ]
+    batch = spark.createDataFrame(rows, "url string, html binary")
+    # yesterday's rollup: the dominant skeleton is the mega template
+    from sbb_ocr_postcorrection_spark.operators.webstruct import TAG_RE
+
+    sig_col = F.md5(
+        F.concat_ws(
+            ",",
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "utf-8"), F.lit(TAG_RE), F.lit(1)
+            ),
+        )
+    )
+    mega_sigs = (
+        batch.select(sig_col.alias("template_sig"))
+        .groupBy("template_sig")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .select("template_sig")
+    )
+    want = {
+        r["url"]: (r["template_sig"], r["template_flagged"])
+        for r in template_gate_stream(batch, mega_sigs).collect()
+    }
+
+    d = tmp_path / "tin"
+    os.makedirs(d)
+    pd.DataFrame(rows, columns=["url", "html"]).to_parquet(d / "b1.parquet")
+    stream = (
+        spark.readStream.schema("url string, html binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        template_gate_stream(stream, mega_sigs)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["url"]: (r["template_sig"], r["template_flagged"]) for r in seen}
+    assert got == want
+    # 6 mega pages flagged, 3 rare pages pass
+    assert sum(f for _, f in got.values()) == 6
+
+    kept = []
+    q2 = (
+        template_gate_stream(stream, mega_sigs, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["url"] for r in kept} == {u for u, (_, f) in want.items() if not f}
+    assert kept and set(kept[0].asDict()) == {"url", "html"}
