@@ -298,3 +298,47 @@ def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_anchor",
         "top_anchor_n",
     )
+
+
+SPAM_SCALE = 10**6        # fixed-point unit for spam-mass share
+SPAM_THRESHOLD_FP = 900_000  # flag hosts whose rank is ≥ 90 % untrusted
+
+
+def host_spam_mass(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina, Pedersen,
+    VLDB 2006): the fraction of a host's PageRank NOT backed by trust —
+    spam_mass = (PR − TR) / PR with both ranks from the shared integer
+    loop. Link farms accumulate PageRank from untrusted regions of the
+    graph, so their rank collapses under seeded teleport; a host whose
+    rank is ≥ 90 % untrusted is the classic demotion candidate. This is
+    the decision surface the PageRank/TrustRank pair exists to feed.
+
+    Integer-exact: both inputs are int64 fixed-point from `_rank_loop`;
+    the share is greatest(PR − TR, 0)·SPAM_SCALE div PR. The clamp at 0
+    (trust exceeding rank ⇒ not spam) also keeps the floor division on
+    nonnegative operands — Spark's `div` truncates toward zero while
+    DuckDB's `//` floors, so they agree ONLY on nonnegative numerators
+    (the same reason the rank loop never subtracts).
+
+    Scale shape: two rank loops over the shared edge relation plus ONE
+    host-dimension equality join; PR > 0 for every node by construction
+    (uniform teleport), so no division guard is needed."""
+    pr = host_pagerank(spark, sf_dir, iters=iters).select(
+        "host", F.col("rank_fp").alias("pagerank_fp")
+    )
+    tr = host_trustrank(spark, sf_dir, iters=iters).select(
+        "host", F.col("rank_fp").alias("trustrank_fp")
+    )
+    sm = F.expr(
+        f"(greatest(pagerank_fp - trustrank_fp, 0) * {SPAM_SCALE})"
+        " div pagerank_fp"
+    )
+    return pr.join(tr, "host").select(
+        "host",
+        "pagerank_fp",
+        "trustrank_fp",
+        sm.alias("spam_mass_fp"),
+        (sm >= SPAM_THRESHOLD_FP).cast("int").alias("spam_candidate"),
+    )

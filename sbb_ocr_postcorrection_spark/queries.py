@@ -774,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded personalized variant: teleport + dangling mass flow only
         # to the trusted seed set (link-spam demotion / crawl priority)
         "host_trustrank": pinned(linkgraph.host_trustrank),
+        # spam mass (VLDB'06): share of a host's PageRank not backed by
+        # trust — the demotion decision surface fed by the two rank loops
+        "host_spam_mass": pinned(linkgraph.host_spam_mass),
         # anchor-text aggregation per target host (the off-page web-IR
         # signal), tag-skeleton template clustering, cross-host mirror
         # rollup, PMI collocations, canonical keeper per dup component,
@@ -3042,6 +3045,25 @@ def oracle_sql() -> dict[str, str]:
     sql["host_trustrank"] = _pagerank_oracle(
         linkgraph.PR_ITERS, seed_mod=linkgraph.TRUST_SEED_MOD
     )
+    # spam mass: the two rank replays composed as subquery CTEs (each
+    # carries its own WITH chain; names are scoped per subquery); the
+    # greatest(·, 0) clamp keeps // and Spark's div on nonnegative
+    # operands, where they agree
+    _sm = (
+        f"(greatest(pr.rank_fp - tr.rank_fp, 0) * {linkgraph.SPAM_SCALE})"
+        " // pr.rank_fp"
+    )
+    sql["host_spam_mass"] = f"""
+        WITH pr AS ({_pagerank_oracle(linkgraph.PR_ITERS)}),
+        tr AS ({_pagerank_oracle(linkgraph.PR_ITERS,
+                                 seed_mod=linkgraph.TRUST_SEED_MOD)})
+        SELECT pr.host, pr.rank_fp AS pagerank_fp,
+               tr.rank_fp AS trustrank_fp,
+               {_sm} AS spam_mass_fp,
+               CAST({_sm} >= {linkgraph.SPAM_THRESHOLD_FP} AS INTEGER)
+                 AS spam_candidate
+        FROM pr JOIN tr USING (host)
+    """
     # trained language ID (Cavnar-Trenkle n-gram rank profiles): training
     # is one aggregation, so the whole learn->classify->evaluate path is
     # plain (non-chained) SQL

@@ -165,3 +165,36 @@ def test_page_outlinks_counts(spark):
     per_doc = [p for p in rows if p.startswith("/doc/")]
     assert len(per_doc) == n_docs
     assert all(rows[p] == 1 for p in per_doc)
+
+
+def test_host_spam_mass_matches_python_replay(spark):
+    """Spam mass == the composed integer replays; the share is bounded in
+    [0, SPAM_SCALE]; trusted seeds are never demotion candidates (their
+    teleport mass keeps TR close to PR)."""
+    edges = _edges(_doc_ids(spark))
+    pr = _python_pagerank(edges, LG.PR_ITERS)
+    tr = _python_trustrank(edges, LG.PR_ITERS, LG.TRUST_SEED_MOD)
+    want = {}
+    for v in pr:
+        sm = max(pr[v] - tr[v], 0) * LG.SPAM_SCALE // pr[v]
+        want[f"host{v}.example.net"] = (
+            pr[v],
+            tr[v],
+            sm,
+            int(sm >= LG.SPAM_THRESHOLD_FP),
+        )
+    got = {
+        r["host"]: (
+            r["pagerank_fp"],
+            r["trustrank_fp"],
+            r["spam_mass_fp"],
+            r["spam_candidate"],
+        )
+        for r in LG.host_spam_mass(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert all(0 <= v[2] <= LG.SPAM_SCALE for v in got.values())
+    for host, (_, _, _, cand) in got.items():
+        hid = int(host.removeprefix("host").split(".")[0])
+        if hid % LG.TRUST_SEED_MOD == 0:
+            assert cand == 0, f"seed {host} flagged as spam"
