@@ -1090,3 +1090,57 @@ def containment_pairs(
         .otherwise(F.col("id2"))
         .alias("contained_id"),
     )
+
+
+# revisit-tier thresholds: changed share of revisited urls, percent
+CHANGE_HOT_PCT = 50.0
+CHANGE_WARM_PCT = 20.0
+
+
+def crawl_change_rate(spark, sf_dir) -> DataFrame:
+    """Per-section re-crawl budgeting: roll `snapshot_diff` up by site
+    section and tier each section by how much of its revisited content
+    actually changed — the freshness signal adaptive recrawl schedulers
+    (hot news sections daily, cold archives yearly) are driven by.
+
+    change_rate_pct = changed / (changed + unchanged) over urls present
+    in BOTH snapshots (added/removed urls say nothing about churn);
+    tiers: ≥ 50 % hot, ≥ 20 % warm, else cold. Section is extracted from
+    the url with one regexp shared verbatim with the oracle.
+
+    Scale shape: the full-outer diff join is url-bucketed (see
+    snapshot_diff); this adds ONE conditional aggregation on the
+    section key — map-side partials absorb hot sections; the tier
+    when-ladder is a plan expression on the section-dimension rollup."""
+    diff = snapshot_diff(spark, sf_dir)
+    sec = F.regexp_extract(F.col("url"), r"org/([^/]+)/", 1)
+    agg = diff.groupBy(sec.alias("section")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias(
+            "n_unchanged"
+        ),
+    )
+    rate = F.round(
+        F.col("n_changed")
+        * 100.0
+        / F.greatest(F.col("n_changed") + F.col("n_unchanged"), F.lit(1)),
+        6,
+    )
+    tier = (
+        F.when(rate >= CHANGE_HOT_PCT, "hot")
+        .when(rate >= CHANGE_WARM_PCT, "warm")
+        .otherwise("cold")
+    )
+    return agg.select(
+        "section",
+        "n_urls",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        rate.alias("change_rate_pct"),
+        tier.alias("revisit_tier"),
+    )

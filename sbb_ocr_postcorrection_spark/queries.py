@@ -786,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside a larger doc (high containment, LOW Jaccard — the modality
         # the symmetric dedup family misses)
         "containment_pairs": pinned(dedup.containment_pairs),
+        # per-section churn rollup of snapshot_diff -> adaptive recrawl tiers
+        "crawl_change_rate": pinned(dedup.crawl_change_rate),
         "template_fingerprint": pinned(webstruct.template_fingerprint),
         "mirror_detection": pinned(webstruct.mirror_detection),
         "collocations": pinned(index.collocations),
@@ -3201,6 +3203,53 @@ def oracle_sql() -> dict[str, str]:
         JOIN uc u1 ON u1.w = b.w1
         JOIN uc u2 ON u2.w = b.w2
         ORDER BY lift_fp DESC, b.w1, b.w2 LIMIT {index.COLL_K}
+    """
+    sql["crawl_change_rate"] = f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://docs.example.org/' || source || '/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 text
+          FROM documents
+        ), o AS (
+          SELECT url, md5(text) AS old_hash FROM u WHERE doc_id < 400
+        ), n AS (
+          SELECT url,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END) AS new_hash
+          FROM u WHERE doc_id >= 100
+        ), diff AS (
+          SELECT coalesce(o.url, n.url) AS url,
+                 CASE WHEN o.url IS NULL THEN 'added'
+                      WHEN n.url IS NULL THEN 'removed'
+                      WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.url = n.url
+        ), agg AS (
+          SELECT regexp_extract(url, 'org/([^/]+)/', 1) AS section,
+                 count(*) AS n_urls,
+                 sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+                 sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+                 sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+                 sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+          FROM diff GROUP BY 1
+        )
+        SELECT section, n_urls,
+               CAST(n_added AS BIGINT) AS n_added,
+               CAST(n_removed AS BIGINT) AS n_removed,
+               CAST(n_changed AS BIGINT) AS n_changed,
+               CAST(n_unchanged AS BIGINT) AS n_unchanged,
+               round(n_changed * 100.0 /
+                     greatest(n_changed + n_unchanged, 1), 6)
+                 AS change_rate_pct,
+               CASE WHEN round(n_changed * 100.0 /
+                         greatest(n_changed + n_unchanged, 1), 6)
+                         >= {dedup.CHANGE_HOT_PCT} THEN 'hot'
+                    WHEN round(n_changed * 100.0 /
+                         greatest(n_changed + n_unchanged, 1), 6)
+                         >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
+                    ELSE 'cold' END AS revisit_tier
+        FROM agg
     """
     sql["host_language_profile"] = """
         WITH per AS (

@@ -226,3 +226,66 @@ def test_new_windows_are_partitioned_and_topk_is_take_ordered(spark):
     cplan = plan_of(collocations(spark, SF))
     assert "TakeOrderedAndProject" in cplan
     assert "SinglePartition" not in cplan
+
+
+def test_crawl_change_rate_matches_reference(spark):
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        CHANGE_HOT_PCT,
+        CHANGE_WARM_PCT,
+        crawl_change_rate,
+    )
+
+    old, new = {}, {}
+    for doc_id, text, _ in _docs():
+        sec_doc = duckdb.sql(
+            f"SELECT source FROM '{SF}/documents.parquet' WHERE doc_id = {doc_id}"
+        ).fetchone()[0]
+        url = (sec_doc, doc_id)
+        if doc_id < 400:
+            old[url] = text
+        if doc_id >= 100:
+            new[url] = text + " v2" if doc_id % 5 == 0 else text
+    per = defaultdict(lambda: Counter())
+    for url in set(old) | set(new):
+        sec = url[0]
+        if url not in old:
+            per[sec]["added"] += 1
+        elif url not in new:
+            per[sec]["removed"] += 1
+        elif old[url] == new[url]:
+            per[sec]["unchanged"] += 1
+        else:
+            per[sec]["changed"] += 1
+    want = {}
+    for sec, c in per.items():
+        rate = round(
+            c["changed"] * 100.0 / max(c["changed"] + c["unchanged"], 1), 6
+        )
+        tier = (
+            "hot"
+            if rate >= CHANGE_HOT_PCT
+            else "warm" if rate >= CHANGE_WARM_PCT else "cold"
+        )
+        want[sec] = (
+            sum(c.values()),
+            c["added"],
+            c["removed"],
+            c["changed"],
+            c["unchanged"],
+            rate,
+            tier,
+        )
+    got = {
+        r["section"]: (
+            r["n_urls"],
+            r["n_added"],
+            r["n_removed"],
+            r["n_changed"],
+            r["n_unchanged"],
+            r["change_rate_pct"],
+            r["revisit_tier"],
+        )
+        for r in crawl_change_rate(spark, SF).collect()
+    }
+    assert got == want
+    assert len({t for *_, t in got.values()}) >= 2, "tiers non-vacuous"
