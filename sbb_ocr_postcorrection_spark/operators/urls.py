@@ -554,3 +554,42 @@ def host_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang_pct"
         ),
     )
+
+
+HOST_CAP = 40  # max documents a single host may contribute
+
+
+def host_cap_sample(spark: SparkSession, sf_dir: str, cap: int = HOST_CAP) -> DataFrame:
+    """Per-host contribution cap (the C4 / RefinedWeb anti-domination
+    rule): no host may contribute more than ``cap`` documents to the
+    corpus, and WHICH documents survive must be a deterministic uniform
+    sample — not "first cap by doc_id" (that biases toward a host's
+    oldest pages). Rank within host by the md5 coin (rerun-stable, the
+    corpus_sample discipline), keep rank ≤ cap; every document gets a
+    verdict row (kept=0 rows carry their rank so the cut is auditable).
+
+    Scale shape: ONE host-partitioned window (never global). A mega-host
+    partition sorts only that host's (coin, doc_id) pairs — tens of MB
+    for a 10^6-page host, fine for one task; for pathological hosts the
+    crawl_schedule two-phase layout applies, but a cap-sized cut needs
+    the full per-host order anyway."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    coin = F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")))
+    ranked = d.select(
+        "doc_id",
+        synth_host_expr(F.col("doc_id")).alias("host"),
+        coin.alias("coin"),
+    ).withColumn(
+        "rank_in_host",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(F.asc("coin"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "host",
+        "rank_in_host",
+        (F.col("rank_in_host") <= cap).cast("int").alias("kept"),
+    )

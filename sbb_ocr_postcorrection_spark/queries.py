@@ -793,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": pinned(index.collocations),
         "component_canonical": pinned(components.component_canonical),
         "host_language_profile": pinned(urls.host_language_profile),
+        # C4/RefinedWeb anti-domination rule: deterministic uniform cap on
+        # any single host's contribution, every doc gets an auditable verdict
+        "host_cap_sample": pinned(urls.host_cap_sample),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3250,6 +3253,21 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    sql["host_cap_sample"] = f"""
+        WITH ranked AS (
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS host,
+                 md5('cap|' || CAST(doc_id AS VARCHAR)) AS coin
+          FROM documents),
+        w AS (SELECT doc_id, host,
+                     CAST(row_number() OVER (PARTITION BY host
+                          ORDER BY coin, doc_id) AS INTEGER) AS rank_in_host
+              FROM ranked)
+        SELECT doc_id, host, rank_in_host,
+               CAST(rank_in_host <= {urls.HOST_CAP} AS INTEGER) AS kept
+        FROM w
     """
     sql["host_language_profile"] = """
         WITH per AS (

@@ -289,3 +289,34 @@ def test_crawl_change_rate_matches_reference(spark):
     }
     assert got == want
     assert len({t for *_, t in got.values()}) >= 2, "tiers non-vacuous"
+
+
+def test_host_cap_sample_matches_reference(spark):
+    """Cap verdicts == a pure-Python replay: md5-coin rank within host,
+    kept iff rank ≤ cap; both kept and dropped docs exist; the sample is
+    rerun-stable (the coin depends only on doc_id)."""
+    from sbb_ocr_postcorrection_spark.operators.urls import (
+        HOST_CAP,
+        host_cap_sample,
+    )
+
+    by_host = defaultdict(list)
+    for doc_id, _, _ in _docs():
+        coin = hashlib.md5(f"cap|{doc_id}".encode()).hexdigest()
+        by_host[f"site{doc_id % 7}.example.com"].append((coin, doc_id))
+    want = {}
+    for host, pairs in by_host.items():
+        for rank, (_, doc_id) in enumerate(sorted(pairs), start=1):
+            want[doc_id] = (host, rank, int(rank <= HOST_CAP))
+    got = {
+        r["doc_id"]: (r["host"], r["rank_in_host"], r["kept"])
+        for r in host_cap_sample(spark, SF).collect()
+    }
+    assert got == want
+    kept = sum(k for _, _, k in got.values())
+    assert 0 < kept < len(got), "cap bites but keeps something"
+    got2 = {
+        r["doc_id"]: (r["host"], r["rank_in_host"], r["kept"])
+        for r in host_cap_sample(spark, SF).collect()
+    }
+    assert got2 == got
