@@ -1052,3 +1052,81 @@ def length_histogram(spark, sf_dir, docs=None) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+PR_GRID = 20  # PR-curve resolution: thresholds on a fixed integer grid
+
+
+def quality_classifier_pr_curve(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Threshold sweep for the learned quality classifier: held-out
+    precision/recall/F1 at PR_GRID+1 integer score cutoffs — the curve an
+    operator reads before picking the production keep threshold (the
+    fixed pred_keep rule `score > 0` is just one point on it).
+
+    Scale-safe sweep shape: NO cumulative global window and NO
+    distinct-score² range join (distinct scores grow with the corpus).
+    Instead: one (score → n_pos/n_neg) rollup, a 1-row min/max aggregate,
+    a CONSTANT-sized arithmetic threshold grid lo + i·(hi−lo) div K, and
+    one broadcast grid × score-rollup conditional aggregation — linear in
+    distinct scores with K fixed. All cells are exact integers; the
+    derived pcts are the shared guarded divisions, so the whole sweep —
+    including the training that produced the weights — replays in the
+    oracle."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    train = d.filter(F.col("doc_id") % CLF_EVAL_FOLD != 0)
+    held = d.filter(F.col("doc_id") % CLF_EVAL_FOLD == 0)
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=train)
+    scored = _score_under_weights(held, weights, dim)
+    per = scored.groupBy("clf_score").agg(
+        F.sum("label_keep").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label_keep")).cast("long").alias("n_neg"),
+    )
+    mm = per.agg(
+        F.min("clf_score").alias("lo"), F.max("clf_score").alias("hi")
+    )
+    thr = (
+        mm.select(
+            F.explode(F.sequence(F.lit(0), F.lit(PR_GRID))).alias("i"),
+            "lo",
+            "hi",
+        )
+        .select(
+            (F.col("lo") + F.expr(f"(i * (hi - lo)) div {PR_GRID}")).alias(
+                "thr"
+            )
+        )
+        .distinct()
+    )
+    ge = (F.col("clf_score") >= F.col("thr")).cast("long")
+    cells = (
+        per.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(ge * F.col("n_pos")).alias("tp"),
+            F.sum(ge * F.col("n_neg")).alias("fp"),
+            F.sum((1 - ge) * F.col("n_pos")).alias("fn"),
+            F.sum((1 - ge) * F.col("n_neg")).alias("tn"),
+        )
+    )
+    return cells.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias("prec"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias("rec"),
+        F.round(
+            2 * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    )

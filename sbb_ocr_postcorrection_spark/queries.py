@@ -687,6 +687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # held-out P/R/F1 of the learned filter: train on 4/5, score the
         # unseen fifth, aggregate the A9 confusion surface — fully replayed
         "quality_classifier_eval": pinned(textstats.quality_classifier_eval),
+        # held-out P/R/F1 at a constant integer threshold grid — the curve
+        # behind the production keep-threshold choice
+        "quality_classifier_pr_curve": pinned(
+            textstats.quality_classifier_pr_curve
+        ),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
         # TRAINED language ID (Cavnar-Trenkle char-n-gram rank profiles,
         # learned from labeled data in-engine — closes the langid.py
@@ -1098,6 +1103,76 @@ def _perceptron_eval_oracle(epochs: int) -> str:
                             + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1,
            round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
     FROM c"""
+    )
+
+
+def _perceptron_pr_curve_oracle(epochs: int) -> str:
+    """Threshold-sweep replay: training CTEs + held-out scoring (shared
+    with _perceptron_eval_oracle) + the constant arithmetic grid and the
+    grid × score-rollup conditional aggregation — all integers until the
+    final guarded divisions."""
+    from .operators.textstats import CLF_DIM, CLF_EVAL_FOLD, PR_GRID
+
+    bucket = _hex2int("md5(token)") + f" % {CLF_DIM}"
+    return (
+        _perceptron_stages_sql(
+            epochs, f"WHERE doc_id % {CLF_EVAL_FOLD} != 0"
+        )
+        + f""",
+    th AS MATERIALIZED (
+      SELECT doc_id, coalesce(text, '') AS text, {_TOKS_SQL} AS toks
+      FROM documents WHERE doc_id % {CLF_EVAL_FOLD} = 0
+    ),
+    labh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 10
+                   AND round(length(regexp_replace(lower(text), '[^a-z]',
+                                                   '', 'g'))
+                             / greatest(length(text), 1), 4) > 0.6
+                  THEN 1 ELSE 0 END AS t
+      FROM th
+    ),
+    featsh AS MATERIALIZED (
+      SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM th)
+      GROUP BY 1, 2
+    ),
+    sch AS MATERIALIZED (
+      SELECT f.doc_id, sum(w.weight * f.cnt) AS s
+      FROM featsh f JOIN w{epochs} w USING (bucket) GROUP BY 1
+    ),
+    prc_sc AS (
+      SELECT l.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS clf_score, l.t
+      FROM labh l LEFT JOIN sch s USING (doc_id)
+    ),
+    prc_per AS (
+      SELECT clf_score, CAST(sum(t) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(t) AS BIGINT) AS n_neg
+      FROM prc_sc GROUP BY 1
+    ),
+    prc_mm AS (SELECT min(clf_score) AS lo, max(clf_score) AS hi FROM prc_per),
+    prc_thr AS (
+      SELECT DISTINCT CAST(lo + (i * (hi - lo)) // {PR_GRID} AS BIGINT)
+               AS thr
+      FROM prc_mm CROSS JOIN generate_series(0, {PR_GRID}) t(i)
+    ),
+    prc_cells AS (
+      SELECT th.thr,
+             CAST(sum(CASE WHEN p.clf_score >= th.thr THEN p.n_pos
+                      ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.clf_score >= th.thr THEN p.n_neg
+                      ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.clf_score < th.thr THEN p.n_pos
+                      ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN p.clf_score < th.thr THEN p.n_neg
+                      ELSE 0 END) AS BIGINT) AS tn
+      FROM prc_thr th CROSS JOIN prc_per p GROUP BY 1
+    )
+    SELECT thr, tp, fp, fn, tn,
+           round(tp / greatest(tp + fp, 1), 6) AS prec,
+           round(tp / greatest(tp + fn, 1), 6) AS rec,
+           round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+    FROM prc_cells"""
     )
 
 
@@ -2921,6 +2996,9 @@ def oracle_sql() -> dict[str, str]:
         textstats.CLF_EPOCHS
     )
     sql["quality_classifier_eval"] = _perceptron_eval_oracle(
+        textstats.CLF_EPOCHS
+    )
+    sql["quality_classifier_pr_curve"] = _perceptron_pr_curve_oracle(
         textstats.CLF_EPOCHS
     )
     # the composite curation verdict reuses the stage oracles as CTEs, so

@@ -112,3 +112,30 @@ def test_quality_classifier_eval_held_out(spark):
     assert r["tp"] == sum(1 for _, _, k in held if k)
     assert r["tn"] == sum(1 for _, _, k in held if not k)
     assert (r["prec"], r["rec"], r["f1"], r["accuracy"]) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_pr_curve_invariants(spark):
+    """Threshold sweep is internally consistent: cell sums are constant
+    across thresholds (every held doc lands in exactly one cell), tp/fp
+    are monotone non-increasing in the threshold, and the curve spans
+    from keep-everything (recall 1) to keep-almost-nothing."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        quality_classifier_pr_curve,
+    )
+
+    rows = sorted(
+        quality_classifier_pr_curve(spark, SF).collect(),
+        key=lambda r: r["thr"],
+    )
+    assert len(rows) >= 2
+    pos = {r["tp"] + r["fn"] for r in rows}
+    neg = {r["fp"] + r["tn"] for r in rows}
+    assert len(pos) == 1 and len(neg) == 1
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    # lowest threshold = min score -> everything kept
+    assert rows[0]["rec"] == 1.0 and rows[0]["fn"] == 0
+    # highest threshold = max score -> at most the top score bucket kept
+    assert rows[-1]["tp"] + rows[-1]["fp"] <= rows[0]["tp"] + rows[0]["fp"]
