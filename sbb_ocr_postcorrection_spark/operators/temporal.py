@@ -83,3 +83,64 @@ def asof_join(
             "lag_us"
         ),
     )
+
+
+TREND_DAYS = 30     # synthetic ingest calendar length
+TREND_WINDOW = 7    # trailing-window width (strictly prior days)
+SPIKE_FACTOR = 2    # spike: day volume > factor × trailing average
+
+
+def ingest_trend(spark, sf_dir) -> DataFrame:
+    """Ingest-volume monitoring: per-day document/char counts with a
+    trailing 7-day baseline and an integer-exact spike flag — the
+    dashboard query a crawl operator watches for a broken feed (volume
+    collapse) or a loop/spam burst (volume spike). The spike rule avoids
+    floats entirely: day > SPIKE_FACTOR × (trail_sum / WINDOW) is
+    evaluated as day · WINDOW > SPIKE_FACTOR · trail_sum — both sides
+    int64, so the verdict hash-matches by construction (the lm_unigram
+    discipline). Days with no prior history never flag.
+
+    Scale shape: ONE corpus-sized rollup onto the day dimension
+    (map-side combinable), then the trailing window is a day-dimension
+    self-join (datediff ∈ [1, WINDOW], broadcast — the dimension is
+    ~365·years rows, never corpus-sized) instead of a global ordered
+    window; no SinglePartition over anything data-sized. The ingest day
+    is synthesized as a 30-day calendar (doc_id % 30) — a real corpus
+    has warc_ts partitioning instead."""
+    d = load(spark, sf_dir, "documents")
+    day = F.date_add(
+        F.to_date(F.lit("2024-01-01")),
+        (F.col("doc_id") % TREND_DAYS).cast("int"),
+    )
+    per = d.select(day.alias("dt"), "n_chars").groupBy("dt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_day"),
+    )
+    a = per.alias("a")
+    b = per.select(
+        F.col("dt").alias("bdt"), F.col("n_chars_day").alias("bchars")
+    )
+    dd = F.datediff(F.col("a.dt"), F.col("bdt"))
+    trail = (
+        a.join(F.broadcast(b), (dd >= 1) & (dd <= TREND_WINDOW), "left")
+        .groupBy("a.dt", "a.n_docs", "a.n_chars_day")
+        .agg(
+            F.coalesce(F.sum("bchars"), F.lit(0)).cast("long").alias("trail_chars"),
+            F.count("bdt").cast("long").alias("n_prior_days"),
+        )
+    )
+    spike = (
+        (F.col("n_prior_days") > 0)
+        & (
+            F.col("n_chars_day") * TREND_WINDOW
+            > SPIKE_FACTOR * F.col("trail_chars")
+        )
+    ).cast("int")
+    return trail.select(
+        F.col("dt"),
+        F.col("n_docs"),
+        F.col("n_chars_day"),
+        "trail_chars",
+        "n_prior_days",
+        spike.alias("spike"),
+    )

@@ -801,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4/RefinedWeb anti-domination rule: deterministic uniform cap on
         # any single host's contribution, every doc gets an auditable verdict
         "host_cap_sample": pinned(urls.host_cap_sample),
+        # ingest-volume trend with integer-exact spike detection over the
+        # day dimension (trailing self-join, no global window)
+        "ingest_trend": pinned(temporal.ingest_trend),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3331,6 +3334,28 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    sql["ingest_trend"] = f"""
+        WITH per AS (
+          SELECT DATE '2024-01-01'
+                   + CAST(doc_id % {temporal.TREND_DAYS} AS INTEGER) AS dt,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars_day
+          FROM documents GROUP BY 1),
+        trail AS (
+          SELECT a.dt, a.n_docs, a.n_chars_day,
+                 CAST(coalesce(sum(b.n_chars_day), 0) AS BIGINT)
+                   AS trail_chars,
+                 CAST(count(b.dt) AS BIGINT) AS n_prior_days
+          FROM per a LEFT JOIN per b
+            ON a.dt - b.dt BETWEEN 1 AND {temporal.TREND_WINDOW}
+          GROUP BY 1, 2, 3)
+        SELECT dt, n_docs, n_chars_day, trail_chars, n_prior_days,
+               CAST(n_prior_days > 0
+                    AND n_chars_day * {temporal.TREND_WINDOW}
+                        > {temporal.SPIKE_FACTOR} * trail_chars
+                 AS INTEGER) AS spike
+        FROM trail
     """
     sql["host_cap_sample"] = f"""
         WITH ranked AS (

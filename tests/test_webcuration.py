@@ -320,3 +320,52 @@ def test_host_cap_sample_matches_reference(spark):
         for r in host_cap_sample(spark, SF).collect()
     }
     assert got2 == got
+
+
+def test_ingest_trend_matches_reference(spark):
+    from datetime import date, timedelta
+
+    from sbb_ocr_postcorrection_spark.operators.temporal import (
+        SPIKE_FACTOR,
+        TREND_DAYS,
+        TREND_WINDOW,
+        ingest_trend,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    chars = {
+        d: n
+        for d, n in duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    base = date(2024, 1, 1)
+    for doc_id in chars:
+        dt = base + timedelta(days=doc_id % TREND_DAYS)
+        per[dt][0] += 1
+        per[dt][1] += chars[doc_id]
+    want = {}
+    for dt, (nd, nc) in per.items():
+        prior = [
+            per[p][1]
+            for k in range(1, TREND_WINDOW + 1)
+            if (p := dt - timedelta(days=k)) in per
+        ]
+        trail = sum(prior)
+        spike = int(
+            len(prior) > 0 and nc * TREND_WINDOW > SPIKE_FACTOR * trail
+        )
+        want[dt] = (nd, nc, trail, len(prior), spike)
+    got = {
+        r["dt"]: (
+            r["n_docs"],
+            r["n_chars_day"],
+            r["trail_chars"],
+            r["n_prior_days"],
+            r["spike"],
+        )
+        for r in ingest_trend(spark, SF).collect()
+    }
+    assert got == want
+    # day 0 of the calendar has no prior history -> never flags
+    assert got[base][4] == 0
