@@ -1130,3 +1130,67 @@ def quality_classifier_pr_curve(
             6,
         ).alias("f1"),
     )
+
+
+def text_diversity(spark, sf_dir, docs=None) -> DataFrame:
+    """Per-source lexical diversity: distinct-1 (vocabulary / tokens) and
+    distinct-3 (unique word trigrams / trigram positions) — the standard
+    generation-diversity metrics turned on the corpus itself. A source
+    whose distinct-3 collapses is template spam or model-generated loops
+    even when its per-doc repetition scores pass (the signal lives ACROSS
+    documents, which is why this is not redundant with gopher_repetition).
+
+    All four inputs are exact integer counts from two two-phase
+    aggregations (token stream, trigram stream — both map-side
+    combinable); the two divisions at the end are IEEE-exact. Trigrams
+    here are POSITIONS (non-distinct within doc), the textbook
+    denominator, so the `_shingles` distinct-set builder is deliberately
+    not reused."""
+    from .dedup import _shingles  # noqa: F401  (contrast documented above)
+
+    d = _base_docs(spark, sf_dir, docs)
+    toks = d.select(
+        "source", _tokens(F.col("text")).alias("t")
+    )
+    tri = toks.select(
+        "source",
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+            " element_at(t, i + 2))) ELSE array() END"
+        ).alias("g3"),
+    )
+    uni = (
+        toks.select("source", F.explode("t").alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_vocab"),
+        )
+    )
+    tr = (
+        tri.select("source", F.explode("g3").alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.countDistinct("g").alias("n_tri_distinct"),
+        )
+    )
+    return (
+        uni.join(tr, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("n_tri_distinct", F.lit(0)).alias("n_tri_distinct"),
+            F.round(
+                F.col("n_vocab") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("distinct1"),
+            F.round(
+                F.coalesce("n_tri_distinct", F.lit(0))
+                / F.greatest(F.coalesce("n_trigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("distinct3"),
+        )
+    )

@@ -804,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingest-volume trend with integer-exact spike detection over the
         # day dimension (trailing self-join, no global window)
         "ingest_trend": pinned(temporal.ingest_trend),
+        # cross-doc lexical diversity (distinct-1/distinct-3 per source) —
+        # template spam collapses here even when per-doc repetition passes
+        "text_diversity": pinned(textstats.text_diversity),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3334,6 +3337,33 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    sql["text_diversity"] = f"""
+        WITH toks AS (
+          SELECT source, {_TOKS_SQL} AS t FROM documents),
+        uni AS (
+          SELECT source, count(*) AS n_tokens,
+                 count(DISTINCT w) AS n_vocab
+          FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1),
+        tri AS (
+          SELECT source, count(*) AS n_trigrams,
+                 count(DISTINCT g) AS n_tri_distinct
+          FROM (
+            SELECT source,
+                   unnest(CASE WHEN len(t) >= 3 THEN list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE [] END) AS g
+            FROM toks) GROUP BY 1)
+        SELECT u.source, u.n_tokens, u.n_vocab,
+               CAST(coalesce(t.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+               CAST(coalesce(t.n_tri_distinct, 0) AS BIGINT)
+                 AS n_tri_distinct,
+               round(u.n_vocab / greatest(u.n_tokens, 1), 6) AS distinct1,
+               round(coalesce(t.n_tri_distinct, 0)
+                     / greatest(coalesce(t.n_trigrams, 0), 1), 6)
+                 AS distinct3
+        FROM uni u LEFT JOIN tri t USING (source)
     """
     sql["ingest_trend"] = f"""
         WITH per AS (

@@ -369,3 +369,46 @@ def test_ingest_trend_matches_reference(spark):
     assert got == want
     # day 0 of the calendar has no prior history -> never flags
     assert got[base][4] == 0
+
+
+def test_text_diversity_matches_reference(spark):
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        text_diversity,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    uni = defaultdict(Counter)
+    tri = defaultdict(Counter)
+    for source, text in rows:
+        t = [w for w in (text or "").lower().split(" ") if w]
+        uni[source].update(t)
+        tri[source].update(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        )
+    want = {}
+    for s in uni:
+        nt, nv = sum(uni[s].values()), len(uni[s])
+        ng, nd = sum(tri[s].values()), len(tri[s])
+        want[s] = (
+            nt,
+            nv,
+            ng,
+            nd,
+            round(nv / max(nt, 1), 6),
+            round(nd / max(ng, 1), 6),
+        )
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_vocab"],
+            r["n_trigrams"],
+            r["n_tri_distinct"],
+            r["distinct1"],
+            r["distinct3"],
+        )
+        for r in text_diversity(spark, SF).collect()
+    }
+    assert got == want
+    assert all(0 < v[5] <= 1 for v in got.values())
