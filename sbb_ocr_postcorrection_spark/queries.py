@@ -505,6 +505,13 @@ def _sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_scan(spark, sf_dir)
 
 
+def _sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.sitemap import sitemap_coverage
+
+    _pin(spark)
+    return sitemap_coverage(spark, sf_dir)
+
+
 def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.robots import crawl_schedule
 
@@ -593,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _crawl_schedule,
         # sitemap discovery frontier (hosts-sized XML parse + loc join)
         "sitemap_scan": _sitemap_scan,
+        # per-host discovery-completeness audit: advertised vs crawled url
+        # space (frontier gaps + stale-sitemap orphans)
+        "sitemap_coverage": _sitemap_coverage,
         "routing_semi": pinned(R.routing_semi),
         "routing_anti": pinned(R.routing_anti),
         "reassembly": pinned(R.reassembly),
@@ -3336,6 +3346,43 @@ def oracle_sql() -> dict[str, str]:
                          greatest(n_changed + n_unchanged, 1), 6)
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
+        FROM agg
+    """
+    sql["sitemap_coverage"] = """
+        WITH adv AS (
+          SELECT 'https://site' || CAST(k AS VARCHAR)
+                   || '.example.com/p/' || CAST(p AS VARCHAR) AS loc
+          FROM (SELECT unnest(range(0, 7)) AS k),
+               (SELECT unnest(range(0, 13)) AS p)
+        ), crawled AS (
+          SELECT DISTINCT loc FROM (
+            SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p/' || CAST(doc_id % 13 AS VARCHAR)
+                     AS loc
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100
+            UNION ALL
+            SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p/'
+                     || CAST(100 + doc_id % 13 AS VARCHAR)
+            FROM documents WHERE doc_id % 9 = 0)
+        ), j AS (
+          SELECT coalesce(a.loc, c.loc) AS loc,
+                 CASE WHEN a.loc IS NULL THEN 0 ELSE 1 END AS adv,
+                 CASE WHEN c.loc IS NULL THEN 0 ELSE 1 END AS crw
+          FROM adv a FULL OUTER JOIN crawled c ON a.loc = c.loc
+        ), agg AS (
+          SELECT regexp_extract(loc, 'https://([^/]+)/', 1) AS host,
+                 CAST(sum(adv) AS BIGINT) AS n_advertised,
+                 CAST(sum(crw) AS BIGINT) AS n_crawled,
+                 CAST(sum(adv * crw) AS BIGINT) AS n_both,
+                 CAST(sum(adv * (1 - crw)) AS BIGINT) AS n_sitemap_only,
+                 CAST(sum((1 - adv) * crw) AS BIGINT) AS n_crawled_only
+          FROM j GROUP BY 1
+        )
+        SELECT host, n_advertised, n_crawled, n_both, n_sitemap_only,
+               n_crawled_only,
+               round(n_both * 100.0 / greatest(n_advertised, 1), 6)
+                 AS coverage_pct
         FROM agg
     """
     sql["text_diversity"] = f"""

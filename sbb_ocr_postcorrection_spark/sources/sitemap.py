@@ -123,3 +123,72 @@ def sitemap_scan(spark, sf_dir, sitemaps=None, known=None):
             F.coalesce(F.col("known"), F.lit(0)).cast("int").alias("known"),
         )
     )
+
+
+ORPHAN_MOD = 9  # every 9th crawled doc contributes a link-discovered orphan
+
+
+def sitemap_coverage(spark, sf_dir) -> "DataFrame":
+    """Per-host discovery-completeness audit: reconcile the
+    sitemap-ADVERTISED url space with the actually-CRAWLED url set —
+    n_sitemap_only is tomorrow's frontier (advertised, never fetched),
+    n_crawled_only are orphans reached by links the site never advertised
+    (the signal a sitemap is stale), coverage_pct drives per-host
+    discovery-budget decisions.
+
+    Fixture: the advertised side is the sitemap_scan relation; the
+    crawled side is its known-history fixture (even doc_ids < 100)
+    plus deterministic orphan urls (/p/1xx paths outside the advertised
+    space, every ORPHAN_MOD-th doc) so all three statuses are non-vacuous
+    (the augmentation convention).
+
+    Scale shape: one FULL OUTER equality join on the url key (frontier ⋈
+    crawl index, both sides url-sharded — co-located when both are
+    bucketed by url) followed by ONE host aggregation; host comes from
+    the url via one regexp so crawled-only rows need no second source."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import load
+
+    adv = sitemap_scan(spark, sf_dir).select("loc").withColumn(
+        "advertised", F.lit(1)
+    )
+    d = load(spark, sf_dir, "documents")
+    known = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+        ).alias("loc")
+    )
+    orphans = d.filter(F.col("doc_id") % ORPHAN_MOD == 0).select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.lit(100) + F.col("doc_id") % 13).cast("string"),
+        ).alias("loc")
+    )
+    crawled = known.unionByName(orphans).distinct().withColumn(
+        "crawled", F.lit(1)
+    )
+    j = adv.join(crawled, "loc", "full_outer")
+    host = F.regexp_extract(F.col("loc"), r"https://([^/]+)/", 1)
+    both = (F.col("advertised").isNotNull() & F.col("crawled").isNotNull()).cast("long")
+    s_only = (F.col("advertised").isNotNull() & F.col("crawled").isNull()).cast("long")
+    c_only = (F.col("advertised").isNull() & F.col("crawled").isNotNull()).cast("long")
+    agg = j.groupBy(host.alias("host")).agg(
+        F.sum(F.col("advertised").isNotNull().cast("long")).alias("n_advertised"),
+        F.sum(F.col("crawled").isNotNull().cast("long")).alias("n_crawled"),
+        F.sum(both).alias("n_both"),
+        F.sum(s_only).alias("n_sitemap_only"),
+        F.sum(c_only).alias("n_crawled_only"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.col("n_both") * 100.0 / F.greatest(F.col("n_advertised"), F.lit(1)),
+            6,
+        ).alias("coverage_pct"),
+    )

@@ -412,3 +412,19 @@ def test_text_diversity_matches_reference(spark):
     }
     assert got == want
     assert all(0 < v[5] <= 1 for v in got.values())
+
+
+def test_sitemap_coverage_statuses_non_vacuous(spark):
+    """All three reconciliation statuses fire, counts are internally
+    consistent, and coverage never exceeds 100."""
+    from sbb_ocr_postcorrection_spark.sources.sitemap import sitemap_coverage
+
+    rows = sitemap_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_advertised"] == r["n_both"] + r["n_sitemap_only"]
+        assert r["n_crawled"] == r["n_both"] + r["n_crawled_only"]
+        assert 0 <= r["coverage_pct"] <= 100
+    assert sum(r["n_both"] for r in rows) > 0
+    assert sum(r["n_sitemap_only"] for r in rows) > 0
+    assert sum(r["n_crawled_only"] for r in rows) > 0
