@@ -659,3 +659,106 @@ def lsh_multiprobe_topk(spark, sf_dir, n_probes: int = 5, k: int = 3) -> DataFra
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "cand_id", "cosine")
     )
+
+
+SEM_DUP_MOD = 13          # every 13th vector gets a near-duplicate copy
+SEM_DUP_ID_BASE = 10**6   # injected duplicate vec_ids
+SEM_THRESHOLD = 0.99      # within-cluster cosine prune threshold
+
+
+def semantic_dedup(
+    spark, sf_dir, n_lists: int = 8, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication —
+    cluster the corpus with the coarse quantizer, then WITHIN each
+    cluster drop every vector that has a higher-similarity twin with a
+    smaller id (cosine ≥ threshold ⇒ semantic duplicate; the survivor is
+    the min id, pinned). Catches paraphrases and re-encodes that no
+    lexical method (shingle/minhash/simhash) can see — the embedding-side
+    completion of the dedup family.
+
+    Clustering reuses the PINNED ±1 centroids (ivf_topk_pinned), so
+    assignment is plan-literal algebra and the whole operator — cluster,
+    pair, prune — replays in the oracle. Non-vacuity: every SEM_DUP_MOD-th
+    vector is re-injected scaled ×2 (same direction ⇒ cosine exactly 1
+    after round-4, same argmax cell by linearity) — modeling a re-encoded
+    duplicate, identically in both engines.
+
+    Scale shape: assignment is one narrow pass (cell = argmax over
+    n_lists plan-literal dots); pairing is an equality self-join ON THE
+    CELL KEY ONLY — the published algorithm's cost is exactly this
+    within-cluster quadratic, bounded by cluster size (at 10^12 vectors
+    the cell id is the storage bucket and oversized cells get split by
+    re-clustering — the LSH hot-bucket cap discipline). Never a global
+    cross join; verdicts via one grouped anti-probe, no windows over
+    anything corpus-sized."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    first = e.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, n_dups long, keeper long, dropped int"
+        )
+    dim = first["d"]
+    C = ivf_pinned_centroids(n_lists, dim)
+    e2 = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    dup = e2.where(F.col("vec_id") % SEM_DUP_MOD == 0).select(
+        (F.col("vec_id") + SEM_DUP_ID_BASE).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    allv = e2.unionByName(dup)
+    cd = F.array(
+        *[
+            F.struct(
+                _dot(F.col("v"), F.array(*[F.lit(w) for w in C[c]])).alias("dot"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(n_lists)
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cd, lambda s: F.struct((-s["dot"]).alias("nd"), s["cell"].alias("cell"))
+        )
+    )["cell"]
+    asg = allv.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"),
+        best.cast("int").alias("cell"),
+    )
+    a = asg.select(
+        "cell", F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("nm").alias("n1"),
+    )
+    b = asg.select(
+        "cell", F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("nm").alias("n2"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id2",
+            "id1",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    dups = pairs.groupBy("id2").agg(
+        F.min("id1").alias("twin"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(dups, asg.vec_id == dups.id2, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce("twin", F.col("vec_id")).cast("long").alias("keeper"),
+            F.col("twin").isNotNull().cast("int").alias("dropped"),
+        )
+    )

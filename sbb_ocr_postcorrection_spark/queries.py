@@ -817,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc lexical diversity (distinct-1/distinct-3 per source) —
         # template spam collapses here even when per-doc repetition passes
         "text_diversity": pinned(textstats.text_diversity),
+        # SemDeDup: embedding-cluster dedup (paraphrase/re-encode twins no
+        # lexical method sees), pinned-centroid clustering + in-cell prune
+        "semantic_dedup": pinned(similarity.semantic_dedup),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3347,6 +3350,37 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    sql["semantic_dedup"] = f"""
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        e AS (SELECT vec_id, v FROM e0
+              UNION ALL
+              SELECT vec_id + {similarity.SEM_DUP_ID_BASE},
+                     list_transform(v, x -> x * 2)
+              FROM e0 WHERE vec_id % {similarity.SEM_DUP_MOD} = 0),
+        d AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm,
+                     cell, list_inner_product(v, w) AS dot
+              FROM e CROSS JOIN {_ivf_cents_sql()}),
+        asg AS (SELECT vec_id, v, nm, CAST(cell AS INTEGER) AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dot DESC, cell) AS rn
+                      FROM d) WHERE rn = 1),
+        pairs AS (SELECT b.vec_id AS id2, a.vec_id AS id1,
+                         round(list_inner_product(a.v, b.v)
+                               / (a.nm * b.nm), 4) AS cosine
+                  FROM asg a JOIN asg b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        dups AS (SELECT id2, min(id1) AS twin,
+                        CAST(count(*) AS BIGINT) AS n_dups
+                 FROM pairs WHERE cosine >= {similarity.SEM_THRESHOLD}
+                 GROUP BY id2)
+        SELECT s.vec_id, s.cell,
+               coalesce(d.n_dups, 0) AS n_dups,
+               CAST(coalesce(d.twin, s.vec_id) AS BIGINT) AS keeper,
+               CAST(CASE WHEN d.twin IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                 AS dropped
+        FROM asg s LEFT JOIN dups d ON d.id2 = s.vec_id
     """
     sql["sitemap_coverage"] = """
         WITH adv AS (

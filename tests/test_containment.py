@@ -90,3 +90,26 @@ def test_containment_catches_what_jaccard_misses(spark):
     ]
     assert witnesses, "every reported pair was Jaccard-visible"
     assert all(w["contained_id"] >= QUOTE_ID_BASE for w in witnesses)
+
+
+def test_semantic_dedup_drops_injected_twins(spark):
+    """Every injected ×2-scaled twin lands in its source's cluster and is
+    dropped with the source as keeper (cosine exactly 1 after round-4);
+    sources themselves survive."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        SEM_DUP_ID_BASE,
+        SEM_DUP_MOD,
+        semantic_dedup,
+    )
+
+    rows = {r["vec_id"]: r for r in semantic_dedup(spark, SF).collect()}
+    injected = [v for v in rows if v >= SEM_DUP_ID_BASE]
+    assert injected, "fixture injects twins"
+    for v in injected:
+        src = v - SEM_DUP_ID_BASE
+        assert src % SEM_DUP_MOD == 0 and src in rows
+        assert rows[v]["cell"] == rows[src]["cell"], "×2 preserves the cell"
+        assert rows[v]["dropped"] == 1 and rows[v]["keeper"] == src
+        assert rows[src]["dropped"] == 0 and rows[src]["keeper"] == src
+    kept = [v for v, r in rows.items() if not r["dropped"]]
+    assert len(kept) == len(rows) - sum(r["dropped"] for r in rows.values())
