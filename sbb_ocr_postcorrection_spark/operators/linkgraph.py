@@ -342,3 +342,42 @@ def host_spam_mass(
         sm.alias("spam_mass_fp"),
         (sm >= SPAM_THRESHOLD_FP).cast("int").alias("spam_candidate"),
     )
+
+
+def link_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree profile over the distinct host graph: out-degree,
+    in-degree, and reciprocal-edge count (u→v with v→u) — the structural
+    features link-spam classifiers consume alongside rank (farms show
+    high reciprocity and near-equal in/out; organic hosts don't), and
+    the sanity view read before trusting any PageRank number.
+
+    One distinct edge relation, two degree aggregations, and the
+    reciprocity check as a self-join on the REVERSED key — an equality
+    join, never all-pairs; all three join on the host dimension."""
+    edges = synth_link_edges(spark, sf_dir).distinct()
+    out_d = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy("dst_id").agg(F.count(F.lit(1)).alias("in_deg"))
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    recip = (
+        edges.join(rev, ["src_id", "dst_id"])
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    nodes = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select("dst_id"))
+        .distinct()
+    )
+    return (
+        nodes.join(out_d, nodes.id == out_d.src_id, "left")
+        .join(in_d, nodes.id == in_d.dst_id, "left")
+        .join(recip, nodes.id == recip.src_id, "left")
+        .select(
+            _host_col(F.col("id")).alias("host"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+        )
+    )

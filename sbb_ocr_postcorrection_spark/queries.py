@@ -792,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spam mass (VLDB'06): share of a host's PageRank not backed by
         # trust — the demotion decision surface fed by the two rank loops
         "host_spam_mass": pinned(linkgraph.host_spam_mass),
+        # structural degree/reciprocity profile (link-farm features)
+        "link_degree_stats": pinned(linkgraph.link_degree_stats),
         # anchor-text aggregation per target host (the off-page web-IR
         # signal), tag-skeleton template clustering, cross-host mirror
         # rollup, PMI collocations, canonical keeper per dup component,
@@ -3350,6 +3352,28 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    sql["link_degree_stats"] = f"""
+        WITH e AS (
+          SELECT DISTINCT doc_id % {NH} AS src_id,
+                          (doc_id * 31 + j) % {NH} AS dst_id
+          FROM documents CROSS JOIN generate_series(1, {LF}) t(j)
+          WHERE doc_id % {NH} <> (doc_id * 31 + j) % {NH}),
+        nodes AS (SELECT src_id AS id FROM e UNION SELECT dst_id FROM e),
+        od AS (SELECT src_id, count(*) AS out_deg FROM e GROUP BY 1),
+        ind AS (SELECT dst_id, count(*) AS in_deg FROM e GROUP BY 1),
+        rc AS (SELECT a.src_id, count(*) AS n_reciprocal
+               FROM e a JOIN e b
+                 ON b.src_id = a.dst_id AND b.dst_id = a.src_id
+               GROUP BY 1)
+        SELECT 'host' || CAST(n.id AS VARCHAR) || '.example.net' AS host,
+               CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal
+        FROM nodes n
+        LEFT JOIN od o ON o.src_id = n.id
+        LEFT JOIN ind i ON i.dst_id = n.id
+        LEFT JOIN rc r ON r.src_id = n.id
     """
     sql["semantic_dedup"] = f"""
         WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

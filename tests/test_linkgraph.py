@@ -198,3 +198,21 @@ def test_host_spam_mass_matches_python_replay(spark):
         hid = int(host.removeprefix("host").split(".")[0])
         if hid % LG.TRUST_SEED_MOD == 0:
             assert cand == 0, f"seed {host} flagged as spam"
+
+
+def test_link_degree_stats_matches_reference(spark):
+    edges = _edges(_doc_ids(spark))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    eset = set(edges)
+    want = {}
+    for v in nodes:
+        out_deg = sum(1 for s, _ in edges if s == v)
+        in_deg = sum(1 for _, d in edges if d == v)
+        recip = sum(1 for s, d in edges if s == v and (d, s) in eset)
+        want[f"host{v}.example.net"] = (out_deg, in_deg, recip)
+    got = {
+        r["host"]: (r["out_deg"], r["in_deg"], r["n_reciprocal"])
+        for r in LG.link_degree_stats(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(r[2] for r in got.values()) > 0, "reciprocal edges exist"
