@@ -302,3 +302,44 @@ def bpe_tokenize(
             F.sum("t").cast("int").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_fertility(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """Per-language tokenizer fertility: BPE tokens per word piece under
+    the learned merges — THE metric a tokenizer is judged by across
+    languages (a vocab trained on English fragments the others; high
+    fertility = more sequence length per fact = more compute per token of
+    signal; the mergeability gap drives per-language vocab budgeting).
+
+    One bpe_tokenize pass (explode → K chained replaces → per-doc agg)
+    joined to the lang dimension, then a language rollup — exact integer
+    sums with one guarded IEEE division at the end."""
+    bt = bpe_tokenize(spark, sf_dir, num_merges=num_merges, docs=docs)
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents")
+    ).select("doc_id", "lang")
+    return (
+        d.join(bt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pieces",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens")
+                / F.greatest(F.col("n_pieces"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+        )
+    )

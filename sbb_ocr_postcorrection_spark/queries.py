@@ -745,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a full replay oracle) + token counts under the learned merges
         "bpe_train": pinned(bpe.bpe_train),
         "bpe_tokenize": pinned(bpe.bpe_tokenize),
+        # per-language tokenizer fertility under the learned merges
+        "bpe_fertility": pinned(bpe.bpe_fertility),
         "bpe_vocab": pinned(bpe.bpe_vocab),
         # tokenizer inference: text → learned-vocab id arrays (the input
         # seq_pack actually wants)
@@ -2880,6 +2882,15 @@ def oracle_sql() -> dict[str, str]:
     # + apply) as generated CTE stages — see _bpe_stages_sql
     sql["bpe_train"] = _bpe_train_oracle(8)
     sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
+    sql["bpe_fertility"] = f"""
+        WITH tok AS ({_bpe_tokenize_oracle(8)})
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(t.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+               round(sum(t.n_bpe_tokens)
+                     / greatest(sum(t.n_pieces), 1), 6) AS fertility
+        FROM documents d JOIN tok t USING (doc_id) GROUP BY 1
+    """
     sql["bpe_vocab"] = (
         _bpe_stages_sql(8)
         + """

@@ -189,3 +189,54 @@ def test_bpe_encode_decode_roundtrip(spark):
         decoded = "".join(id2sym[i] for i in r["token_ids"])
         pieces = "".join(re.findall(_BPE_PATTERN, texts[doc_id] or ""))
         assert decoded == pieces
+
+
+def test_bpe_fertility_consistent_with_tokenize(spark):
+    """Fertility rollup == bpe_tokenize summed per language; fertility is
+    >= 1 wherever any piece exists (a piece is >= 1 token) and monotone
+    in the merge count: more merges can only lower (or keep) the total
+    token count, never raise it."""
+    from collections import defaultdict
+
+    from sbb_ocr_postcorrection_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_tokenize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = {
+        r["doc_id"]: (r["n_pieces"], r["n_bpe_tokens"])
+        for r in bpe_tokenize(spark, sf).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc, (np_, nt) in per_doc.items():
+        a = agg[langs[doc]]
+        a[0] += 1
+        a[1] += np_
+        a[2] += nt
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_pieces"],
+            r["n_bpe_tokens"],
+            r["fertility"],
+        )
+        for r in bpe_fertility(spark, sf).collect()
+    }
+    want = {
+        l: (n, np_, nt, round(nt / max(np_, 1), 6))
+        for l, (n, np_, nt) in agg.items()
+    }
+    assert got == want
+    assert all(f >= 1.0 for _, _, _, f in got.values())
+    few = {
+        r["lang"]: r["n_bpe_tokens"]
+        for r in bpe_fertility(spark, sf, num_merges=2).collect()
+    }
+    assert all(few[l] >= got[l][2] for l in got)
