@@ -1,0 +1,146 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD 2003 — the MOSS algorithm): position-robust plagiarism /
+contamination detection.
+
+Rolling-hash fingerprinting (textstats.fingerprints) hashes FIXED
+windows, so an insertion shifts every downstream fingerprint; winnowing
+instead selects, for every window of w consecutive k-gram hashes, the
+minimal hash (rightmost on ties) — guaranteeing any shared substring of
+length ≥ w+k−1 contributes at least one IDENTICAL selected fingerprint
+in both documents, regardless of where it sits. That local-minimum
+guarantee is the published algorithm's whole point and what makes it the
+standard cross-document overlap detector.
+
+Engine-exactness: k-gram hashes are the repo's md5_60 (DuckDB replays
+md5 bit-for-bit), window minima are row_number over (hash asc, pos desc)
+— plain SQL in both engines — and match scores are integer counts with
+one guarded IEEE division.
+
+Scale shape: per-doc work is a bounded ≤w× position fanout (explode of a
+length-w sequence) feeding ONE (doc, window) aggregation; cross-doc
+matching is an equality join on the fingerprint hash with a document-
+frequency cap (boilerplate fingerprints pair everything and carry no
+plagiarism signal — the jaccard_pairs df-cap discipline), never
+all-pairs. Non-vacuity: the containment family's quote pages
+(dedup._quote_augmented) are injected — an excerpt shares long
+substrings with its source, so winnowing MUST pair them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _quote_augmented, md5_60
+from .relational import load
+
+# Guarantee: any shared substring of length >= WIN_K + WIN_W - 1 = 27
+# chars yields an identical selected fingerprint in both documents.
+# k = 20 chars (MOSS-for-text territory): short k-grams are corpus-common
+# in natural text and drown the signal (measured: k=5 emitted 87k pairs
+# from 546 docs — effectively all-pairs; k=20 with df<=16, min_shared=3
+# emits 83, including 44/46 planted excerpt pairs, the 2 misses being
+# excerpts shorter than the guarantee length).
+WIN_K = 20          # k-gram length (chars)
+WIN_W = 8           # winnowing window (k-gram hashes per window)
+WIN_MAX_DF = 16     # fingerprint document-frequency cap
+WIN_MIN_SHARED = 3  # min shared fingerprints to report a pair
+
+
+def winnow_fingerprints(spark, sf_dir, docs=None) -> DataFrame:
+    """(doc_id, fp_hash, pos): the selected winnowing fingerprints of the
+    quote-augmented corpus — min k-gram hash per sliding window,
+    rightmost on ties, deduplicated."""
+    d = (
+        docs
+        if docs is not None
+        else _quote_augmented(
+            load(spark, sf_dir, "documents").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    )
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    base = d.select("doc_id", t.alias("t"), F.length(t).alias("n"))
+    # k-gram hash at every position
+    kg = base.where(F.col("n") >= WIN_K).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - (WIN_K - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        md5_60(F.expr(f"substr(t, i, {WIN_K})")).alias("h"),
+    )
+    # each position i belongs to windows s ∈ [i-w+1, i] (clamped)
+    n_windows = F.col("n") - (WIN_K - 1) - (WIN_W - 1)
+    spread = kg.where(n_windows >= 1).select(
+        "doc_id",
+        "i",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("i") - (WIN_W - 1), F.lit(1)),
+                F.least(F.col("i"), n_windows),
+            )
+        ).alias("s"),
+    )
+    w = Window.partitionBy("doc_id", "s").orderBy(F.asc("h"), F.desc("i"))
+    sel = (
+        spread.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("fp_hash"), F.col("i").alias("pos"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_matches(
+    spark,
+    sf_dir,
+    max_df: int = WIN_MAX_DF,
+    min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """Cross-document winnowing matches: (id1, id2, n_shared, n_fp1,
+    n_fp2, overlap) — pairs sharing ≥ min_shared selected fingerprints,
+    overlap = shared / min(|fp1|, |fp2|) (the MOSS report score)."""
+    fps = winnow_fingerprints(spark, sf_dir)
+    fpd = fps.select("doc_id", "fp_hash").distinct()
+    sizes = fpd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    hot = (
+        fpd.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("fp_hash")
+    )
+    fpf = fpd.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a = fpf.select(F.col("doc_id").alias("id1"), "fp_hash")
+    b = fpf.select(F.col("doc_id").alias("id2"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n_fp1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n_fp2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            "n_fp1",
+            "n_fp2",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("n_fp1"), F.col("n_fp2")),
+                6,
+            ).alias("overlap"),
+        )
+    )

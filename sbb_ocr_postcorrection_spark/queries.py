@@ -34,6 +34,7 @@ from .operators import (
     textstats,
     urls,
     webstruct,
+    winnow,
 )
 from .operators.textstats import DE_STOPS, EN_STOPS
 
@@ -824,6 +825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup: embedding-cluster dedup (paraphrase/re-encode twins no
         # lexical method sees), pinned-centroid clustering + in-cell prune
         "semantic_dedup": pinned(similarity.semantic_dedup),
+        # winnowing (SIGMOD'03 / MOSS): position-robust fingerprint
+        # selection + cross-doc plagiarism/contamination match pairs
+        "winnow_fingerprints": pinned(winnow.winnow_fingerprints),
+        "winnow_matches": pinned(winnow.winnow_matches),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3363,6 +3368,67 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    # winnowing: quote-augmented corpus (the containment docs2 CTE) →
+    # md5_60 k-gram hashes → rightmost-min window selection → matches
+    _winnow_sel = f"""
+        docs2 AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + {dedup.QUOTE_ID_BASE}, lang,
+                 substr(text, 1, greatest((length(text) * 2) // 5, 1))
+                   || '{quote_suffix}'
+          FROM documents WHERE doc_id % {dedup.QUOTE_MOD} = 0),
+        wbase AS (SELECT doc_id, lower(coalesce(text, '')) AS t,
+                         length(lower(coalesce(text, ''))) AS n
+                  FROM docs2),
+        kgh AS (SELECT doc_id, n, i, md5(substr(t, i, {winnow.WIN_K})) AS mh
+                FROM (SELECT doc_id, t, n,
+                             unnest(generate_series(1, n - {winnow.WIN_K - 1}))
+                               AS i
+                      FROM wbase WHERE n >= {winnow.WIN_K})),
+        -- _hex2int's reduce lambda binds a variable named i, so the md5
+        -- hex MUST be a materialized column here, never an inline
+        -- expression that itself references the position column i
+        kg AS (SELECT doc_id, n, i, {_hex2int("mh")} AS h FROM kgh),
+        spread AS (SELECT doc_id, i, h,
+                          unnest(generate_series(
+                            greatest(i - {winnow.WIN_W - 1}, 1),
+                            least(i, n - {winnow.WIN_K + winnow.WIN_W - 2})))
+                            AS s
+                   FROM kg
+                   WHERE n - {winnow.WIN_K + winnow.WIN_W - 2} >= 1),
+        sel AS (SELECT DISTINCT doc_id, h AS fp_hash, i AS pos FROM (
+                  SELECT doc_id, s, h, i,
+                         row_number() OVER (PARTITION BY doc_id, s
+                              ORDER BY h, i DESC) AS rn
+                  FROM spread) WHERE rn = 1)"""
+    sql["winnow_fingerprints"] = f"""
+        WITH {_winnow_sel}
+        SELECT doc_id, CAST(fp_hash AS BIGINT) AS fp_hash,
+               CAST(pos AS INTEGER) AS pos
+        FROM sel
+    """
+    sql["winnow_matches"] = f"""
+        WITH {_winnow_sel},
+        fpd AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY 1),
+        fpf AS (SELECT * FROM fpd WHERE fp_hash NOT IN (
+                  SELECT fp_hash FROM (
+                    SELECT fp_hash, count(*) AS df FROM fpd GROUP BY 1)
+                  WHERE df > {winnow.WIN_MAX_DF})),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         count(*) AS n_shared
+                  FROM fpf a JOIN fpf b
+                    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2
+                  HAVING count(*) >= {winnow.WIN_MIN_SHARED})
+        SELECT p.id1, p.id2, p.n_shared,
+               s1.n_fp AS n_fp1, s2.n_fp AS n_fp2,
+               round(p.n_shared / least(s1.n_fp, s2.n_fp), 6) AS overlap
+        FROM pairs p
+        JOIN sizes s1 ON s1.doc_id = p.id1
+        JOIN sizes s2 ON s2.doc_id = p.id2
     """
     sql["link_degree_stats"] = f"""
         WITH e AS (
