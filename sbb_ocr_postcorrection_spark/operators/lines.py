@@ -302,3 +302,61 @@ def split_roundtrip_flags(spark, sf_dir) -> DataFrame:
     so the DuckDB oracle (doc_id, 1) turns this from a rows-only row into a
     hash-checked one: any kernel regression breaks the value hash."""
     return split_roundtrip(spark, sf_dir).select("parent_id", "roundtrip_ok")
+
+
+CHUNK_TOKENS = 32   # passage window length
+CHUNK_STRIDE = 24   # window stride (8-token overlap)
+
+
+def passage_windows(spark, sf_dir, docs=None) -> DataFrame:
+    """RAG-export chunking: overlapping fixed-size token windows per
+    document — (doc_id, chunk_id, start_tok, n_tok, passage). The
+    retrieval-corpus preparation step every RAG/embedding pipeline runs
+    after curation: stride < window so no answer span is cut at a chunk
+    boundary without also appearing whole in a neighbor.
+
+    Window count per doc is ceil(max(n−CHUNK, 0)/STRIDE) + 1 — the LAST
+    window may be short (never empty), empty docs emit nothing; all
+    window math is integer, the passage text is one in-array slice+join
+    (no per-row Python, no self-join of positions).
+
+    Scale shape: one bounded explode (≤ n/STRIDE + 1 rows per doc) in a
+    narrow stage — chunking shuffles nothing; downstream embedding jobs
+    consume (doc_id, chunk_id) as the natural bucket key."""
+    from .relational import load as _load
+
+    d = (
+        docs
+        if docs is not None
+        else _load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    from ..functions.exprs import tokens_expr
+
+    base = d.select(
+        "doc_id", tokens_expr(F.col("text")).alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    nw = (
+        F.floor(
+            (F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / CHUNK_STRIDE
+        ).cast("int")
+        + 1
+    )
+    ex = base.where(F.col("n") >= 1).select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), nw - 1)).alias("chunk_id"),
+    )
+    s = F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        s.alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - s + 1).alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("t"), s, F.lit(CHUNK_TOKENS)), " "
+        ).alias("passage"),
+    )

@@ -829,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection + cross-doc plagiarism/contamination match pairs
         "winnow_fingerprints": pinned(winnow.winnow_fingerprints),
         "winnow_matches": pinned(winnow.winnow_matches),
+        # RAG-export chunking: overlapping fixed-size token windows
+        "passage_windows": pinned(lines.passage_windows),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3368,6 +3370,25 @@ def oracle_sql() -> dict[str, str]:
                          >= {dedup.CHANGE_WARM_PCT} THEN 'warm'
                     ELSE 'cold' END AS revisit_tier
         FROM agg
+    """
+    CH, ST = lines.CHUNK_TOKENS, lines.CHUNK_STRIDE
+    sql["passage_windows"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+          FROM documents),
+        ex AS (
+          SELECT doc_id, t, n,
+                 unnest(generate_series(0,
+                   CAST((greatest(n - {CH}, 0) + {ST - 1}) // {ST}
+                        AS INTEGER))) AS chunk_id
+          FROM toks WHERE n >= 1)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(1 + chunk_id * {ST} AS INTEGER) AS start_tok,
+               CAST(least({CH}, n - (1 + chunk_id * {ST}) + 1) AS INTEGER)
+                 AS n_tok,
+               array_to_string(t[1 + chunk_id * {ST}
+                                 : chunk_id * {ST} + {CH}], ' ') AS passage
+        FROM ex
     """
     # winnowing: quote-augmented corpus (the containment docs2 CTE) →
     # md5_60 k-gram hashes → rightmost-min window selection → matches

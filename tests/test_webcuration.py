@@ -428,3 +428,42 @@ def test_sitemap_coverage_statuses_non_vacuous(spark):
     assert sum(r["n_both"] for r in rows) > 0
     assert sum(r["n_sitemap_only"] for r in rows) > 0
     assert sum(r["n_crawled_only"] for r in rows) > 0
+
+
+def test_passage_windows_cover_and_overlap(spark):
+    """Every token appears in at least one window, consecutive windows of
+    a doc overlap by CHUNK−STRIDE tokens, the last window is short but
+    never empty, and reassembling non-overlapping prefixes reproduces
+    the tokenized document."""
+    from sbb_ocr_postcorrection_spark.operators.lines import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        passage_windows,
+    )
+
+    toks = {}
+    for doc_id, text, _ in _docs():
+        t = [w for w in (text or "").lower().split(" ") if w]
+        if t:
+            toks[doc_id] = t
+    rows = defaultdict(dict)
+    for r in passage_windows(spark, SF).collect():
+        rows[r["doc_id"]][r["chunk_id"]] = r
+    assert set(rows) == set(toks)
+    for doc_id, t in toks.items():
+        ch = rows[doc_id]
+        n = len(t)
+        want_nw = (max(n - CHUNK_TOKENS, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        assert sorted(ch) == list(range(want_nw))
+        rebuilt = []
+        for k in range(want_nw):
+            r = ch[k]
+            s = 1 + k * CHUNK_STRIDE
+            assert r["start_tok"] == s
+            want_toks = t[s - 1 : s - 1 + CHUNK_TOKENS]
+            assert r["n_tok"] == min(CHUNK_TOKENS, n - s + 1) >= 1
+            assert r["passage"] == " ".join(want_toks)
+            rebuilt.extend(
+                want_toks if k == want_nw - 1 else want_toks[:CHUNK_STRIDE]
+            )
+        assert rebuilt[:n] == t  # stride prefixes + full tail cover the doc
