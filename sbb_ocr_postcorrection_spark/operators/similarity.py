@@ -762,3 +762,100 @@ def semantic_dedup(
             F.col("twin").isNotNull().cast("int").alias("dropped"),
         )
     )
+
+
+RAG_DIM = 32        # feature-hash embedding width
+RAG_PROBE_MOD = 97  # probe docs: doc_id % 97 == 0 (their first chunk)
+RAG_TOP_K = 5
+
+
+def passage_retrieval(spark, sf_dir, k: int = RAG_TOP_K) -> DataFrame:
+    """End-to-end RAG retrieval, entirely in-plan: chunk the corpus
+    (lines.passage_windows), embed every chunk AND every probe query with
+    a deterministic ±1 feature-hash projection (the hashed-linear
+    classifier's trick applied to retrieval), score probe × passage by
+    SPARSE dot product — a bucket-equality join + one aggregation, the
+    relational form of a vector product, no dense arrays shuffled — and
+    return cosine top-k passages per probe.
+
+    Probes are the first chunk of every RAG_PROBE_MOD-th document,
+    scored only against OTHER documents' passages (self-retrieval is
+    trivially cosine ≈ 1 and would drown the result). Bucket and sign
+    are md5_60 INTEGER arithmetic (pmod / div — never a double division,
+    whose 53-bit mantissa cannot carry a 60-bit hash); dots and norms
+    are exact int64; the one sqrt+division per scored pair is
+    IEEE-identical in both engines, round-6 pinned, ties by (cand doc,
+    chunk).
+
+    Scale shape: probe vectors are dimension-sized (broadcast); passage
+    vectors are (corpus × dim)-sparse rows that join probes on the
+    bucket key only; top-k is a probe-partitioned window. The brute
+    scoring here is the documented small-probe baseline — the bucketed
+    LSH / IVF operators in this module are the big-probe-set paths."""
+    from ..functions.exprs import tokens_expr
+    from ..operators.lines import passage_windows
+    from .dedup import md5_60
+
+    pw = passage_windows(spark, sf_dir)
+    is_probe = F.col("doc_id") % RAG_PROBE_MOD == 0
+    cand = pw.where(~is_probe).select(
+        "doc_id", "chunk_id", tokens_expr(F.col("passage")).alias("t")
+    )
+    probes = pw.where(is_probe & (F.col("chunk_id") == 0)).select(
+        F.col("doc_id").alias("probe_id"),
+        tokens_expr(F.col("passage")).alias("t"),
+    )
+
+    def vec(rel, keys):
+        ex = rel.select(*keys, F.explode("t").alias("token"))
+        h = md5_60(F.col("token"))
+        ex = ex.select(*keys, h.alias("h"))
+        sign = F.when(F.expr(f"(h div {RAG_DIM}) % 2") == 0, 1).otherwise(-1)
+        return (
+            ex.select(
+                *keys,
+                F.pmod(F.col("h"), F.lit(RAG_DIM)).cast("int").alias("bucket"),
+                sign.alias("sg"),
+            )
+            .groupBy(*keys, "bucket")
+            .agg(F.sum("sg").cast("long").alias("s"))
+            .where(F.col("s") != 0)
+        )
+
+    qv = vec(probes, ["probe_id"])
+    pv = vec(cand, ["doc_id", "chunk_id"])
+    qn = qv.groupBy("probe_id").agg(F.sum(F.col("s") * F.col("s")).alias("qn"))
+    pn = pv.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("s") * F.col("s")).alias("pn")
+    )
+    dots = (
+        F.broadcast(qv.select("probe_id", "bucket", F.col("s").alias("qs")))
+        .join(
+            pv.select("doc_id", "chunk_id", "bucket", F.col("s").alias("ps")),
+            "bucket",
+        )
+        .groupBy("probe_id", "doc_id", "chunk_id")
+        .agg(F.sum(F.col("qs") * F.col("ps")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qn), "probe_id")
+        .join(pn, ["doc_id", "chunk_id"])
+        .select(
+            "probe_id",
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("qn") * F.col("pn")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "doc_id", "chunk_id", "cosine")
+    )

@@ -831,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": pinned(winnow.winnow_matches),
         # RAG-export chunking: overlapping fixed-size token windows
         "passage_windows": pinned(lines.passage_windows),
+        # end-to-end RAG retrieval: chunk -> feature-hash embed -> sparse
+        # relational dot product -> cosine top-k per probe
+        "passage_retrieval": pinned(similarity.passage_retrieval),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3389,6 +3392,52 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(t[1 + chunk_id * {ST}
                                  : chunk_id * {ST} + {CH}], ' ') AS passage
         FROM ex
+    """
+    _rag_dim = similarity.RAG_DIM
+    _toks_passage = _TOKS_SQL.replace("text", "passage")
+    sql["passage_retrieval"] = f"""
+        WITH pwin AS ({sql["passage_windows"]}),
+        pt AS (SELECT doc_id, chunk_id, {_toks_passage} AS t FROM pwin),
+        cex AS (SELECT doc_id, chunk_id, md5(tok) AS mh FROM (
+                  SELECT doc_id, chunk_id, unnest(t) AS tok FROM pt
+                  WHERE doc_id % {similarity.RAG_PROBE_MOD} <> 0)),
+        qex AS (SELECT probe_id, md5(tok) AS mh FROM (
+                  SELECT doc_id AS probe_id, unnest(t) AS tok FROM pt
+                  WHERE doc_id % {similarity.RAG_PROBE_MOD} = 0
+                    AND chunk_id = 0)),
+        ch AS (SELECT doc_id, chunk_id, {_hex2int("mh")} AS h FROM cex),
+        qh AS (SELECT probe_id, {_hex2int("mh")} AS h FROM qex),
+        pv AS (SELECT doc_id, chunk_id,
+                      CAST(h % {_rag_dim} AS INTEGER) AS bucket,
+                      CAST(sum(CASE WHEN (h // {_rag_dim}) % 2 = 0
+                               THEN 1 ELSE -1 END) AS BIGINT) AS s
+               FROM ch GROUP BY 1, 2, 3 HAVING s <> 0),
+        qv AS (SELECT probe_id,
+                      CAST(h % {_rag_dim} AS INTEGER) AS bucket,
+                      CAST(sum(CASE WHEN (h // {_rag_dim}) % 2 = 0
+                               THEN 1 ELSE -1 END) AS BIGINT) AS s
+               FROM qh GROUP BY 1, 2 HAVING s <> 0),
+        qn AS (SELECT probe_id, sum(s * s) AS qn FROM qv GROUP BY 1),
+        pn AS (SELECT doc_id, chunk_id, sum(s * s) AS pn
+               FROM pv GROUP BY 1, 2),
+        dots AS (SELECT q.probe_id, p.doc_id, p.chunk_id,
+                        sum(q.s * p.s) AS dot
+                 FROM qv q JOIN pv p USING (bucket)
+                 GROUP BY 1, 2, 3),
+        scored AS (SELECT d.probe_id, d.doc_id, d.chunk_id,
+                          round(d.dot / sqrt(CAST(q.qn * p.pn AS DOUBLE)), 6)
+                            AS cosine
+                   FROM dots d
+                   JOIN qn q USING (probe_id)
+                   JOIN pn p ON p.doc_id = d.doc_id
+                            AND p.chunk_id = d.chunk_id)
+        SELECT probe_id,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, doc_id, chunk_id) AS INTEGER)
+                 AS rank,
+               doc_id, chunk_id, cosine
+        FROM scored
+        QUALIFY rank <= {similarity.RAG_TOP_K}
     """
     # winnowing: quote-augmented corpus (the containment docs2 CTE) →
     # md5_60 k-gram hashes → rightmost-min window selection → matches

@@ -120,3 +120,71 @@ def test_winnow_matches_reference_and_guarantee(spark):
         d for d in long_quotes if (d - QUOTE_ID_BASE, d) not in got
     ]
     assert not missing, f"guarantee violated for {missing[:5]}"
+
+
+def test_passage_retrieval_matches_reference(spark):
+    """Top-k retrieval == a pure-Python replay of chunk → feature-hash
+    embed → cosine ranking (pinned ties)."""
+    import math
+    from collections import Counter
+
+    from sbb_ocr_postcorrection_spark.operators.lines import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        RAG_DIM,
+        RAG_PROBE_MOD,
+        RAG_TOP_K,
+        passage_retrieval,
+    )
+
+    def chunks(text):
+        t = [w for w in (text or "").lower().split(" ") if w]
+        if not t:
+            return []
+        n = len(t)
+        nw = (max(n - CHUNK_TOKENS, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        return [
+            (k, t[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_TOKENS])
+            for k in range(nw)
+        ]
+
+    def vec(tokens):
+        v = Counter()
+        for tok in tokens:
+            h = _h60(tok)
+            v[h % RAG_DIM] += 1 if (h // RAG_DIM) % 2 == 0 else -1
+        return {b: s for b, s in v.items() if s}
+
+    probes, cands = {}, {}
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for k, toks in chunks(text):
+            if doc_id % RAG_PROBE_MOD == 0:
+                if k == 0:
+                    probes[doc_id] = vec(toks)
+            else:
+                cands[(doc_id, k)] = vec(toks)
+    want = {}
+    for pid, qv in probes.items():
+        qn = sum(s * s for s in qv.values())
+        scored = []
+        for (did, cid), pv in cands.items():
+            dot = sum(qv[b] * pv.get(b, 0) for b in qv)
+            pn = sum(s * s for s in pv.values())
+            if dot == 0 and not (set(qv) & set(pv)):
+                continue  # bucket join emits no row for disjoint supports
+            scored.append(
+                (round(dot / math.sqrt(qn * pn), 6), did, cid)
+            )
+        scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+        for rank, (cos, did, cid) in enumerate(scored[:RAG_TOP_K], start=1):
+            want[(pid, rank)] = (did, cid, cos)
+    got = {
+        (r["probe_id"], r["rank"]): (r["doc_id"], r["chunk_id"], r["cosine"])
+        for r in passage_retrieval(spark, SF).collect()
+    }
+    assert got == want
+    assert got, "probes exist"
