@@ -230,3 +230,39 @@ def test_host_tiers_scaled_no_global_window(spark):
     assert "hashpartitioning(bkt" in plan
     # and the dimension-sized form keeps the literal NTILE window
     assert "ntile" in plan_of(host_tiers(spark, SF_DIR)).lower()
+
+
+def test_r5_ops_plan_shapes(spark):
+    """Round-5 additions keep their scale contracts: no cartesian
+    products anywhere, the probe side of passage_retrieval broadcasts,
+    winnowing matches join on the fingerprint key (equality, not
+    nested-loop), and template fingerprinting is pure JVM (no Python
+    eval stage)."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        passage_retrieval,
+        semantic_dedup,
+    )
+    from sbb_ocr_postcorrection_spark.operators.webstruct import (
+        template_fingerprint,
+    )
+    from sbb_ocr_postcorrection_spark.operators.winnow import winnow_matches
+
+    for df in (
+        winnow_matches(spark, SF_DIR),
+        containment_pairs(spark, SF_DIR),
+        semantic_dedup(spark, SF_DIR),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    rp = plan_of(passage_retrieval(spark, SF_DIR))
+    assert "BroadcastHashJoin" in rp, "probe vectors must broadcast"
+    assert "CartesianProduct" not in rp
+
+    tp = plan_of(template_fingerprint(spark, SF_DIR))
+    assert "BatchEvalPython" not in tp and "ArrowEvalPython" not in tp
+    assert "regexp_extract_all" in tp
