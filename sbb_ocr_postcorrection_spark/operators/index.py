@@ -361,3 +361,78 @@ def collocations(
     return scored.orderBy(
         F.desc("lift_fp"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+CMS_DEPTH = 4       # hash rows
+CMS_WIDTH = 256     # counters per row
+CMS_PROBES = 30     # probed tokens (top by exact cf, pinned)
+
+
+def cms_token_counts(spark, sf_dir, docs=None) -> DataFrame:
+    """Count-Min sketch of the corpus token stream (Cormode &
+    Muthukrishnan 2005) + probe-token estimates vs exact counts.
+
+    The sketch is the streaming-memory path for frequency queries when
+    the exact (token, tf) relation is too large to keep hot: DEPTH×WIDTH
+    integer counters, every token incrementing one counter per row,
+    point estimate = min over rows — an OVERestimate by construction
+    (collisions only add). Emitted per probe token: the estimate, the
+    exact count, and the overestimate delta ≥ 0 (the property test).
+
+    Engine-exactness: row hashes are md5_60(row || token) mod WIDTH, so
+    counter cells and minima replay bit-for-bit in the oracle — a sketch
+    with a HASH-CHECKED oracle, not a tolerance test.
+
+    Scale shape: building the sketch is ONE aggregation on (row, cell)
+    — at most DEPTH×WIDTH result rows regardless of corpus size, the
+    whole point — with map-side combine absorbing the token stream; the
+    probe lookup joins the DEPTH-row-per-token probe relation against
+    the tiny counter relation (broadcast)."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    from .dedup import md5_60
+
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    rows = tok.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    ).select(
+        "token",
+        "r",
+        F.pmod(
+            md5_60(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))),
+            F.lit(CMS_WIDTH),
+        ).cast("int").alias("cell"),
+    )
+    counters = rows.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("c"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_tf"))
+    probes = exact.orderBy(F.desc("exact_tf"), F.asc("token")).limit(CMS_PROBES)
+    pcells = probes.select(
+        "token",
+        "exact_tf",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    ).select(
+        "token",
+        "exact_tf",
+        "r",
+        F.pmod(
+            md5_60(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))),
+            F.lit(CMS_WIDTH),
+        ).cast("int").alias("cell"),
+    )
+    est = (
+        pcells.join(F.broadcast(counters), ["r", "cell"])
+        .groupBy("token", "exact_tf")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_tf",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_tf")).alias("overestimate"),
+    )

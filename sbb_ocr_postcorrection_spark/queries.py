@@ -834,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end RAG retrieval: chunk -> feature-hash embed -> sparse
         # relational dot product -> cosine top-k per probe
         "passage_retrieval": pinned(similarity.passage_retrieval),
+        # Count-Min sketch with hash-checked estimates vs exact counts
+        "cms_token_counts": pinned(index.cms_token_counts),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3392,6 +3394,34 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(t[1 + chunk_id * {ST}
                                  : chunk_id * {ST} + {CH}], ' ') AS passage
         FROM ex
+    """
+    sql["cms_token_counts"] = f"""
+        WITH tok AS (
+          SELECT tokk AS token FROM (
+            SELECT unnest({_TOKS_SQL}) AS tokk FROM documents)),
+        rh AS (SELECT token, r, md5(CAST(r AS VARCHAR) || '|' || token) AS mh
+               FROM tok CROSS JOIN generate_series(0, {index.CMS_DEPTH - 1}) g(r)),
+        cells AS (SELECT token, r,
+                         CAST({_hex2int("mh")} % {index.CMS_WIDTH} AS INTEGER)
+                           AS cell
+                  FROM rh),
+        counters AS (SELECT r, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+        exact AS (SELECT token, count(*) AS exact_tf FROM tok GROUP BY 1),
+        probes AS (SELECT token, exact_tf FROM exact
+                   ORDER BY exact_tf DESC, token LIMIT {index.CMS_PROBES}),
+        ph AS (SELECT token, exact_tf, r,
+                      md5(CAST(r AS VARCHAR) || '|' || token) AS mh
+               FROM probes CROSS JOIN generate_series(0, {index.CMS_DEPTH - 1}) g(r)),
+        pc AS (SELECT token, exact_tf, r,
+                      CAST({_hex2int("mh")} % {index.CMS_WIDTH} AS INTEGER)
+                        AS cell
+               FROM ph),
+        est AS (SELECT p.token, p.exact_tf, min(c.c) AS cms_estimate
+                FROM pc p JOIN counters c USING (r, cell) GROUP BY 1, 2)
+        SELECT token, exact_tf,
+               CAST(cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(cms_estimate - exact_tf AS BIGINT) AS overestimate
+        FROM est
     """
     _rag_dim = similarity.RAG_DIM
     _toks_passage = _TOKS_SQL.replace("text", "passage")

@@ -140,3 +140,47 @@ def test_bm25_plan_broadcasts_terms_not_doclengths(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_estimates_match_reference_and_never_undercount(spark):
+    """CMS == a pure-Python sketch replay; estimates are overestimates
+    by construction (min over rows can only collide upward)."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.index import (
+        CMS_DEPTH,
+        CMS_PROBES,
+        CMS_WIDTH,
+        cms_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    toks = []
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        toks.extend(w for w in (text or "").lower().split(" ") if w)
+
+    def cell(r, tok):
+        h = int(hashlib.md5(f"{r}|{tok}".encode()).hexdigest()[:15], 16)
+        return h % CMS_WIDTH
+
+    counters = Counter()
+    for tok in toks:
+        for r in range(CMS_DEPTH):
+            counters[(r, cell(r, tok))] += 1
+    exact = Counter(toks)
+    probes = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_PROBES]
+    want = {}
+    for tok, tf in probes:
+        est = min(counters[(r, cell(r, tok))] for r in range(CMS_DEPTH))
+        want[tok] = (tf, est, est - tf)
+    got = {
+        r["token"]: (r["exact_tf"], r["cms_estimate"], r["overestimate"])
+        for r in cms_token_counts(spark, sf).collect()
+    }
+    assert got == want
+    assert all(o >= 0 for _, _, o in got.values())
