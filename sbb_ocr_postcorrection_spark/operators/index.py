@@ -436,3 +436,85 @@ def cms_token_counts(spark, sf_dir, docs=None) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_tf")).alias("overestimate"),
     )
+
+
+HLL_BUCKETS = 64    # m = 2^6 registers
+HLL_ALPHA_M2 = 2904.064  # alpha_64 * m^2 = 0.709 * 4096
+_HLL_POW55 = float(1 << 55)
+
+
+def hll_distinct_tokens(spark, sf_dir, docs=None) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (Flajolet et al.
+    2007) beside the exact count — the fixed-memory path for distinct
+    statistics when the exact distinct aggregation's shuffle is the
+    bottleneck (HLL_BUCKETS registers per group, mergeable, one pass).
+
+    Determinism discipline: the register relation is integer-exact
+    (bucket = md5_60 % m; rank ρ = 55 − bit_length(h div m) + 1 via the
+    bin() string — no float log2), and the harmonic sum Σ 2^−M_j is
+    carried as the EXACT int64 numerator Σ 2^(55−M_j) (≤ 64·2^55 < 2^63)
+    so cross-engine float-sum ordering can never differ; the estimate is
+    then two IEEE flops on that integer plus the published small-range
+    linear-counting correction, round-4 pinned. Registers themselves are
+    also emitted via n_zero so the oracle certifies the sketch state,
+    not just the headline number.
+
+    Scale shape: ONE (source, bucket) max-aggregation — 64 result rows
+    per group however large the corpus, map-side combinable (max is the
+    HLL merge, which is why HLL shards trivially across executors)."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    from .dedup import md5_60
+
+    tok = d.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+    h = md5_60(F.col("token"))
+    hb = tok.select("source", h.alias("h")).select(
+        "source",
+        F.pmod(F.col("h"), F.lit(HLL_BUCKETS)).cast("int").alias("bucket"),
+        F.expr(f"h div {HLL_BUCKETS}").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(v)")) + 1
+    )
+    regs = (
+        hb.select("source", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    snum = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)"))
+            + (F.lit(HLL_BUCKETS) - F.count(F.lit(1)))
+            * F.lit(1 << 55).cast("long")
+        ).alias("s_num"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    v_zero = (F.lit(HLL_BUCKETS) - F.col("n_present")).alias("n_zero")
+    raw = F.lit(HLL_ALPHA_M2) * F.lit(_HLL_POW55) / F.col("s_num").cast("double")
+    est = F.when(
+        (F.col("n_present") < HLL_BUCKETS)
+        & (raw < 2.5 * HLL_BUCKETS),
+        F.lit(float(HLL_BUCKETS))
+        * F.log(F.lit(float(HLL_BUCKETS)) / (F.lit(HLL_BUCKETS) - F.col("n_present"))),
+    ).otherwise(raw)
+    return snum.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        v_zero,
+        F.col("s_num"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            (F.round(est, 4) - F.col("exact_distinct"))
+            * 100.0
+            / F.col("exact_distinct"),
+            4,
+        ).alias("err_pct"),
+    )

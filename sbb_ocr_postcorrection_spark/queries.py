@@ -836,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_retrieval": pinned(similarity.passage_retrieval),
         # Count-Min sketch with hash-checked estimates vs exact counts
         "cms_token_counts": pinned(index.cms_token_counts),
+        # HyperLogLog with integer-exact register state and harmonic sum
+        "hll_distinct_tokens": pinned(index.hll_distinct_tokens),
         "multimodal_decode": pinned(multimodal.decode_metadata),
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
@@ -3421,6 +3423,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, exact_tf,
                CAST(cms_estimate AS BIGINT) AS cms_estimate,
                CAST(cms_estimate - exact_tf AS BIGINT) AS overestimate
+        FROM est
+    """
+    HM = index.HLL_BUCKETS
+    sql["hll_distinct_tokens"] = f"""
+        WITH tok AS (
+          SELECT source, tokk AS token FROM (
+            SELECT source, unnest({_TOKS_SQL}) AS tokk FROM documents)),
+        th AS (SELECT source, token, {_hex2int("mh")} AS h FROM (
+                 SELECT source, token, md5(token) AS mh FROM tok)),
+        hb AS (SELECT source, CAST(h % {HM} AS INTEGER) AS bucket,
+                      h // {HM} AS v
+               FROM th),
+        regs AS (SELECT source, bucket,
+                        max(CASE WHEN v = 0 THEN 55
+                            ELSE 55 - length(bin(v)) + 1 END) AS m
+                 FROM hb GROUP BY 1, 2),
+        snum AS (SELECT source,
+                        CAST(sum(CAST(1 AS BIGINT) << (55 - m))
+                             + ({HM} - count(*))
+                               * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+                          AS s_num,
+                        count(*) AS n_present
+                 FROM regs GROUP BY 1),
+        exact AS (SELECT source, count(DISTINCT token) AS exact_distinct
+                  FROM tok GROUP BY 1),
+        est AS (SELECT s.source, e.exact_distinct,
+                       CAST({HM} - s.n_present AS BIGINT) AS n_zero,
+                       s.s_num,
+                       CASE WHEN s.n_present < {HM}
+                             AND ({index.HLL_ALPHA_M2}
+                                  * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+                                  / CAST(s.s_num AS DOUBLE)) < {2.5 * HM}
+                            THEN {float(HM)} * ln({float(HM)}
+                                 / ({HM} - s.n_present))
+                            ELSE {index.HLL_ALPHA_M2}
+                                 * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+                                 / CAST(s.s_num AS DOUBLE) END AS e
+                FROM snum s JOIN exact e USING (source))
+        SELECT source, exact_distinct, n_zero, s_num,
+               round(e, 4) AS hll_estimate,
+               round((round(e, 4) - exact_distinct) * 100.0
+                     / exact_distinct, 4) AS err_pct
         FROM est
     """
     _rag_dim = similarity.RAG_DIM

@@ -184,3 +184,68 @@ def test_cms_estimates_match_reference_and_never_undercount(spark):
     }
     assert got == want
     assert all(o >= 0 for _, _, o in got.values())
+
+
+def test_hll_matches_reference_sketch(spark):
+    """HLL registers + estimate == a pure-Python replay of the published
+    algorithm (integer harmonic numerator, linear-counting branch), and
+    the estimate lands within the published ~1.04/sqrt(m) error band
+    (generous 5x margin) of the exact count."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.index import (
+        HLL_ALPHA_M2,
+        HLL_BUCKETS,
+        hll_distinct_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per = {}
+    for source, text in duckdb.sql(
+        f"SELECT source, text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        per.setdefault(source, []).extend(
+            w for w in (text or "").lower().split(" ") if w
+        )
+    want = {}
+    for source, toks in per.items():
+        regs = {}
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            b, v = h % HLL_BUCKETS, h // HLL_BUCKETS
+            rho = 55 if v == 0 else 55 - v.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        s_num = sum(1 << (55 - m) for m in regs.values()) + (
+            HLL_BUCKETS - len(regs)
+        ) * (1 << 55)
+        raw = HLL_ALPHA_M2 * float(1 << 55) / float(s_num)
+        n_zero = HLL_BUCKETS - len(regs)
+        if n_zero > 0 and raw < 2.5 * HLL_BUCKETS:
+            e = float(HLL_BUCKETS) * math.log(HLL_BUCKETS / n_zero)
+        else:
+            e = raw
+        exact = len(set(toks))
+        want[source] = (
+            exact,
+            n_zero,
+            s_num,
+            round(e, 4),
+            round((round(e, 4) - exact) * 100.0 / exact, 4),
+        )
+    got = {
+        r["source"]: (
+            r["exact_distinct"],
+            r["n_zero"],
+            r["s_num"],
+            r["hll_estimate"],
+            r["err_pct"],
+        )
+        for r in hll_distinct_tokens(spark, sf).collect()
+    }
+    assert got == want
+    for exact, _, _, est, _ in got.values():
+        band = 5 * 1.04 / math.sqrt(HLL_BUCKETS) * exact
+        assert abs(est - exact) <= band
