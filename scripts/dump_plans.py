@@ -38,6 +38,18 @@ SHOW = [
      "union + single hashpartitioning exchange on user_id for the ordered window — no range join, no BroadcastNestedLoop"),
     ("line_dedup",
      "line explode persisted (InMemoryTableScan feeds both consumers); hot-line removal = BroadcastHashJoin + conditional agg inside the ONE reassembly shuffle; no SortMergeJoin"),
+    ("containment_pairs",
+     "shingle-equality blocking with df cap; asymmetric scores from the candidate-only intersection — no CartesianProduct, no all-pairs"),
+    ("winnow_matches",
+     "fingerprint-hash equality join (df-capped); window minima via (doc, s)-partitioned row_number — no global window, no nested-loop join"),
+    ("passage_retrieval",
+     "probe vectors BROADCAST into the bucket-equality sparse dot product; top-k via probe-partitioned window — no dense arrays shuffled, no cross join"),
+    ("semantic_dedup",
+     "pinned-centroid assignment is plan-literal algebra; pairing joins on the cell key only (the published per-cluster cost) — no CartesianProduct"),
+    ("cms_token_counts",
+     "counter relation (≤ DEPTH×WIDTH rows) BROADCAST to the probe lookup; sketch build is ONE map-side-combinable aggregation"),
+    ("template_fingerprint",
+     "tag extraction is JVM regexp inside the scan stage — no Python eval; aggregation key is the 32-char sig (tiny shuffle rows)"),
     ("dedup_incremental",
      "two hashpartitioning exchanges on content_hash (batch + history digests); the first-occurrence Window runs on the probe join's output partitioning — no third shuffle"),
     ("seq_pack",
