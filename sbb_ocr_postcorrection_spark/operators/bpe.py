@@ -343,3 +343,110 @@ def bpe_fertility(
             ).alias("fertility"),
         )
     )
+
+
+MUNCH_STAGES = 12  # oracle replay depth; fixture max piece length is 8
+
+
+def bpe_munch_tokenize(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """DEPLOYMENT-shape tokenizer inference: greedy longest-match
+    (maximal munch — the WordPiece/SentencePiece runtime form) against
+    the SHIPPED VOCAB alone. bpe_encode replays the merge ORDER —
+    faithful to training but requiring the merge table at inference;
+    production tokenizers ship only the vocab and munch, which can
+    segment differently (the known BPE-vs-greedy divergence). Having
+    both surfaces is what lets a pipeline quantify that divergence
+    before committing to a runtime.
+
+    Output: (doc_id, piece_pos, sym_pos, symbol, vocab_id) — one row per
+    emitted token, concat(symbols) == piece (the roundtrip test).
+    Unknown characters (impossible when inference runs over the training
+    corpus, but total anyway) emit the single char with vocab_id −1.
+
+    Plan shape: the vocab is DIMENSION-sized (alphabet + num_merges) and
+    rides into an Arrow kernel as a first-char-indexed, length-sorted
+    python structure — the trie-walk is per-piece CPU work, exactly what
+    mapInPandas batches are for; everything else is the bpe_encode
+    posexplode layout. The DuckDB oracle replays the munch loop as
+    MUNCH_STAGES chained MATERIALIZED stages (one emitted symbol per
+    active cursor per stage — the bpe_train convention), each picking
+    the longest matching vocab symbol via a correlated ORDER BY
+    length DESC LIMIT 1."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    merges, wf_final = _train(spark, sf_dir, num_merges, docs)
+    from pyspark.sql import Window
+
+    vocab_rows = (
+        wf_final.select(F.explode(_symbols(F.col("w"))).alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("vfreq"))
+        .select(
+            "symbol",
+            F.row_number()
+            .over(Window.orderBy(F.desc("vfreq"), F.asc("symbol")))
+            .cast("int")
+            .alias("vocab_id"),
+        )
+        .collect()
+    )  # dimension-sized: alphabet + num_merges symbols
+    by_first: dict[str, list[tuple[str, int]]] = {}
+    for r in vocab_rows:
+        by_first.setdefault(r["symbol"][0], []).append(
+            (r["symbol"], r["vocab_id"])
+        )
+    for lst in by_first.values():
+        lst.sort(key=lambda si: (-len(si[0]), si[0]))
+    bc = spark.sparkContext.broadcast(by_first)
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    pieces_arr = F.regexp_extract_all(_clean_text(), F.lit(_BPE_PATTERN), 0)
+    ex = d.select("doc_id", F.posexplode(pieces_arr).alias("piece_pos", "piece"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vf = bc.value
+        for pdf in batches:
+            doc_ids, ppos, spos, syms, vids = [], [], [], [], []
+            for doc_id, pp, piece in zip(
+                pdf["doc_id"], pdf["piece_pos"], pdf["piece"]
+            ):
+                pos, k = 0, 0
+                n = len(piece)
+                while pos < n:
+                    sym, vid = piece[pos], -1
+                    for s, i in vf.get(piece[pos], ()):
+                        if piece.startswith(s, pos):
+                            sym, vid = s, i
+                            break
+                    doc_ids.append(doc_id)
+                    ppos.append(pp)
+                    spos.append(k)
+                    syms.append(sym)
+                    vids.append(vid)
+                    pos += len(sym)
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "piece_pos": pd.Series(ppos, dtype="int32"),
+                    "sym_pos": pd.Series(spos, dtype="int32"),
+                    "symbol": pd.Series(syms, dtype="object"),
+                    "vocab_id": pd.Series(vids, dtype="int32"),
+                }
+            )
+
+    return ex.mapInPandas(
+        kern,
+        "doc_id long, piece_pos int, sym_pos int, symbol string, vocab_id int",
+    )

@@ -748,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": pinned(bpe.bpe_tokenize),
         # per-language tokenizer fertility under the learned merges
         "bpe_fertility": pinned(bpe.bpe_fertility),
+        # deployment-shape tokenizer: greedy longest-match over the
+        # shipped vocab alone (the WordPiece runtime form)
+        "bpe_munch_tokenize": pinned(bpe.bpe_munch_tokenize),
         "bpe_vocab": pinned(bpe.bpe_vocab),
         # tokenizer inference: text → learned-vocab id arrays (the input
         # seq_pack actually wants)
@@ -995,6 +998,73 @@ def _bpe_encode_oracle(num_merges: int) -> str:
            CAST(coalesce(len(e.token_ids), 0) AS INTEGER) AS n_tokens,
            coalesce(e.token_ids, CAST([] AS INTEGER[])) AS token_ids
     FROM documents d LEFT JOIN enc e USING (doc_id)"""
+    )
+
+
+def _bpe_munch_oracle(num_merges: int, stages: int) -> str:
+    """Maximal-munch inference replay: training CTEs + vocab (shared with
+    the encode oracle) + ``stages`` chained MATERIALIZED munch steps —
+    each emits one symbol per active cursor via a correlated
+    longest-prefix lookup (ORDER BY length DESC LIMIT 1), then advances
+    the cursor. ``stages`` must cover the longest piece (fixture max is
+    8 chars; the test pins this bound at every SF)."""
+    from .operators.textstats import _BPE_PATTERN
+
+    parts = (
+        _bpe_stages_sql(num_merges)
+        + f""",
+    vocab AS MATERIALIZED (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY vfreq DESC, symbol)
+                  AS INTEGER) AS vocab_id
+      FROM (SELECT s AS symbol, sum(freq) AS vfreq
+            FROM (SELECT unnest(list_filter(string_split(w, chr(31)),
+                                            x -> x <> '')) AS s, freq
+                  FROM wf{num_merges})
+            GROUP BY 1)
+    ),
+    mp AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS piece_pos, t.ps[i] AS piece
+      FROM (SELECT doc_id,
+                   regexp_extract_all(
+                       replace(coalesce(text, ''), chr(31), ''),
+                       '{_BPE_PATTERN}') AS ps
+            FROM documents) t,
+           unnest(generate_series(1, len(t.ps))) AS u(i)
+    ),
+    st0 AS MATERIALIZED (
+      SELECT doc_id, piece_pos, piece, 1 AS pos, 0 AS ord
+      FROM mp WHERE length(piece) >= 1
+    )"""
+    )
+    for k in range(1, stages + 1):
+        parts += f""",
+    em{k} AS MATERIALIZED (
+      SELECT s.doc_id, s.piece_pos, s.ord,
+             coalesce(
+               (SELECT v.symbol FROM vocab v
+                WHERE v.symbol = substr(s.piece, s.pos, length(v.symbol))
+                ORDER BY length(v.symbol) DESC, v.symbol LIMIT 1),
+               substr(s.piece, s.pos, 1)) AS symbol
+      FROM st{k - 1} s
+    ),
+    st{k} AS MATERIALIZED (
+      SELECT s.doc_id, s.piece_pos, s.piece,
+             s.pos + length(e.symbol) AS pos, s.ord + 1 AS ord
+      FROM st{k - 1} s
+      JOIN em{k} e ON e.doc_id = s.doc_id AND e.piece_pos = s.piece_pos
+      WHERE s.pos + length(e.symbol) <= length(s.piece)
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM em{k}" for k in range(1, stages + 1)
+    )
+    return (
+        parts
+        + f"""
+    SELECT e.doc_id, CAST(e.piece_pos AS INTEGER) AS piece_pos,
+           CAST(e.ord AS INTEGER) AS sym_pos, e.symbol,
+           CAST(coalesce(v.vocab_id, -1) AS INTEGER) AS vocab_id
+    FROM ({union}) e LEFT JOIN vocab v USING (symbol)"""
     )
 
 
@@ -2896,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
     # + apply) as generated CTE stages — see _bpe_stages_sql
     sql["bpe_train"] = _bpe_train_oracle(8)
     sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
+    sql["bpe_munch_tokenize"] = _bpe_munch_oracle(8, bpe.MUNCH_STAGES)
     sql["bpe_fertility"] = f"""
         WITH tok AS ({_bpe_tokenize_oracle(8)})
         SELECT d.lang, count(*) AS n_docs,

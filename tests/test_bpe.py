@@ -240,3 +240,77 @@ def test_bpe_fertility_consistent_with_tokenize(spark):
         for r in bpe_fertility(spark, sf, num_merges=2).collect()
     }
     assert all(few[l] >= got[l][2] for l in got)
+
+
+def test_munch_tokenize_reference_and_roundtrip(spark):
+    """Maximal munch == an independent pure-Python longest-match replay
+    over the learned vocab; per-piece symbol concat reproduces the piece
+    byte-for-byte; the oracle's stage bound covers the longest piece at
+    every shipped SF."""
+    import re
+
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.bpe import (
+        MUNCH_STAGES,
+        bpe_munch_tokenize,
+        bpe_vocab,
+    )
+    from sbb_ocr_postcorrection_spark.operators.textstats import _BPE_PATTERN
+
+    sf = "/root/testdata/sf0.001"
+    vocab = {
+        r["symbol"]: r["vocab_id"] for r in bpe_vocab(spark, sf).collect()
+    }
+    by_first = {}
+    for s, i in vocab.items():
+        by_first.setdefault(s[0], []).append((s, i))
+    for lst in by_first.values():
+        lst.sort(key=lambda si: (-len(si[0]), si[0]))
+
+    pat = re.compile(_BPE_PATTERN)
+    want = {}
+    max_piece = 0
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        for pp, piece in enumerate(pat.findall((text or "").replace("\x1f", ""))):
+            max_piece = max(max_piece, len(piece))
+            pos, k = 0, 0
+            while pos < len(piece):
+                sym, vid = piece[pos], -1
+                for s, i in by_first.get(piece[pos], ()):
+                    if piece.startswith(s, pos):
+                        sym, vid = s, i
+                        break
+                want[(doc_id, pp, k)] = (sym, vid)
+                pos += len(sym)
+                k += 1
+    got = {
+        (r["doc_id"], r["piece_pos"], r["sym_pos"]): (r["symbol"], r["vocab_id"])
+        for r in bpe_munch_tokenize(spark, sf).collect()
+    }
+    assert got == want
+    assert all(v[1] >= 1 for v in got.values()), "no unknown fallback fired"
+    # roundtrip: symbols of each piece concatenate back to the piece
+    from collections import defaultdict
+
+    per_piece = defaultdict(list)
+    for (doc_id, pp, k), (sym, _) in got.items():
+        per_piece[(doc_id, pp)].append((k, sym))
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        for pp, piece in enumerate(pat.findall((text or "").replace("\x1f", ""))):
+            syms = [s for _, s in sorted(per_piece[(doc_id, pp)])]
+            assert "".join(syms) == piece
+    # oracle stage bound holds at every shipped SF
+    for sfx in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = duckdb.sql(
+            f"""SELECT max(length(p)) FROM (
+                  SELECT unnest(regexp_extract_all(
+                    replace(coalesce(text,''), chr(31), ''),
+                    '{_BPE_PATTERN}')) AS p
+                  FROM '/root/testdata/{sfx}/documents.parquet')"""
+        ).fetchone()[0]
+        assert mx <= MUNCH_STAGES, f"{sfx}: piece length {mx} exceeds stages"
