@@ -813,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_change_rate": pinned(dedup.crawl_change_rate),
         "template_fingerprint": pinned(webstruct.template_fingerprint),
         "mirror_detection": pinned(webstruct.mirror_detection),
+        # provenance overlap: which source pairs share distinct content
+        "source_overlap_matrix": pinned(webstruct.source_overlap_matrix),
         "collocations": pinned(index.collocations),
         "component_canonical": pinned(components.component_canonical),
         "host_language_profile": pinned(urls.host_language_profile),
@@ -3798,6 +3800,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host, rank_in_host,
                CAST(rank_in_host <= {urls.HOST_CAP} AS INTEGER) AS kept
         FROM w
+    """
+    sql["source_overlap_matrix"] = f"""
+        WITH sd AS (
+          SELECT DISTINCT source, digest FROM (
+            SELECT source, md5(coalesce(text, '')) AS digest FROM documents
+            UNION ALL
+            SELECT 'syndicated', md5(coalesce(text, ''))
+            FROM documents WHERE doc_id % {webstruct.SYND_MOD} = 0)),
+        sizes AS (SELECT source, count(*) AS n_distinct FROM sd GROUP BY 1),
+        pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS n_shared_digests
+                  FROM sd a JOIN sd b ON a.digest = b.digest
+                                     AND a.source <> b.source
+                  GROUP BY 1, 2)
+        SELECT p.source_a, p.source_b, p.n_shared_digests,
+               sa.n_distinct AS n_a, sb.n_distinct AS n_b,
+               round(p.n_shared_digests * 100.0 / sa.n_distinct, 6)
+                 AS pct_of_a
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
     """
     sql["host_language_profile"] = """
         WITH per AS (

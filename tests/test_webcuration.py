@@ -467,3 +467,47 @@ def test_passage_windows_cover_and_overlap(spark):
                 want_toks if k == want_nw - 1 else want_toks[:CHUNK_STRIDE]
             )
         assert rebuilt[:n] == t  # stride prefixes + full tail cover the doc
+
+
+def test_source_overlap_matrix_matches_reference(spark):
+    from sbb_ocr_postcorrection_spark.operators.webstruct import (
+        SYND_MOD,
+        source_overlap_matrix,
+    )
+
+    sd = set()
+    for doc_id, text, _ in _docs():
+        dig = hashlib.md5((text or "").encode()).hexdigest()
+        src = duckdb.sql(
+            f"SELECT source FROM '{SF}/documents.parquet' WHERE doc_id = {doc_id}"
+        ).fetchone()[0]
+        sd.add((src, dig))
+        if doc_id % SYND_MOD == 0:
+            sd.add(("syndicated", dig))
+    sizes = Counter(src for src, _ in sd)
+    by_dig = defaultdict(set)
+    for src, dig in sd:
+        by_dig[dig].add(src)
+    pairs = Counter()
+    for srcs in by_dig.values():
+        for a in srcs:
+            for b in srcs:
+                if a != b:
+                    pairs[(a, b)] += 1
+    want = {
+        (a, b): (n, sizes[a], sizes[b], round(n * 100.0 / sizes[a], 6))
+        for (a, b), n in pairs.items()
+    }
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_digests"],
+            r["n_a"],
+            r["n_b"],
+            r["pct_of_a"],
+        )
+        for r in source_overlap_matrix(spark, SF).collect()
+    }
+    assert got == want
+    assert any(a == "syndicated" or b == "syndicated" for a, b in got), (
+        "syndication overlap present"
+    )
