@@ -506,6 +506,13 @@ def _sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_scan(spark, sf_dir)
 
 
+def _robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.robots import robots_compliance
+
+    _pin(spark)
+    return robots_compliance(spark, sf_dir)
+
+
 def _sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.sitemap import sitemap_coverage
 
@@ -597,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
         # the fixture rules have a closed-form verdict the oracle states)
         "robots_gate": _robots_gate,
+        # archive re-audit against current policies (takedown compliance)
+        "robots_compliance": _robots_compliance,
         # politeness scheduler: per-host fetch slots x robots Crawl-delay
         "crawl_schedule": _crawl_schedule,
         # sitemap discovery frontier (hosts-sized XML parse + loc join)
@@ -1471,6 +1480,8 @@ def _langid_learned_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .sources import robots as robots_mod
+
     de = _sql_list(DE_STOPS)
     en = _sql_list(EN_STOPS)
     sql = {
@@ -3816,6 +3827,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host, rank_in_host,
                CAST(rank_in_host <= {urls.HOST_CAP} AS INTEGER) AS kept
         FROM w
+    """
+    sql["robots_compliance"] = f"""
+        WITH v AS (
+          SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS host,
+                 CASE WHEN (doc_id % 7) % 2 = 1
+                       AND (doc_id % 13) IN (1, 10, 11)
+                 THEN 0 ELSE 1 END AS robots_allowed
+          FROM documents),
+        agg AS (SELECT host, count(*) AS n_urls,
+                       CAST(sum(1 - robots_allowed) AS BIGINT)
+                         AS n_disallowed
+                FROM v GROUP BY 1)
+        SELECT host, n_urls, n_disallowed,
+               round(n_disallowed * 100.0 / n_urls, 6) AS disallowed_pct,
+               CASE WHEN round(n_disallowed * 100.0 / n_urls, 6)
+                         > {robots_mod.COMPLY_PURGE_PCT}
+                    THEN 'purge_and_recrawl'
+                    WHEN round(n_disallowed * 100.0 / n_urls, 6) > 0.0
+                    THEN 'purge' ELSE 'compliant' END AS action
+        FROM agg
     """
     sql["source_overlap_matrix"] = f"""
         WITH sd AS (

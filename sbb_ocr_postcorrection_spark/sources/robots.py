@@ -310,3 +310,41 @@ def crawl_schedule(spark, sf_dir, robots=None, docs=None, agent: str = "*"):
             ),
         )
     )
+
+
+COMPLY_PURGE_PCT = 20.0  # above this disallowed share: purge + recrawl
+
+
+def robots_compliance(spark, sf_dir, robots=None, docs=None):
+    """Per-host robots compliance audit: how much of the ALREADY-CRAWLED
+    corpus today's policies disallow — (host, n_urls, n_disallowed,
+    disallowed_pct, action). Policies change after content is fetched;
+    a takedown-compliant pipeline re-audits the corpus against current
+    robots.txt and purges what is now disallowed (the gate screens new
+    fetches; this screens the archive). Actions: 'compliant' (0 %),
+    'purge' (some), 'purge_and_recrawl' (> COMPLY_PURGE_PCT % — the
+    policy likely restructured, the host needs a fresh discovery pass).
+
+    One rollup over the robots_gate verdict relation — map-side
+    combinable on the host key; the tier ladder compares round-6 pcts,
+    identical in both engines."""
+    from pyspark.sql import functions as F
+
+    v = robots_gate(spark, sf_dir, robots=robots, docs=docs)
+    agg = v.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(1 - F.col("robots_allowed")).cast("long").alias("n_disallowed"),
+    )
+    pct = F.round(F.col("n_disallowed") * 100.0 / F.col("n_urls"), 6)
+    action = (
+        F.when(pct > COMPLY_PURGE_PCT, "purge_and_recrawl")
+        .when(pct > 0.0, "purge")
+        .otherwise("compliant")
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_disallowed",
+        pct.alias("disallowed_pct"),
+        action.alias("action"),
+    )

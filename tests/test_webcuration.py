@@ -511,3 +511,41 @@ def test_source_overlap_matrix_matches_reference(spark):
     assert any(a == "syndicated" or b == "syndicated" for a, b in got), (
         "syndication overlap present"
     )
+
+
+def test_robots_compliance_consistent_with_gate(spark):
+    """Compliance rollup == the gate verdicts aggregated; the fixture's
+    odd hosts carry disallow rules so all three actions are reachable and
+    at least purge + compliant both fire."""
+    from sbb_ocr_postcorrection_spark.sources.robots import (
+        COMPLY_PURGE_PCT,
+        robots_compliance,
+        robots_gate,
+    )
+
+    verdicts = robots_gate(spark, SF).collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in verdicts:
+        per[r["host"]][0] += 1
+        per[r["host"]][1] += 1 - r["robots_allowed"]
+    want = {}
+    for h, (n, nd) in per.items():
+        pct = round(nd * 100.0 / n, 6)
+        action = (
+            "purge_and_recrawl"
+            if pct > COMPLY_PURGE_PCT
+            else "purge" if pct > 0.0 else "compliant"
+        )
+        want[h] = (n, nd, pct, action)
+    got = {
+        r["host"]: (
+            r["n_urls"],
+            r["n_disallowed"],
+            r["disallowed_pct"],
+            r["action"],
+        )
+        for r in robots_compliance(spark, SF).collect()
+    }
+    assert got == want
+    actions = {a for *_, a in got.values()}
+    assert "compliant" in actions and len(actions) >= 2
