@@ -1144,3 +1144,135 @@ def crawl_change_rate(spark, sf_dir) -> DataFrame:
         rate.alias("change_rate_pct"),
         tier.alias("revisit_tier"),
     )
+
+
+RECALL_BANDS = ((0.3, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01))
+PARTIAL_MOD = 19           # every 19th doc gets a partial-overlap variant
+PARTIAL_ID_BASE = 3 * 10**9
+PARTIAL_KEEP = 0.7         # variant keeps the first 70 % of tokens
+
+
+def _partial_variants(d: DataFrame) -> DataFrame:
+    """documents ∪ deterministic partial-overlap variants: every
+    PARTIAL_MOD-th doc reappears with its first 70 % of tokens plus a
+    unique tail token — landing its true Jaccard in the MID bands, where
+    the banded-LSH S-curve actually bends (the corpus's natural pairs
+    are bimodal at ~0 and ~0.95, which would leave the curve readout
+    vacuous)."""
+    toks = _tokens(F.col("text"))
+    keep = F.expr(
+        "greatest(CAST(ceil(size(t) * " + str(PARTIAL_KEEP) + ") AS INT), 1)"
+    )
+    variants = (
+        d.where(F.col("doc_id") % PARTIAL_MOD == 0)
+        .select("doc_id", "lang", toks.alias("t"))
+        .select(
+            (F.col("doc_id") + PARTIAL_ID_BASE).alias("doc_id"),
+            "lang",
+            F.concat(
+                F.array_join(F.slice(F.col("t"), F.lit(1), keep), " "),
+                F.lit(" uvar"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return d.select("doc_id", "lang", "text").unionByName(variants)
+
+
+def lsh_recall_eval(spark, sf_dir, max_shingle_df: int | None = 10_000) -> DataFrame:
+    """Self-measurement of the LSH approximation: ground truth = exact
+    shingle-Jaccard pairs (the jaccard_pairs relation, df-capped the same
+    way), candidates = the banded MinHash buckets — per Jaccard band,
+    how many true pairs the LSH candidate generation actually surfaced.
+    (band_lo, band_hi, n_true_pairs, n_candidates_hit, recall_pct.)
+
+    This is the honesty gauge every approximate-dedup deployment needs:
+    the 4-band/4-row geometry has a known S-curve, and this query reads
+    the realized curve off the corpus instead of trusting the formula —
+    recall should be near-1 above 0.8 (the dedup threshold) and fall off
+    below it BY DESIGN (pairs under the threshold are not targets).
+
+    Scale shape: both inputs are the existing candidate-capped relations
+    (shingle-equality blocking, banded buckets — never all-pairs); the
+    comparison is one (id1, id2) equality left join + a 4-row rollup."""
+    from .relational import persist_slot
+
+    d = _partial_variants(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    toksd = d.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    sh = persist_slot(
+        "lsh_recall_shingles",
+        toksd.select(
+            "doc_id", "lang", F.explode(_shingles(F.col("toks"))).alias("shingle")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        shf = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        shf = sh
+    a = shf.alias("a")
+    b = shf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    truth = (
+        inter.join(sa, F.col("id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("id2") == F.col("sb.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= RECALL_BANDS[0][0])
+    )
+    cands = minhash_lsh_candidates_from(
+        minhash_signatures_from(sh)
+    ).withColumn("hit", F.lit(1))
+    j = truth.join(cands, ["id1", "id2"], "left")
+    band = None
+    for lo, hi in RECALL_BANDS:
+        cond = (F.col("jaccard") >= lo) & (F.col("jaccard") < hi)
+        band = (
+            F.when(cond, F.lit(f"{lo:.1f}"))
+            if band is None
+            else band.when(cond, F.lit(f"{lo:.1f}"))
+        )
+    rolled = j.select(
+        band.alias("band_lo"),
+        "jaccard",
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    ).groupBy("band_lo").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").cast("long").alias("n_candidates_hit"),
+    )
+    return rolled.select(
+        "band_lo",
+        "n_true_pairs",
+        "n_candidates_hit",
+        F.round(
+            F.col("n_candidates_hit") * 100.0 / F.col("n_true_pairs"), 6
+        ).alias("recall_pct"),
+    )

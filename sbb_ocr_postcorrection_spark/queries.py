@@ -673,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
         "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
+        # realized LSH recall curve vs exact-Jaccard ground truth
+        "lsh_recall_eval": pinned(dedup.lsh_recall_eval),
         "dedup_embedding_cosine": pinned(dedup.embedding_cosine_pairs),
         "dedup_corpus_keep": pinned(dedup.deduplicate_corpus),
         # transitive duplicate clusters: large-star/small-star connected
@@ -3827,6 +3829,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host, rank_in_host,
                CAST(rank_in_host <= {urls.HOST_CAP} AS INTEGER) AS kept
         FROM w
+    """
+    _bands_case = " ".join(
+        f"WHEN jaccard >= {lo} AND jaccard < {hi} THEN '{lo:.1f}'"
+        for lo, hi in dedup.RECALL_BANDS
+    )
+    # the sig chain over the partial-variant-augmented corpus: the ONE
+    # "FROM documents" inside _minhash_sig_ctes' toks CTE is repointed at
+    # docs2 (generator output has exactly that one occurrence)
+    _recall_sig = _minhash_sig_ctes(with_lang=True).replace(
+        "FROM documents", "FROM docs2"
+    )
+    sql["lsh_recall_eval"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + {dedup.PARTIAL_ID_BASE}, lang,
+                 array_to_string(
+                   l2[1 : greatest(CAST(ceil(len(l2) * {dedup.PARTIAL_KEEP})
+                                        AS INTEGER), 1)], ' ')
+                   || ' uvar' || CAST(doc_id AS VARCHAR)
+          FROM (SELECT doc_id, lang, {_TOKS_SQL} AS l2 FROM documents
+                WHERE doc_id % {dedup.PARTIAL_MOD} = 0)),
+        {_recall_sig},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        shf AS (SELECT * FROM sh WHERE shingle NOT IN (
+                  SELECT shingle FROM (
+                    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+                  WHERE df > 10000)),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         count(*) AS n_common
+                  FROM shf a JOIN shf b
+                    ON a.lang = b.lang AND a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truth AS (SELECT i.id1, i.id2,
+                         round(i.n_common
+                               / (sa.n_sh + sb.n_sh - i.n_common), 6)
+                           AS jaccard
+                  FROM inter i
+                  JOIN sizes sa ON i.id1 = sa.doc_id
+                  JOIN sizes sb ON i.id2 = sb.doc_id),
+        tband AS (SELECT id1, id2, jaccard,
+                         CASE {_bands_case} END AS band_lo
+                  FROM truth
+                  WHERE jaccard >= {dedup.RECALL_BANDS[0][0]}),
+        cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                  FROM bands a
+                  JOIN bands b ON a.band = b.band
+                              AND a.band_hash = b.band_hash
+                              AND a.doc_id < b.doc_id),
+        j AS (SELECT t.band_lo,
+                     CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS hit
+              FROM tband t LEFT JOIN cands c
+                ON c.id1 = t.id1 AND c.id2 = t.id2),
+        agg AS (SELECT band_lo, count(*) AS n_true_pairs,
+                       CAST(sum(hit) AS BIGINT) AS n_candidates_hit
+                FROM j GROUP BY 1)
+        SELECT band_lo, n_true_pairs, n_candidates_hit,
+               round(n_candidates_hit * 100.0 / n_true_pairs, 6)
+                 AS recall_pct
+        FROM agg
     """
     sql["robots_compliance"] = f"""
         WITH v AS (

@@ -819,3 +819,24 @@ def test_snapshot_diff_verdicts(spark):
         "u3": "removed",
         "u4": "added",
     }
+
+
+def test_lsh_recall_eval_curve(spark):
+    """The realized LSH recall curve is monotone-plausible: the top band
+    (>= 0.9, the dedup targets) must be at 100 % recall, mid bands are
+    populated by the partial-variant fixture and may fall below 100 —
+    the S-curve readout this query exists to surface; counts are
+    internally consistent."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import lsh_recall_eval
+
+    rows = {
+        r["band_lo"]: (r["n_true_pairs"], r["n_candidates_hit"], r["recall_pct"])
+        for r in lsh_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows, "bands populated"
+    for n, hit, pct in rows.values():
+        assert 0 <= hit <= n
+        assert abs(pct - round(hit * 100.0 / n, 6)) < 1e-9
+    if "0.9" in rows:
+        assert rows["0.9"][2] == 100.0, "dedup-target band must be fully recalled"
+    assert any(k < "0.9" for k in rows), "mid bands populated by the fixture"
