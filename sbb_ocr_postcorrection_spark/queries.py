@@ -828,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detection": pinned(webstruct.mirror_detection),
         # provenance overlap: which source pairs share distinct content
         "source_overlap_matrix": pinned(webstruct.source_overlap_matrix),
+        # stable per-template audit sample (extraction QA workflow)
+        "template_sample": pinned(webstruct.template_sample),
         "collocations": pinned(index.collocations),
         "component_canonical": pinned(components.component_canonical),
         "host_language_profile": pinned(urls.host_language_profile),
@@ -3911,6 +3913,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN round(n_disallowed * 100.0 / n_urls, 6) > 0.0
                     THEN 'purge' ELSE 'compliant' END AS action
         FROM agg
+    """
+    sql["template_sample"] = f"""
+        WITH pages AS (
+          SELECT 'https://docs.example.org/' || source || '/' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+                 '<ul>' || repeat('<li>i</li>', CAST(doc_id % {webstruct.LI_MOD} AS INT))
+                   || '</ul>' || '{tmpl_pre}' || '<p>' || text || '{promo_sql}'
+                   || reverse(text) || '</p>' || '{tmpl_post}' AS html2
+          FROM documents),
+        sig AS (
+          SELECT url,
+                 md5(array_to_string(
+                   regexp_extract_all(html2, '{webstruct.TAG_RE}', 1), ','))
+                   AS template_sig
+          FROM pages),
+        sizes AS (SELECT template_sig, count(*) AS n_pages
+                  FROM sig GROUP BY 1),
+        ranked AS (
+          SELECT template_sig, url,
+                 CAST(row_number() OVER (PARTITION BY template_sig
+                      ORDER BY md5('tsample|' || url), url) AS INTEGER)
+                   AS rank
+          FROM sig)
+        SELECT r.template_sig, r.rank, r.url, s.n_pages
+        FROM ranked r JOIN sizes s USING (template_sig)
+        WHERE r.rank <= {webstruct.TEMPLATE_SAMPLE_K}
     """
     sql["source_overlap_matrix"] = f"""
         WITH sd AS (

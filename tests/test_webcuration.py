@@ -549,3 +549,34 @@ def test_robots_compliance_consistent_with_gate(spark):
     assert got == want
     actions = {a for *_, a in got.values()}
     assert "compliant" in actions and len(actions) >= 2
+
+
+def test_template_sample_stable_and_capped(spark):
+    """Every template yields ≤ K sampled pages with correct sizes; the
+    sample is rerun-stable and each sampled url belongs to the template
+    it represents (cross-checked against the fingerprint rollup)."""
+    from sbb_ocr_postcorrection_spark.operators.webstruct import (
+        TEMPLATE_SAMPLE_K,
+        template_fingerprint,
+        template_sample,
+    )
+
+    sizes = {
+        r["template_sig"]: r["n_pages"]
+        for r in template_fingerprint(spark, SF).collect()
+    }
+    rows = template_sample(spark, SF).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["template_sig"]].append(r)
+        assert r["n_pages"] == sizes[r["template_sig"]]
+    assert set(per) == set(sizes)
+    for sig, rs in per.items():
+        assert len(rs) == min(TEMPLATE_SAMPLE_K, sizes[sig])
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+    again = {(r["template_sig"], r["rank"]): r["url"] for r in rows}
+    rerun = {
+        (r["template_sig"], r["rank"]): r["url"]
+        for r in template_sample(spark, SF).collect()
+    }
+    assert again == rerun
