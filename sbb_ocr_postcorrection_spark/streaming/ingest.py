@@ -159,3 +159,57 @@ def run_stream_once(spark: SparkSession, input_dir: str, query_name: str = "extr
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+VOLUME_SPIKE_FACTOR = 2  # window volume > factor × baseline ⇒ anomaly
+
+
+def volume_anomaly_stream(
+    pages_stream: DataFrame,
+    baseline: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming ingest-volume anomaly screen: tumbling event-time
+    windows over the page stream, each window's document count compared
+    against a STATIC per-window baseline (yesterday's ingest_trend
+    history, a capacity plan, or a contract rate) — the live counterpart
+    of temporal.ingest_trend's batch spike rule, with the same
+    integer-only verdict: n_docs > factor × expected (no float
+    thresholds). Windows with no baseline row never flag (unknown
+    expectation is not an anomaly — the ingest_trend n_prior_days rule).
+
+    Spark disallows joins after a streaming aggregation, so the baseline
+    rides in as a plan-literal map keyed by the window-start epoch (the
+    decontaminate_stream collect-the-dimension rationale — baselines are
+    windows-sized while the stream is unbounded); state is just the
+    watermark-bounded window counts."""
+    rows = baseline.select("window_start", "expected_docs").collect()
+    kv = [
+        x
+        for r in rows
+        for x in (
+            F.lit(int(r["window_start"].timestamp())),
+            F.lit(int(r["expected_docs"])),
+        )
+    ]
+    bmap = F.create_map(*kv) if kv else F.create_map().cast("map<bigint,bigint>")
+    counts = (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("w").start.alias("window_start"), "n_docs")
+    )
+    expected = F.element_at(
+        bmap, F.unix_timestamp(F.col("window_start")).cast("bigint")
+    )
+    spike = (
+        expected.isNotNull()
+        & (F.col("n_docs") > VOLUME_SPIKE_FACTOR * expected)
+    ).cast("int")
+    return counts.select(
+        "window_start",
+        "n_docs",
+        expected.alias("expected_docs"),
+        spike.alias("volume_anomaly"),
+    )

@@ -781,3 +781,71 @@ def test_template_gate_stream_matches_batch(spark, tmp_path):
     q2.stop()
     assert {r["url"] for r in kept} == {u for u, (_, f) in want.items() if not f}
     assert kept and set(kept[0].asDict()) == {"url", "html"}
+
+
+def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming volume screen == the same windowed count + integer spike
+    rule computed in batch over identical pages; unknown windows never
+    flag; a planted flood window flags."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from sbb_ocr_postcorrection_spark.streaming.ingest import (
+        VOLUME_SPIKE_FACTOR,
+        volume_anomaly_stream,
+    )
+
+    base_day = _dt.datetime(2024, 3, 1)
+    rows = []
+    # day 0: 4 docs (baseline 3 -> not > 2*3), day 1: 9 docs (baseline 2
+    # -> 9 > 4 flags), day 2: 5 docs with NO baseline -> never flags
+    for day, n in ((0, 4), (1, 9), (2, 5)):
+        for i in range(n):
+            ts = base_day + _dt.timedelta(days=day, minutes=i)
+            rows.append((f"u{day}-{i}", ts, f"t{i}"))
+    d = tmp_path / "vin"
+    os.makedirs(d)
+    _text_batch(d / "b1.parquet", rows[:8])
+    _text_batch(d / "b2.parquet", rows[8:])
+    baseline = spark.createDataFrame(
+        [(base_day, 3), (base_day + _dt.timedelta(days=1), 2)],
+        "window_start timestamp, expected_docs long",
+    )
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        volume_anomaly_stream(stream, baseline)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("vol_anom")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["window_start"]: (r["n_docs"], r["expected_docs"], r["volume_anomaly"])
+        for r in spark.sql("SELECT * FROM vol_anom").collect()
+    }
+    batch = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    counts = {
+        r["ws"]: r["n"]
+        for r in batch.groupBy(
+            F.window("warc_ts", "1 day").start.alias("ws")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expected = {base_day: 3, base_day + _dt.timedelta(days=1): 2}
+    want = {
+        ws: (
+            n,
+            expected.get(ws),
+            int(ws in expected and n > VOLUME_SPIKE_FACTOR * expected[ws]),
+        )
+        for ws, n in counts.items()
+    }
+    assert got == want
+    flags = [v[2] for v in got.values()]
+    assert sum(flags) == 1, "exactly the planted flood window flags"
