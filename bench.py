@@ -64,6 +64,11 @@ HEADLINE = [
     "ann_ivf_pinned",
     "quality_score",
     "fingerprints",
+    # round-5 additions: winnowing match join (df-capped fingerprint
+    # equality, the MOSS shape) and end-to-end RAG retrieval (chunk ->
+    # hash-embed -> sparse dot product -> top-k)
+    "winnow_matches",
+    "passage_retrieval",
     "extract_pipeline",
 ]
 
