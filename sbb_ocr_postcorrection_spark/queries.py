@@ -830,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": pinned(webstruct.source_overlap_matrix),
         # stable per-template audit sample (extraction QA workflow)
         "template_sample": pinned(webstruct.template_sample),
+        # REAL kernel metrics rolled up per template skeleton
+        "template_extract_metrics": pinned(webstruct.template_extract_metrics),
         "collocations": pinned(index.collocations),
         "component_canonical": pinned(components.component_canonical),
         "host_language_profile": pinned(urls.host_language_profile),
@@ -3912,6 +3914,32 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'purge_and_recrawl'
                     WHEN round(n_disallowed * 100.0 / n_urls, 6) > 0.0
                     THEN 'purge' ELSE 'compliant' END AS action
+        FROM agg
+    """
+    sql["template_extract_metrics"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 md5(array_to_string(
+                   regexp_extract_all(
+                     '<ul>' || repeat('<li>i</li>',
+                                      CAST(doc_id % {webstruct.LI_MOD} AS INT))
+                       || '</ul>' || '{tmpl_pre}' || '<p>' || text
+                       || '{promo_sql}' || reverse(text) || '</p>'
+                       || '{tmpl_post}',
+                     '{webstruct.TAG_RE}', 1), ',')) AS template_sig
+          FROM documents),
+        agg AS (
+          SELECT template_sig, count(*) AS n_pages,
+                 CAST(sum(2 * length(text) + {_PAGE_OVERHEAD}) AS BIGINT)
+                   AS sum_chars_in,
+                 CAST(sum(2 * length(text) + 1) AS BIGINT) AS sum_chars_out,
+                 CAST(sum(2 * len(string_split(text, ' '))) AS BIGINT)
+                   AS sum_spans
+          FROM t GROUP BY 1)
+        SELECT template_sig, n_pages, sum_chars_in, sum_chars_out,
+               round(sum_chars_out / greatest(sum_chars_in, 1), 6)
+                 AS extraction_ratio,
+               round(sum_spans / n_pages, 6) AS spans_per_page
         FROM agg
     """
     sql["template_sample"] = f"""

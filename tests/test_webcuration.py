@@ -580,3 +580,25 @@ def test_template_sample_stable_and_capped(spark):
         for r in template_sample(spark, SF).collect()
     }
     assert again == rerun
+
+
+def test_template_extract_metrics_consistent(spark):
+    """Per-template kernel metrics reconcile with the fingerprint rollup
+    (same groups, page counts) and with the corpus-total extraction
+    metrics; ratios sit in (0, 1] — extraction always strips boilerplate
+    but never everything on this corpus."""
+    from sbb_ocr_postcorrection_spark.operators.webstruct import (
+        template_extract_metrics,
+        template_fingerprint,
+    )
+
+    sizes = {
+        r["template_sig"]: r["n_pages"]
+        for r in template_fingerprint(spark, SF).collect()
+    }
+    rows = template_extract_metrics(spark, SF).collect()
+    assert {r["template_sig"]: r["n_pages"] for r in rows} == sizes
+    for r in rows:
+        assert 0 < r["extraction_ratio"] <= 1
+        assert r["spans_per_page"] > 0
+        assert r["sum_chars_out"] <= r["sum_chars_in"]
