@@ -381,3 +381,68 @@ def link_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
         )
     )
+
+
+LPA_ITERS = 4  # synchronous label-propagation rounds (oracle replays K)
+
+
+def host_communities(
+    spark: SparkSession, sf_dir: str, iters: int = LPA_ITERS
+) -> DataFrame:
+    """Community detection on the host graph: synchronous label
+    propagation (Raghavan, Albert, Kumara 2007) — every node adopts the
+    most frequent label among its undirected neighbors each round, ties
+    broken by the SMALLEST label (the pinned deterministic variant of
+    the usually-randomized algorithm). Communities are the crawl's
+    topical clusters: partition keys for per-community curation,
+    mirrors of link farms, and the granularity crawl budgets get
+    rebalanced at.
+
+    Engine-exact: labels are integer host ids, the per-node vote is one
+    (node, label) count + argmax with (count desc, label asc) — plain
+    integers and row_number in both engines — so the whole K-round loop
+    replays as chained MATERIALIZED CTEs (the PageRank convention).
+
+    Scale shape: per round ONE equality join of the adjacency on the
+    label relation and ONE (node, label) count whose argmax is a
+    combinable min(struct(-c, label)) aggregation — no windows over
+    anything graph-sized; localCheckpoint truncates the iterated
+    lineage exactly as the rank loop does."""
+    edges = persist_slot(
+        "lpa_edges", synth_link_edges(spark, sf_dir).distinct()
+    )
+    adj = persist_slot(
+        "lpa_adj",
+        edges.select(F.col("src_id").alias("v"), F.col("dst_id").alias("u"))
+        .union(
+            edges.select(F.col("dst_id").alias("v"), F.col("src_id").alias("u"))
+        )
+        .distinct(),
+    )
+    labels = adj.select("v").distinct().select(
+        "v", F.col("v").cast("long").alias("lab")
+    )
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                labels.select(F.col("v").alias("u"), "lab"), "u"
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("v")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias(
+                    "m"
+                )
+            )
+            .select("v", F.col("m.lab").alias("lab"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        _host_col(F.col("v")).alias("host"),
+        F.col("lab").alias("community_id"),
+        "community_size",
+    )

@@ -813,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_spam_mass": pinned(linkgraph.host_spam_mass),
         # structural degree/reciprocity profile (link-farm features)
         "link_degree_stats": pinned(linkgraph.link_degree_stats),
+        # deterministic label-propagation communities (topical clusters)
+        "host_communities": pinned(linkgraph.host_communities),
         # anchor-text aggregation per target host (the off-page web-IR
         # signal), tag-skeleton template clustering, cross-host mirror
         # rollup, PMI collocations, canonical keeper per dup component,
@@ -1299,6 +1301,51 @@ def _perceptron_pr_curve_oracle(epochs: int) -> str:
            round(tp / greatest(tp + fn, 1), 6) AS rec,
            round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
     FROM prc_cells"""
+    )
+
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Chained-CTE replay of host_communities: undirected adjacency from
+    the synth edge multiset, K synchronous min-tie-break majority-vote
+    rounds (the PageRank convention)."""
+    H = linkgraph.N_HOSTS
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT DISTINCT doc_id % {H} AS src_id,
+                      (doc_id * 31 + j) % {H} AS dst_id
+      FROM documents CROSS JOIN generate_series(1, {linkgraph.LINK_FANOUT}) t(j)
+      WHERE doc_id % {H} <> (doc_id * 31 + j) % {H})""",
+        """adj AS MATERIALIZED (
+      SELECT src_id AS v, dst_id AS u FROM e
+      UNION SELECT dst_id, src_id FROM e)""",
+        """lab0 AS MATERIALIZED (
+      SELECT DISTINCT v, CAST(v AS BIGINT) AS lab FROM adj)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""nb{k} AS MATERIALIZED (
+      SELECT a.v, l.lab, count(*) AS c
+      FROM adj a JOIN lab{k - 1} l ON l.v = a.u
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""lab{k} AS MATERIALIZED (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+        FROM nb{k}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sizes AS (SELECT lab, count(*) AS community_size
+              FROM lab{iters} GROUP BY 1)
+    SELECT 'host' || CAST(l.v AS VARCHAR) || '.example.net' AS host,
+           l.lab AS community_id,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM lab{iters} l JOIN sizes s USING (lab)"""
     )
 
 
@@ -3288,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         f"(greatest(pr.rank_fp - tr.rank_fp, 0) * {linkgraph.SPAM_SCALE})"
         " // pr.rank_fp"
     )
+    sql["host_communities"] = _lpa_oracle(linkgraph.LPA_ITERS)
     sql["host_spam_mass"] = f"""
         WITH pr AS ({_pagerank_oracle(linkgraph.PR_ITERS)}),
         tr AS ({_pagerank_oracle(linkgraph.PR_ITERS,

@@ -216,3 +216,35 @@ def test_link_degree_stats_matches_reference(spark):
     }
     assert got == want
     assert sum(r[2] for r in got.values()) > 0, "reciprocal edges exist"
+
+
+def test_host_communities_matches_python_replay(spark):
+    """Deterministic synchronous LPA == a pure-Python replay of the
+    documented rule (majority vote, min-label ties); every node labeled,
+    labels are member node ids, and community sizes reconcile."""
+    from collections import Counter, defaultdict
+
+    edges = _edges(_doc_ids(spark))
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    lab = {v: v for v in adj}
+    for _ in range(LG.LPA_ITERS):
+        new = {}
+        for v, nbrs in adj.items():
+            votes = Counter(lab[u] for u in nbrs)
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    sizes = Counter(lab.values())
+    want = {
+        f"host{v}.example.net": (l, sizes[l]) for v, l in lab.items()
+    }
+    got = {
+        r["host"]: (r["community_id"], r["community_size"])
+        for r in LG.host_communities(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(s for _, s in set(got.values())) <= len(got) * len(got)
+    labels = {l for l, _ in got.values()}
+    assert labels <= {int(h.removeprefix("host").split(".")[0]) for h in got}
