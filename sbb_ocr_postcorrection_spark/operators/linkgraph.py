@@ -446,3 +446,40 @@ def host_communities(
         F.col("lab").alias("community_id"),
         "community_size",
     )
+
+
+def community_profiles(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Community-level curation rollup: join the LPA communities onto the
+    spam-mass relation and aggregate — (community_id, n_hosts,
+    pagerank_fp, trustrank_fp, spam_mass_fp, n_spam_hosts). The decision
+    table crawl budgeting actually reads: a community whose AGGREGATE
+    rank is mostly untrusted is a link farm to demote wholesale, not
+    host by host (Gyöngyi's spam-mass argument applied at the cluster
+    granularity LPA provides).
+
+    All integer: summed fixed-point ranks, the same clamped spam-mass
+    division, and a spam-candidate count. One host-equality join of two
+    host-dimension relations + one community rollup."""
+    comm = host_communities(spark, sf_dir)
+    sm = host_spam_mass(spark, sf_dir, iters=iters)
+    j = comm.join(sm, "host")
+    agg = j.groupBy("community_id").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("pagerank_fp").cast("long").alias("pagerank_fp"),
+        F.sum("trustrank_fp").cast("long").alias("trustrank_fp"),
+        F.sum("spam_candidate").cast("long").alias("n_spam_hosts"),
+    )
+    csm = F.expr(
+        f"(greatest(pagerank_fp - trustrank_fp, 0) * {SPAM_SCALE})"
+        " div pagerank_fp"
+    )
+    return agg.select(
+        "community_id",
+        "n_hosts",
+        "pagerank_fp",
+        "trustrank_fp",
+        csm.alias("spam_mass_fp"),
+        "n_spam_hosts",
+    )

@@ -815,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degree_stats": pinned(linkgraph.link_degree_stats),
         # deterministic label-propagation communities (topical clusters)
         "host_communities": pinned(linkgraph.host_communities),
+        # cluster-granularity demotion table: communities x spam mass
+        "community_profiles": pinned(linkgraph.community_profiles),
         # anchor-text aggregation per target host (the off-page web-IR
         # signal), tag-skeleton template clustering, cross-host mirror
         # rollup, PMI collocations, canonical keeper per dup component,
@@ -3336,6 +3338,32 @@ def oracle_sql() -> dict[str, str]:
         " // pr.rank_fp"
     )
     sql["host_communities"] = _lpa_oracle(linkgraph.LPA_ITERS)
+    _csm = (
+        f"(greatest(pagerank_fp - trustrank_fp, 0) * {linkgraph.SPAM_SCALE})"
+        " // pagerank_fp"
+    )
+    sql["community_profiles"] = f"""
+        WITH comm AS ({_lpa_oracle(linkgraph.LPA_ITERS)}),
+        pr AS ({_pagerank_oracle(linkgraph.PR_ITERS)}),
+        tr AS ({_pagerank_oracle(linkgraph.PR_ITERS,
+                                 seed_mod=linkgraph.TRUST_SEED_MOD)}),
+        sm AS (
+          SELECT pr.host, pr.rank_fp AS h_pr, tr.rank_fp AS h_tr,
+                 CAST((greatest(pr.rank_fp - tr.rank_fp, 0)
+                       * {linkgraph.SPAM_SCALE}) // pr.rank_fp
+                      >= {linkgraph.SPAM_THRESHOLD_FP} AS INTEGER) AS cand
+          FROM pr JOIN tr USING (host)),
+        agg AS (
+          SELECT c.community_id, count(*) AS n_hosts,
+                 CAST(sum(s.h_pr) AS BIGINT) AS pagerank_fp,
+                 CAST(sum(s.h_tr) AS BIGINT) AS trustrank_fp,
+                 CAST(sum(s.cand) AS BIGINT) AS n_spam_hosts
+          FROM comm c JOIN sm s USING (host)
+          GROUP BY 1)
+        SELECT community_id, n_hosts, pagerank_fp, trustrank_fp,
+               {_csm} AS spam_mass_fp, n_spam_hosts
+        FROM agg
+    """
     sql["host_spam_mass"] = f"""
         WITH pr AS ({_pagerank_oracle(linkgraph.PR_ITERS)}),
         tr AS ({_pagerank_oracle(linkgraph.PR_ITERS,

@@ -248,3 +248,43 @@ def test_host_communities_matches_python_replay(spark):
     assert sum(s for _, s in set(got.values())) <= len(got) * len(got)
     labels = {l for l, _ in got.values()}
     assert labels <= {int(h.removeprefix("host").split(".")[0]) for h in got}
+
+
+def test_community_profiles_reconcile(spark):
+    """Community rollup reconciles with its two inputs: host counts sum
+    to the graph, fixed-point rank sums match the per-host relations,
+    and spam-host counts match the per-host flags."""
+    comm = {
+        r["host"]: r["community_id"]
+        for r in LG.host_communities(spark, SF_DIR).collect()
+    }
+    sm = {
+        r["host"]: (r["pagerank_fp"], r["trustrank_fp"], r["spam_candidate"])
+        for r in LG.host_spam_mass(spark, SF_DIR).collect()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for h, cid in comm.items():
+        pr, tr, cand = sm[h]
+        a = want[cid]
+        a[0] += 1
+        a[1] += pr
+        a[2] += tr
+        a[3] += cand
+    got = {
+        r["community_id"]: (
+            r["n_hosts"],
+            r["pagerank_fp"],
+            r["trustrank_fp"],
+            r["spam_mass_fp"],
+            r["n_spam_hosts"],
+        )
+        for r in LG.community_profiles(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for cid, (n, pr, tr, cand) in want.items():
+        gn, gpr, gtr, gsm, gcand = got[cid]
+        assert (gn, gpr, gtr, gcand) == (n, pr, tr, cand)
+        assert gsm == max(pr - tr, 0) * LG.SPAM_SCALE // pr
+    assert sum(n for n, *_ in got.values()) == len(comm)
