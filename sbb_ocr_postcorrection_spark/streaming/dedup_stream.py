@@ -252,3 +252,81 @@ def extract_dedup_stream(pages_stream: DataFrame, ttl_minutes: int | None = None
         "url", "warc_ts", F.col("extracted_text").alias("text")
     )
     return dedup_stream(extracted, ttl_minutes=ttl_minutes)
+
+
+POLITE_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("window_epoch", LongType()),
+        StructField("n_allowed_before", LongType()),
+        StructField("allowed", BooleanType()),
+    ]
+)
+
+POLITE_STATE = StructType(
+    [StructField("epoch", LongType()), StructField("used", LongType())]
+)
+
+
+def politeness_limit_stream(
+    pages_stream: DataFrame, cap: int, window_sec: int = 60
+) -> DataFrame:
+    """Stateful per-host fetch-rate limiter: at most ``cap`` allowed
+    fetches per host per ``window_sec`` event-time window, excess rows
+    emitted with allowed=false (the frontier re-queues them) — the
+    ONLINE form of crawl_schedule's politeness budgeting, carried across
+    micro-batch boundaries by per-host state exactly like the stateful
+    dedup carries seen-counts.
+
+    State is two longs per host (current window epoch + budget used):
+    bounded by the host dimension, partitioned by the host hash. Rows
+    inside a batch process in (warc_ts, url) order so the verdict is
+    deterministic under batch-internal reordering; the transition
+    assumes per-host event times arrive non-decreasing ACROSS batches
+    (the file-stream/watermark ordering the ingest layer provides) —
+    a late row simply draws from the current window's budget, which is
+    the conservative direction for politeness."""
+    host = F.regexp_extract(F.col("url"), r"^(?:[a-z]+://)?(?:www\.)?([^/]+)", 1)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        epoch, used = (state.get if state.exists else (None, 0))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((epoch, used))
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["warc_ts", "url"], kind="mergesort"
+        )
+        rows: list[dict[str, Any]] = []
+        for url, ts in zip(batch["url"], batch["warc_ts"]):
+            e = int(ts.timestamp()) // window_sec
+            if e != epoch:
+                epoch, used = e, 0
+            ok = used < cap
+            rows.append(
+                {
+                    "host": h,
+                    "url": url,
+                    "warc_ts": ts,
+                    "window_epoch": e,
+                    "n_allowed_before": used,
+                    "allowed": ok,
+                }
+            )
+            if ok:
+                used += 1
+        state.update((epoch, used))
+        yield pd.DataFrame(rows, columns=[f.name for f in POLITE_SCHEMA.fields])
+
+    keyed = pages_stream.select(
+        host.alias("host"), "url", "warc_ts"
+    ).groupBy("host")
+    return keyed.applyInPandasWithState(
+        fn, POLITE_SCHEMA, POLITE_STATE, "update", GroupStateTimeout.NoTimeout
+    )

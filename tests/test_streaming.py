@@ -849,3 +849,71 @@ def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
     assert got == want
     flags = [v[2] for v in got.values()]
     assert sum(flags) == 1, "exactly the planted flood window flags"
+
+
+def test_politeness_limit_stream_matches_batch(spark, tmp_path):
+    """Per-host rate limiting == the batch row_number-within-window rule
+    on the same (time-ordered) pages; budgets carry ACROSS micro-batches
+    within a window and reset at the window boundary."""
+    import datetime as _dt
+
+    from pyspark.sql import Window as W, functions as F
+
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
+        politeness_limit_stream,
+    )
+
+    t0 = _dt.datetime(2024, 4, 1, 12, 0, 0)
+    rows = []
+    # hostA: 5 urls inside one minute (cap 2 -> 3 deferred), then 2 more
+    # in the NEXT minute (budget resets); hostB: 2 urls (all allowed)
+    for i in range(5):
+        rows.append((f"https://a.test/p{i}", t0 + _dt.timedelta(seconds=10 + i), f"t{i}"))
+    for i in range(2):
+        rows.append((f"https://a.test/q{i}", t0 + _dt.timedelta(seconds=70 + i), f"u{i}"))
+    for i in range(2):
+        rows.append((f"https://b.test/r{i}", t0 + _dt.timedelta(seconds=20 + i), f"v{i}"))
+    d = tmp_path / "pin"
+    os.makedirs(d)
+    # split MID-WINDOW so the budget must persist across batches
+    _text_batch(d / "a.parquet", rows[:3])
+    _text_batch(d / "b.parquet", rows[3:])
+    t = _dt.datetime.now().timestamp()
+    os.utime(d / "a.parquet", (t, t))
+    os.utime(d / "b.parquet", (t + 10, t + 10))
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        politeness_limit_stream(stream, cap=2, window_sec=60)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["url"]: (r["host"], r["window_epoch"], r["n_allowed_before"], r["allowed"])
+        for r in seen
+    }
+    batch = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    host = F.regexp_extract(F.col("url"), r"^(?:[a-z]+://)?(?:www\.)?([^/]+)", 1)
+    epoch = (F.unix_timestamp("warc_ts") / 60).cast("long")
+    w = W.partitionBy(host, epoch).orderBy("warc_ts", "url")
+    want = {
+        r["url"]: (r["h"], r["e"], min(r["rn"] - 1, 2), r["rn"] <= 2)
+        for r in batch.select(
+            "url",
+            host.alias("h"),
+            epoch.alias("e"),
+            F.row_number().over(w).alias("rn"),
+        ).collect()
+    }
+    # n_allowed_before saturates at cap for deferred rows in both forms
+    assert got == want
+    assert sum(1 for v in got.values() if not v[3]) == 3
+    assert all(v[3] for u, v in got.items() if u.startswith("https://b"))
