@@ -50,6 +50,10 @@ SHOW = [
      "counter relation (≤ DEPTH×WIDTH rows) BROADCAST to the probe lookup; sketch build is ONE map-side-combinable aggregation"),
     ("template_fingerprint",
      "tag extraction is JVM regexp inside the scan stage — no Python eval; aggregation key is the 32-char sig (tiny shuffle rows)"),
+    ("host_communities",
+     "per LPA round: one adjacency-on-labels equality join + combinable min-struct argmax; localCheckpoint truncates iterated lineage — no graph-sized window, no cartesian"),
+    ("lsh_recall_eval",
+     "truth = shingle-equality blocking, candidates = banded buckets; the comparison is one (id1,id2) equality left join — never all-pairs"),
     ("dedup_incremental",
      "two hashpartitioning exchanges on content_hash (batch + history digests); the first-occurrence Window runs on the probe join's output partitioning — no third shuffle"),
     ("seq_pack",

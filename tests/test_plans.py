@@ -266,3 +266,33 @@ def test_r5_ops_plan_shapes(spark):
     tp = plan_of(template_fingerprint(spark, SF_DIR))
     assert "BatchEvalPython" not in tp and "ArrowEvalPython" not in tp
     assert "regexp_extract_all" in tp
+
+
+def test_r5_late_ops_plan_shapes(spark):
+    """Late round-5 additions keep the scale contracts: the LPA loop and
+    its community rollup never plan a cartesian or nested-loop join, the
+    recall eval's candidate/truth comparison is equality-keyed, and the
+    per-template kernel metrics keep the extraction stage Python-only at
+    the kernel seam (ArrowEval for mapInPandas, no row-at-a-time
+    BatchEvalPython)."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import lsh_recall_eval
+    from sbb_ocr_postcorrection_spark.operators.linkgraph import (
+        community_profiles,
+        host_communities,
+    )
+    from sbb_ocr_postcorrection_spark.operators.webstruct import (
+        template_extract_metrics,
+    )
+
+    for df in (
+        host_communities(spark, SF_DIR),
+        community_profiles(spark, SF_DIR),
+        lsh_recall_eval(spark, SF_DIR),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    tp = plan_of(template_extract_metrics(spark, SF_DIR))
+    assert "CartesianProduct" not in tp
+    assert "BatchEvalPython" not in tp  # only the Arrow kernel seam
