@@ -41,7 +41,7 @@ SHOW = [
     ("containment_pairs",
      "shingle-equality blocking with df cap; asymmetric scores from the candidate-only intersection — no CartesianProduct, no all-pairs"),
     ("winnow_matches",
-     "fingerprint-hash equality join (df-capped); window minima via (doc, s)-partitioned row_number — no global window, no nested-loop join"),
+     "fingerprint-hash equality join (df-capped); window minima via a map-side-combinable min(struct(h, -i)) aggregation (NOT a sort window) — no global window, no nested-loop join"),
     ("passage_retrieval",
      "probe vectors BROADCAST into the bucket-equality sparse dot product; top-k via probe-partitioned window — no dense arrays shuffled, no cross join"),
     ("semantic_dedup",
