@@ -917,3 +917,53 @@ def test_politeness_limit_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert sum(1 for v in got.values() if not v[3]) == 3
     assert all(v[3] for u, v in got.items() if u.startswith("https://b"))
+
+
+def test_politeness_limit_stream_mega_host(spark, tmp_path):
+    """Skew stress: one host floods 2 000 urls into a single window
+    across two micro-batches (cap 5) — exactly 5 allowed corpus-wide for
+    that host, the earliest 5 by (warc_ts, url), and the flood never
+    starves the small host's budget."""
+    import datetime as _dt
+
+    from sbb_ocr_postcorrection_spark.streaming.dedup_stream import (
+        politeness_limit_stream,
+    )
+
+    t0 = _dt.datetime(2024, 4, 2, 9, 0, 0)
+    flood = [
+        (f"https://mega.test/p{i:05d}", t0 + _dt.timedelta(milliseconds=i), "x")
+        for i in range(2000)
+    ]
+    small = [
+        (f"https://tiny.test/s{i}", t0 + _dt.timedelta(seconds=i), "y")
+        for i in range(3)
+    ]
+    rows = flood + small
+    d = tmp_path / "mega"
+    os.makedirs(d)
+    _text_batch(d / "a.parquet", rows[:1000])
+    _text_batch(d / "b.parquet", rows[1000:])
+    t = _dt.datetime.now().timestamp()
+    os.utime(d / "a.parquet", (t, t))
+    os.utime(d / "b.parquet", (t + 10, t + 10))
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        politeness_limit_stream(stream, cap=5, window_sec=60)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    mega = [r for r in seen if r["host"] == "mega.test"]
+    tiny = [r for r in seen if r["host"] == "tiny.test"]
+    assert len(mega) == 2000 and len(tiny) == 3
+    allowed = sorted(r["url"] for r in mega if r["allowed"])
+    assert allowed == [f"https://mega.test/p{i:05d}" for i in range(5)]
+    assert all(r["allowed"] for r in tiny)
