@@ -415,34 +415,62 @@ def bpe_munch_tokenize(
     ex = d.select("doc_id", F.posexplode(pieces_arr).alias("piece_pos", "piece"))
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         vf = bc.value
-        for pdf in batches:
-            doc_ids, ppos, spos, syms, vids = [], [], [], [], []
-            for doc_id, pp, piece in zip(
-                pdf["doc_id"], pdf["piece_pos"], pdf["piece"]
-            ):
-                pos, k = 0, 0
-                n = len(piece)
+        # word-level memo: natural text repeats words heavily (Heaps' law
+        # bounds distinct pieces far below total pieces), so each DISTINCT
+        # piece walks the cursor loop once per task and every repeat is a
+        # dict hit — measured >2x kernel tokens/s over the per-occurrence
+        # loop. Lifetime is the task; size is the task's piece vocabulary.
+        memo: dict[str, tuple[list[str], list[int]]] = {}
+
+        def seg(piece: str) -> tuple[list[str], list[int]]:
+            got = memo.get(piece)
+            if got is None:
+                syms: list[str] = []
+                vids: list[int] = []
+                pos, n = 0, len(piece)
                 while pos < n:
                     sym, vid = piece[pos], -1
                     for s, i in vf.get(piece[pos], ()):
                         if piece.startswith(s, pos):
                             sym, vid = s, i
                             break
-                    doc_ids.append(doc_id)
-                    ppos.append(pp)
-                    spos.append(k)
                     syms.append(sym)
                     vids.append(vid)
                     pos += len(sym)
-                    k += 1
+                got = (syms, vids)
+                memo[piece] = got
+            return got
+
+        for pdf in batches:
+            segs = [seg(p) for p in pdf["piece"]]
+            counts = np.fromiter(
+                (len(s[0]) for s in segs), dtype=np.int64, count=len(segs)
+            )
+            total = int(counts.sum())
+            starts = np.zeros(len(counts), dtype=np.int64)
+            if len(counts):
+                np.cumsum(counts[:-1], out=starts[1:])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "piece_pos": pd.Series(ppos, dtype="int32"),
-                    "sym_pos": pd.Series(spos, dtype="int32"),
-                    "symbol": pd.Series(syms, dtype="object"),
-                    "vocab_id": pd.Series(vids, dtype="int32"),
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(np.int64), counts
+                    ),
+                    "piece_pos": np.repeat(
+                        pdf["piece_pos"].to_numpy(np.int32), counts
+                    ),
+                    "sym_pos": (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(starts, counts)
+                    ).astype(np.int32),
+                    "symbol": pd.Series(
+                        [s for sg in segs for s in sg[0]], dtype="object"
+                    ),
+                    "vocab_id": pd.Series(
+                        [v for sg in segs for v in sg[1]], dtype="int32"
+                    ),
                 }
             )
 

@@ -110,6 +110,110 @@ def winnow_fingerprints(spark, sf_dir, docs=None) -> DataFrame:
     return sel
 
 
+def winnow_fingerprints_np(spark, sf_dir, docs=None) -> DataFrame:
+    """Arrow-kernel fast path for winnow_fingerprints: identical output
+    (equality-tested against the relational twin, same DuckDB oracle),
+    ~5× less traffic. The relational form must explode one row per
+    character position, spread each ×W into its windows, and exchange a
+    corpus-character-count-sized relation into groupBy(doc_id, s); this
+    kernel computes the k-gram hashes and the rightmost-min window
+    selection per document in NumPy and emits ONLY the selected
+    fingerprints (≈ 2n/(w+1) rows) with ZERO shuffle — the
+    fingerprints_np / lsh_signatures_np convention. Winnowing is
+    per-document by definition, so partition-local work is the correct
+    distribution at any scale.
+
+    Engine-exactness: `substr`/`length` are character-based in Spark, as
+    is Python slicing; lower() stays JVM-side (computed in the select
+    below) so locale-sensitive case folding cannot diverge; md5_60 ==
+    top 60 bits of the digest (first 15 hex chars)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (
+        docs
+        if docs is not None
+        else _quote_augmented(
+            load(spark, sf_dir, "documents").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    )
+    base = d.select(
+        "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            out = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                n = len(t)
+                nk = n - (WIN_K - 1)
+                nw = nk - (WIN_W - 1)
+                if nw < 1:
+                    continue
+                h = np.empty(nk, dtype=np.int64)
+                enc = t.encode("utf-8")
+                if len(enc) == n:
+                    # pure ASCII: slide a zero-copy memoryview over bytes
+                    mv = memoryview(enc)
+                    for i in range(nk):
+                        h[i] = (
+                            int.from_bytes(
+                                md5(mv[i : i + WIN_K]).digest()[:8], "big"
+                            )
+                            >> 4
+                        )  # top 60 bits == first 15 hex chars == md5_60
+                else:
+                    # substr() counts CHARACTERS: slice the str, encode
+                    for i in range(nk):
+                        h[i] = (
+                            int.from_bytes(
+                                md5(
+                                    t[i : i + WIN_K].encode("utf-8")
+                                ).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                        )
+                # rightmost min per window: argmin over the REVERSED
+                # window axis returns the rightmost minimum's offset
+                rev = swv(h, WIN_W)[:, ::-1]
+                j = rev.argmin(axis=1)
+                pos = np.unique(np.arange(nw) + (WIN_W - 1 - j))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.full(
+                                len(pos), doc_id, dtype=np.int64
+                            ),
+                            "fp_hash": h[pos],
+                            "pos": (pos + 1).astype(np.int32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "fp_hash": pd.Series(dtype="int64"),
+                        "pos": pd.Series(dtype="int32"),
+                    }
+                )
+            )
+
+    return base.mapInPandas(kern, "doc_id long, fp_hash long, pos int")
+
+
 def winnow_matches(
     spark,
     sf_dir,
@@ -119,7 +223,7 @@ def winnow_matches(
     """Cross-document winnowing matches: (id1, id2, n_shared, n_fp1,
     n_fp2, overlap) — pairs sharing ≥ min_shared selected fingerprints,
     overlap = shared / min(|fp1|, |fp2|) (the MOSS report score)."""
-    fps = winnow_fingerprints(spark, sf_dir)
+    fps = winnow_fingerprints_np(spark, sf_dir)
     # NOT slot-persisted: the three consumers (sizes, df-cap, pair join)
     # already share the distinct's exchange via ReusedExchange; forcing a
     # persist materializes the relation up front and measured SLOWER

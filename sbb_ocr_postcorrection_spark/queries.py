@@ -854,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing (SIGMOD'03 / MOSS): position-robust fingerprint
         # selection + cross-doc plagiarism/contamination match pairs
         "winnow_fingerprints": pinned(winnow.winnow_fingerprints),
+        # Arrow-kernel fast path: selection computed per-doc in NumPy,
+        # zero shuffle; same oracle as the relational twin above
+        "winnow_fingerprints_np": pinned(winnow.winnow_fingerprints_np),
         "winnow_matches": pinned(winnow.winnow_matches),
         # RAG-export chunking: overlapping fixed-size token windows
         "passage_windows": pinned(lines.passage_windows),
@@ -3735,6 +3738,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(pos AS INTEGER) AS pos
         FROM sel
     """
+    # the Arrow-kernel winnow selection must reproduce the relational
+    # twin's oracle bit-for-bit — same SQL, driver certifies the fast path
+    sql["winnow_fingerprints_np"] = sql["winnow_fingerprints"]
     sql["winnow_matches"] = f"""
         WITH {_winnow_sel},
         fpd AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
