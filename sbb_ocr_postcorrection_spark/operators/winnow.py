@@ -16,14 +16,17 @@ md5 bit-for-bit), window minima are row_number over (hash asc, pos desc)
 — plain SQL in both engines — and match scores are integer counts with
 one guarded IEEE division.
 
-Scale shape: per-doc work is a bounded ≤w× position fanout (explode of a
-length-w sequence) feeding ONE (doc, window) aggregation; cross-doc
-matching is an equality join on the fingerprint hash with a document-
-frequency cap (boilerplate fingerprints pair everything and carry no
-plagiarism signal — the jaccard_pairs df-cap discipline), never
-all-pairs. Non-vacuity: the containment family's quote pages
-(dedup._quote_augmented) are injected — an excerpt shares long
-substrings with its source, so winnowing MUST pair them.
+Scale shape: fingerprint SELECTION is per-document by definition, so the
+production path (`winnow_fingerprints_np`, `_winnow_doc_fps`) computes
+it inside an Arrow kernel with ZERO shuffle and emits only the ~2n/(w+1)
+selected rows; the relational form (`winnow_fingerprints`) is the
+oracle-certifying twin (≤w× position fanout into ONE (doc, window)
+aggregation). Cross-doc matching is an equality join on the fingerprint
+hash with a document-frequency cap (boilerplate fingerprints pair
+everything and carry no plagiarism signal — the jaccard_pairs df-cap
+discipline), never all-pairs. Non-vacuity: the containment family's
+quote pages (dedup._quote_augmented) are injected — an excerpt shares
+long substrings with its source, so winnowing MUST pair them.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _quote_augmented, md5_60
-from .relational import load
+from .relational import load, persist_slot
 
 # Guarantee: any shared substring of length >= WIN_K + WIN_W - 1 = 27
 # chars yields an identical selected fingerprint in both documents.
@@ -49,7 +52,8 @@ WIN_MIN_SHARED = 3  # min shared fingerprints to report a pair
 def winnow_fingerprints(spark, sf_dir, docs=None) -> DataFrame:
     """(doc_id, fp_hash, pos): the selected winnowing fingerprints of the
     quote-augmented corpus — min k-gram hash per sliding window,
-    rightmost on ties, deduplicated."""
+    rightmost on ties, deduplicated. Relational form: the
+    oracle-certifying twin of winnow_fingerprints_np."""
     d = (
         docs
         if docs is not None
@@ -110,27 +114,54 @@ def winnow_fingerprints(spark, sf_dir, docs=None) -> DataFrame:
     return sel
 
 
-def winnow_fingerprints_np(spark, sf_dir, docs=None) -> DataFrame:
-    """Arrow-kernel fast path for winnow_fingerprints: identical output
-    (equality-tested against the relational twin, same DuckDB oracle),
-    ~5× less traffic. The relational form must explode one row per
-    character position, spread each ×W into its windows, and exchange a
-    corpus-character-count-sized relation into groupBy(doc_id, s); this
-    kernel computes the k-gram hashes and the rightmost-min window
-    selection per document in NumPy and emits ONLY the selected
-    fingerprints (≈ 2n/(w+1) rows) with ZERO shuffle — the
-    fingerprints_np / lsh_signatures_np convention. Winnowing is
-    per-document by definition, so partition-local work is the correct
-    distribution at any scale.
+def _doc_selected(t: str):
+    """Per-document winnow selection in NumPy: (h, sel) where h is the
+    md5_60 hash of the k-gram at every 0-based position and sel the
+    sorted unique selected positions — or None when the doc is shorter
+    than one full window.
 
     Engine-exactness: `substr`/`length` are character-based in Spark, as
-    is Python slicing; lower() stays JVM-side (computed in the select
-    below) so locale-sensitive case folding cannot diverge; md5_60 ==
-    top 60 bits of the digest (first 15 hex chars)."""
-    from collections.abc import Iterator
+    is Python slicing (the caller keeps lower() JVM-side so
+    locale-sensitive case folding cannot diverge); md5_60 == top 60 bits
+    of the digest (first 15 hex chars); argmin over the REVERSED window
+    axis returns the rightmost minimum's offset."""
+    import hashlib
 
-    import pandas as pd
+    import numpy as np
 
+    n = len(t)
+    nk = n - (WIN_K - 1)
+    nw = nk - (WIN_W - 1)
+    if nw < 1:
+        return None
+    md5 = hashlib.md5
+    h = np.empty(nk, dtype=np.int64)
+    enc = t.encode("utf-8")
+    if len(enc) == n:
+        # pure ASCII: slide a zero-copy memoryview over the bytes
+        mv = memoryview(enc)
+        for i in range(nk):
+            h[i] = (
+                int.from_bytes(md5(mv[i : i + WIN_K]).digest()[:8], "big")
+                >> 4
+            )
+    else:
+        # substr() counts CHARACTERS: slice the str, encode per k-gram
+        for i in range(nk):
+            h[i] = (
+                int.from_bytes(
+                    md5(t[i : i + WIN_K].encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                >> 4
+            )
+    rev = np.lib.stride_tricks.sliding_window_view(h, WIN_W)[:, ::-1]
+    j = rev.argmin(axis=1)
+    sel = np.unique(np.arange(nw) + (WIN_W - 1 - j))
+    return h, sel
+
+
+def _winnow_base(spark, sf_dir, docs):
     d = (
         docs
         if docs is not None
@@ -140,62 +171,47 @@ def winnow_fingerprints_np(spark, sf_dir, docs=None) -> DataFrame:
             )
         )
     )
-    base = d.select(
+    return d.select(
         "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("t")
     )
 
-    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
 
+def winnow_fingerprints_np(spark, sf_dir, docs=None) -> DataFrame:
+    """Arrow-kernel fast path for winnow_fingerprints: identical output
+    (equality-tested against the relational twin, same DuckDB oracle).
+    The relational form must explode one row per character position,
+    spread each ×W into its windows, and exchange a corpus-character-
+    count-sized relation into groupBy(doc_id, s); this kernel computes
+    the k-gram hashes and the rightmost-min window selection per
+    document in NumPy and emits ONLY the selected fingerprints
+    (≈ 2n/(w+1) rows) with ZERO shuffle — the fingerprints_np /
+    lsh_signatures_np convention. Winnowing is per-document by
+    definition, so partition-local work is the correct distribution at
+    any scale."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    base = _winnow_base(spark, sf_dir, docs)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        md5 = hashlib.md5
-        swv = np.lib.stride_tricks.sliding_window_view
         for pdf in batches:
             out = []
             for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
-                n = len(t)
-                nk = n - (WIN_K - 1)
-                nw = nk - (WIN_W - 1)
-                if nw < 1:
+                got = _doc_selected(t)
+                if got is None:
                     continue
-                h = np.empty(nk, dtype=np.int64)
-                enc = t.encode("utf-8")
-                if len(enc) == n:
-                    # pure ASCII: slide a zero-copy memoryview over bytes
-                    mv = memoryview(enc)
-                    for i in range(nk):
-                        h[i] = (
-                            int.from_bytes(
-                                md5(mv[i : i + WIN_K]).digest()[:8], "big"
-                            )
-                            >> 4
-                        )  # top 60 bits == first 15 hex chars == md5_60
-                else:
-                    # substr() counts CHARACTERS: slice the str, encode
-                    for i in range(nk):
-                        h[i] = (
-                            int.from_bytes(
-                                md5(
-                                    t[i : i + WIN_K].encode("utf-8")
-                                ).digest()[:8],
-                                "big",
-                            )
-                            >> 4
-                        )
-                # rightmost min per window: argmin over the REVERSED
-                # window axis returns the rightmost minimum's offset
-                rev = swv(h, WIN_W)[:, ::-1]
-                j = rev.argmin(axis=1)
-                pos = np.unique(np.arange(nw) + (WIN_W - 1 - j))
+                h, sel = got
                 out.append(
                     pd.DataFrame(
                         {
                             "doc_id": np.full(
-                                len(pos), doc_id, dtype=np.int64
+                                len(sel), doc_id, dtype=np.int64
                             ),
-                            "fp_hash": h[pos],
-                            "pos": (pos + 1).astype(np.int32),
+                            "fp_hash": h[sel],
+                            "pos": (sel + 1).astype(np.int32),
                         }
                     )
                 )
@@ -214,6 +230,53 @@ def winnow_fingerprints_np(spark, sf_dir, docs=None) -> DataFrame:
     return base.mapInPandas(kern, "doc_id long, fp_hash long, pos int")
 
 
+def _winnow_doc_fps(spark, sf_dir, docs=None) -> DataFrame:
+    """(doc_id, fp_hash, n_fp): each document's DISTINCT selected
+    fingerprints plus its fingerprint-set size, both computed inside the
+    kernel — doc-local dedup makes the downstream global distinct (and
+    the separate per-doc size aggregation + two rejoin hops) unnecessary,
+    since a document never spans partitions."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    base = _winnow_base(spark, sf_dir, docs)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                got = _doc_selected(t)
+                if got is None:
+                    continue
+                h, sel = got
+                u = np.unique(h[sel])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.full(len(u), doc_id, dtype=np.int64),
+                            "fp_hash": u,
+                            "n_fp": np.full(len(u), len(u), dtype=np.int64),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "fp_hash": pd.Series(dtype="int64"),
+                        "n_fp": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return base.mapInPandas(kern, "doc_id long, fp_hash long, n_fp long")
+
+
 def winnow_matches(
     spark,
     sf_dir,
@@ -222,14 +285,22 @@ def winnow_matches(
 ) -> DataFrame:
     """Cross-document winnowing matches: (id1, id2, n_shared, n_fp1,
     n_fp2, overlap) — pairs sharing ≥ min_shared selected fingerprints,
-    overlap = shared / min(|fp1|, |fp2|) (the MOSS report score)."""
-    fps = winnow_fingerprints_np(spark, sf_dir)
-    # NOT slot-persisted: the three consumers (sizes, df-cap, pair join)
-    # already share the distinct's exchange via ReusedExchange; forcing a
-    # persist materializes the relation up front and measured SLOWER
-    # (15.1 s -> 21.0 s cold at sf0.1) than letting AQE reuse the shuffle
-    fpd = fps.select("doc_id", "fp_hash").distinct()
-    sizes = fpd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    overlap = shared / min(|fp1|, |fp2|) (the MOSS report score).
+
+    Plan shape (r6 fast path, measured 6.9 s -> ~3.5 s at sf0.1): the
+    kernel emits per-doc DISTINCT fingerprints WITH the per-doc set size
+    carried on every row, so the only shuffles left are the df-cap
+    rollup and the pair join itself — no global distinct, no separate
+    sizes aggregation, no size rejoin (n_fp1/n_fp2 ride through the
+    groupBy as functionally-dependent keys). The ~n/4.5-row kernel
+    output is slot-persisted so the two consumers share ONE kernel run;
+    with the old RELATIONAL fingerprint input, persist materialized the
+    expensive ×W explode up front and measured SLOWER (15.1 s -> 21.0 s
+    cold) than AQE shuffle reuse — the trade flipped when the input
+    became cheap."""
+    fpd = persist_slot(
+        "winnow_matches.fpd", _winnow_doc_fps(spark, sf_dir)
+    )
     hot = (
         fpd.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -237,20 +308,18 @@ def winnow_matches(
         .select("fp_hash")
     )
     fpf = fpd.join(F.broadcast(hot), "fp_hash", "left_anti")
-    a = fpf.select(F.col("doc_id").alias("id1"), "fp_hash")
-    b = fpf.select(F.col("doc_id").alias("id2"), "fp_hash")
-    pairs = (
+    a = fpf.select(
+        F.col("doc_id").alias("id1"), F.col("n_fp").alias("n_fp1"), "fp_hash"
+    )
+    b = fpf.select(
+        F.col("doc_id").alias("id2"), F.col("n_fp").alias("n_fp2"), "fp_hash"
+    )
+    return (
         a.join(b, "fp_hash")
         .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        .groupBy("id1", "id2", "n_fp1", "n_fp2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
-    )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n_fp1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n_fp2"))
-    return (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
         .select(
             "id1",
             "id2",
