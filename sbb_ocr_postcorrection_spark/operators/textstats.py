@@ -1084,6 +1084,13 @@ def quality_classifier_pr_curve(
     train = d.filter(F.col("doc_id") % CLF_EVAL_FOLD != 0)
     held = d.filter(F.col("doc_id") % CLF_EVAL_FOLD == 0)
     weights = train_perceptron(spark, sf_dir, dim, epochs, docs=train)
+    return _curve_under_weights(held, weights, dim)
+
+
+def _curve_under_weights(held, weights: dict[int, int], dim: int) -> DataFrame:
+    """The PR-curve sweep body under already-learned weights — shared by
+    quality_classifier_pr_curve and the threshold-pick/calibrated-gate
+    operators so composing them never retrains the perceptron twice."""
     scored = _score_under_weights(held, weights, dim)
     per = scored.groupBy("clf_score").agg(
         F.sum("label_keep").cast("long").alias("n_pos"),
@@ -1129,6 +1136,107 @@ def quality_classifier_pr_curve(
             / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
             6,
         ).alias("f1"),
+    )
+
+
+# precision floor for the 'precision_floor' pick: prec >= 4/5, compared
+# as the EXACT integer inequality tp*5 >= (tp+fp)*4 (no float precision)
+QT_FLOOR_NUM, QT_FLOOR_DEN = 4, 5
+
+
+def _pick_from_curve(curve: DataFrame) -> DataFrame:
+    """Argmax selection over a PR curve: one 'max_f1' row (highest F1,
+    tie -> lowest threshold) and one 'precision_floor' row (highest
+    recall among thresholds whose EXACT precision is >= 4/5; tie -> the
+    lowest such threshold). The curve is a CONSTANT PR_GRID+1-row
+    relation, so the single-partition rank windows are dimension-sized by
+    construction — never corpus-sized. F1 ordering uses the UNROUNDED
+    single IEEE division on exact int64 cells (deterministic in both
+    engines; the rounded display column could alias distinct values)."""
+    from pyspark.sql import Window
+
+    f1x = (2 * F.col("tp")) / F.greatest(
+        2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+    )
+    cols = ["thr", "tp", "fp", "fn", "tn", "prec", "rec", "f1"]
+    best_f1 = (
+        curve.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(f1x), F.asc("thr"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.lit("max_f1").alias("pick"), *cols)
+    )
+    best_floor = (
+        curve.where(
+            (F.col("tp") * QT_FLOOR_DEN >= (F.col("tp") + F.col("fp")) * QT_FLOOR_NUM)
+            & (F.col("tp") + F.col("fp") > 0)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("tp"), F.asc("thr"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.lit("precision_floor").alias("pick"), *cols)
+    )
+    return best_f1.unionByName(best_floor)
+
+
+def quality_threshold_pick(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Calibrated keep-threshold selection (VERDICT r5 next-step #6):
+    close the loop from the PR-curve sweep to a production decision.
+    Output: one row per pick rule — 'max_f1' (the F1-optimal cutoff) and
+    'precision_floor' (the most permissive cutoff whose precision still
+    clears 4/5) — each carrying the full confusion cells and metrics of
+    the chosen threshold. The fixed `pred_keep = score > 0` rule the
+    classifier ships with is just one point on the curve; this operator
+    is how an operator PICKS the point, with integer tie-breaks pinned
+    so both engines agree bit-for-bit."""
+    return _pick_from_curve(
+        quality_classifier_pr_curve(spark, sf_dir, dim, epochs, docs=docs)
+    )
+
+
+def quality_gate_calibrated(
+    spark, sf_dir, dim: int = CLF_DIM, epochs: int = CLF_EPOCHS, docs=None,
+) -> DataFrame:
+    """Apply the PICKED max-F1 threshold to the whole corpus: train on
+    the 4/5 fold, sweep the held-out fifth, argmax-pick the threshold,
+    then score EVERY document under the same weights and keep those with
+    clf_score >= the picked cutoff — the calibrated replacement for the
+    fixed score>0 gate, end-to-end in one plan. Output: (doc_id,
+    clf_score, thr, keep).
+
+    Scale shape: the pick is a 1-row broadcast riding into the scoring
+    relation via crossJoin (never a driver-side collect); scoring is the
+    same broadcast-weight-map aggregation as quality_classifier_learned."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    train = d.filter(F.col("doc_id") % CLF_EVAL_FOLD != 0)
+    held = d.filter(F.col("doc_id") % CLF_EVAL_FOLD == 0)
+    weights = train_perceptron(spark, sf_dir, dim, epochs, docs=train)
+    pick = (
+        _pick_from_curve(_curve_under_weights(held, weights, dim))
+        .where(F.col("pick") == "max_f1")
+        .select("thr")
+    )
+    scored = _score_under_weights(d, weights, dim)
+    return scored.crossJoin(F.broadcast(pick)).select(
+        "doc_id",
+        "clf_score",
+        "thr",
+        (F.col("clf_score") >= F.col("thr")).cast("int").alias("keep"),
     )
 
 

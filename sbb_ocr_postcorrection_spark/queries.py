@@ -714,6 +714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_pr_curve": pinned(
             textstats.quality_classifier_pr_curve
         ),
+        # calibrated keep-threshold selection: argmax over the sweep
+        # (max-F1 and precision-floor picks, integer tie-breaks pinned)
+        "quality_threshold_pick": pinned(textstats.quality_threshold_pick),
+        # ... and the picked max-F1 cutoff applied to EVERY document —
+        # the calibrated replacement for the fixed score>0 gate
+        "quality_gate_calibrated": pinned(textstats.quality_gate_calibrated),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
         # TRAINED language ID (Cavnar-Trenkle char-n-gram rank profiles,
         # learned from labeled data in-engine — closes the langid.py
@@ -1308,6 +1314,88 @@ def _perceptron_pr_curve_oracle(epochs: int) -> str:
     FROM prc_cells"""
     )
 
+
+def _perceptron_gate_calibrated_oracle(epochs: int) -> str:
+    """End-to-end calibrated-gate replay: train on the 4/5 fold, score
+    the held-out fifth, rebuild the threshold grid cells, argmax-pick the
+    max-F1 cutoff (unrounded IEEE F1, thr-asc tie), then score EVERY
+    document under the same final weights and emit its keep verdict —
+    the full calibration loop certified in one statement. CTEs carry a
+    qg_ prefix (the _perceptron_stages_sql chain already owns sc*/w*
+    names)."""
+    from .operators.textstats import (
+        CLF_DIM,
+        CLF_EVAL_FOLD,
+        PR_GRID,
+    )
+
+    bucket = _hex2int("md5(token)") + f" % {CLF_DIM}"
+    return (
+        _perceptron_stages_sql(
+            epochs, f"WHERE doc_id % {CLF_EVAL_FOLD} != 0"
+        )
+        + f""",
+    qg_all AS MATERIALIZED (
+      SELECT doc_id, coalesce(text, '') AS text, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    qg_feats AS MATERIALIZED (
+      SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM qg_all)
+      GROUP BY 1, 2
+    ),
+    qg_sc AS MATERIALIZED (
+      SELECT f.doc_id, sum(w.weight * f.cnt) AS s
+      FROM qg_feats f JOIN w{epochs} w USING (bucket) GROUP BY 1
+    ),
+    qg_labh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 10
+                   AND round(length(regexp_replace(lower(text), '[^a-z]',
+                                                   '', 'g'))
+                             / greatest(length(text), 1), 4) > 0.6
+                  THEN 1 ELSE 0 END AS t
+      FROM qg_all WHERE doc_id % {CLF_EVAL_FOLD} = 0
+    ),
+    qg_per AS (
+      SELECT CAST(coalesce(s.s, 0) AS BIGINT) AS clf_score,
+             CAST(sum(l.t) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(l.t) AS BIGINT) AS n_neg
+      FROM qg_labh l LEFT JOIN qg_sc s USING (doc_id)
+      GROUP BY 1
+    ),
+    qg_mm AS (SELECT min(clf_score) AS lo, max(clf_score) AS hi FROM qg_per),
+    qg_thr AS (
+      SELECT DISTINCT CAST(lo + (i * (hi - lo)) // {PR_GRID} AS BIGINT)
+               AS thr
+      FROM qg_mm CROSS JOIN generate_series(0, {PR_GRID}) t(i)
+    ),
+    qg_cells AS (
+      SELECT th.thr,
+             CAST(sum(CASE WHEN p.clf_score >= th.thr THEN p.n_pos
+                      ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.clf_score >= th.thr THEN p.n_neg
+                      ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.clf_score < th.thr THEN p.n_pos
+                      ELSE 0 END) AS BIGINT) AS fn
+      FROM qg_thr th CROSS JOIN qg_per p GROUP BY 1
+    ),
+    qg_pick AS (
+      SELECT thr FROM (
+        SELECT thr, row_number() OVER (
+                 ORDER BY (2 * tp) / greatest(2 * tp + fp + fn, 1) DESC,
+                          thr ASC) AS rn
+        FROM qg_cells) WHERE rn = 1
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(s.s, 0) AS BIGINT) AS clf_score,
+           p.thr,
+           CAST(CASE WHEN coalesce(s.s, 0) >= p.thr THEN 1 ELSE 0 END
+                AS INTEGER) AS keep
+    FROM qg_all a
+    LEFT JOIN qg_sc s USING (doc_id)
+    CROSS JOIN qg_pick p"""
+    )
 
 
 def _lpa_oracle(iters: int) -> str:
@@ -3203,6 +3291,32 @@ def oracle_sql() -> dict[str, str]:
         textstats.CLF_EPOCHS
     )
     sql["quality_classifier_pr_curve"] = _perceptron_pr_curve_oracle(
+        textstats.CLF_EPOCHS
+    )
+    # threshold argmax over the sweep: F1 ranked by the UNROUNDED single
+    # IEEE division on exact integers (deterministic both engines), ties
+    # -> lowest thr; precision floor compared as the exact integer
+    # inequality tp*DEN >= (tp+fp)*NUM
+    sql["quality_threshold_pick"] = f"""
+        WITH qtp_prc AS ({sql["quality_classifier_pr_curve"]}),
+        qtp_rk AS (
+          SELECT *, row_number() OVER (
+                   ORDER BY (2 * tp) / greatest(2 * tp + fp + fn, 1) DESC,
+                            thr ASC) AS rn
+          FROM qtp_prc),
+        qtp_fl AS (
+          SELECT *, row_number() OVER (ORDER BY tp DESC, thr ASC) AS rn
+          FROM qtp_prc
+          WHERE tp * {textstats.QT_FLOOR_DEN}
+                  >= (tp + fp) * {textstats.QT_FLOOR_NUM}
+            AND tp + fp > 0)
+        SELECT 'max_f1' AS pick, thr, tp, fp, fn, tn, prec, rec, f1
+        FROM qtp_rk WHERE rn = 1
+        UNION ALL
+        SELECT 'precision_floor' AS pick, thr, tp, fp, fn, tn, prec, rec, f1
+        FROM qtp_fl WHERE rn = 1
+    """
+    sql["quality_gate_calibrated"] = _perceptron_gate_calibrated_oracle(
         textstats.CLF_EPOCHS
     )
     # the composite curation verdict reuses the stage oracles as CTEs, so

@@ -139,3 +139,61 @@ def test_pr_curve_invariants(spark):
     assert rows[0]["rec"] == 1.0 and rows[0]["fn"] == 0
     # highest threshold = max score -> at most the top score bucket kept
     assert rows[-1]["tp"] + rows[-1]["fp"] <= rows[0]["tp"] + rows[0]["fp"]
+
+
+def test_threshold_pick_matches_reference(spark):
+    """Argmax picks == a pure-Python replay over the SAME curve rows:
+    max-F1 (unrounded, lowest-thr tie) and precision-floor (exact 4/5
+    integer inequality, max recall, lowest-thr tie)."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        QT_FLOOR_DEN,
+        QT_FLOOR_NUM,
+        quality_classifier_pr_curve,
+        quality_threshold_pick,
+    )
+
+    curve = quality_classifier_pr_curve(spark, SF).collect()
+    want = {}
+    best = min(
+        curve,
+        key=lambda r: (
+            -(2 * r["tp"]) / max(2 * r["tp"] + r["fp"] + r["fn"], 1),
+            r["thr"],
+        ),
+    )
+    want["max_f1"] = (best["thr"], best["tp"], best["fp"], best["fn"])
+    ok = [
+        r
+        for r in curve
+        if r["tp"] * QT_FLOOR_DEN >= (r["tp"] + r["fp"]) * QT_FLOOR_NUM
+        and r["tp"] + r["fp"] > 0
+    ]
+    if ok:
+        fl = min(ok, key=lambda r: (-r["tp"], r["thr"]))
+        want["precision_floor"] = (fl["thr"], fl["tp"], fl["fp"], fl["fn"])
+    got = {
+        r["pick"]: (r["thr"], r["tp"], r["fp"], r["fn"])
+        for r in quality_threshold_pick(spark, SF).collect()
+    }
+    assert got == want
+    assert "max_f1" in got
+
+
+def test_calibrated_gate_applies_picked_threshold(spark):
+    """Every doc's keep verdict == clf_score >= the max_f1 picked thr,
+    and the scores equal the learned classifier's scores under the
+    train-fold weights."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        quality_gate_calibrated,
+        quality_threshold_pick,
+    )
+
+    pick = {
+        r["pick"]: r["thr"]
+        for r in quality_threshold_pick(spark, SF).collect()
+    }
+    rows = quality_gate_calibrated(spark, SF).collect()
+    assert rows
+    assert {r["thr"] for r in rows} == {pick["max_f1"]}
+    for r in rows:
+        assert r["keep"] == int(r["clf_score"] >= r["thr"])
