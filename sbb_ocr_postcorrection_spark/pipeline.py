@@ -138,7 +138,7 @@ def load_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
 
     path = _manifest_path(output_dir)
     try:
-        return spark.read.parquet(path)
+        m = spark.read.parquet(path)
     except AnalysisException as exc:
         msg = str(exc)
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
@@ -146,8 +146,28 @@ def load_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [],
             "dt date, bkt int, n_docs long, chars_in long, chars_out long, "
-            "n_flagged long, n_spans long, completed_at_epoch long",
+            "n_flagged long, n_spans long, completed_at_epoch long, "
+            "snapshot_id long",
         )
+    if "snapshot_id" not in m.columns:
+        # pre-snapshot-log manifest (legacy layout): nothing to dedupe
+        # against, every row predates snapshot 1
+        m = m.withColumn("snapshot_id", F.lit(0).cast("long"))
+    # a partition re-extracted after a rollback (or a kill between the
+    # manifest append and the snapshot commit) appends a second row for
+    # the same (dt, bkt): keep only the LATEST attempt per partition —
+    # highest snapshot_id, then completed_at_epoch (the kernel is
+    # deterministic, so same-id ties carry identical metric values)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dt", "bkt").orderBy(
+        F.desc("snapshot_id"), F.desc("completed_at_epoch")
+    )
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def run_extraction_job(
@@ -156,29 +176,75 @@ def run_extraction_job(
     output_dir: str,
     lang_filter: str | None = None,
     resume: bool = True,
+    reclaim_stale: bool = False,
 ) -> dict:
     """The flagship job: pages table → extracted table, partitioned by
     (dt, bkt), resumable at partition granularity.
 
+    Every completing run commits one snapshot to the append-only log
+    (snapshots.py): the done-set is derived from the CURRENT snapshot
+    when a log exists (so a rollback makes the next run re-extract what
+    it hid) and from the legacy manifest otherwise; the commit intent is
+    claimed BEFORE any data is written, so a second writer racing on the
+    same table loses cleanly with ConcurrentWriteError. reclaim_stale
+    force-reclaims an intent left by a writer that died on ANOTHER host
+    (a same-host dead pid is reclaimed automatically).
+
     Returns a summary dict (docs processed, partitions done/skipped, secs).
     """
+    from . import snapshots
+
     t0 = time.time()
     if lang_filter:
         pages = pages.filter(F.col("lang") == lang_filter)  # P5 analog
     pages = with_partition_cols(pages)
 
-    # pending partitions = all partitions − manifest (driver-side anti-join;
+    # pending partitions = all partitions − done-set (driver-side set math;
     # the partition list is tiny even at 10^12 docs: days × buckets)
-    all_parts = pages.select("dt", "bkt").distinct()
-    done = load_manifest(spark, output_dir).select("dt", "bkt")
-    pending = all_parts.join(done, ["dt", "bkt"], "left_anti") if resume else all_parts
-    pending_rows = pending.collect()
-    n_skipped = all_parts.count() - len(pending_rows)
+    all_rows = pages.select("dt", "bkt").distinct().collect()
+    snap = snapshots.current_snapshot(output_dir)
+    if snap is not None:
+        done_set = snapshots.snapshot_partition_set(snap)
+    else:
+        done_set = {
+            (r["dt"].isoformat(), r["bkt"])
+            for r in load_manifest(spark, output_dir)
+            .select("dt", "bkt")
+            .collect()
+        }
+    pending_rows = [
+        r
+        for r in all_rows
+        if not resume or (r["dt"].isoformat(), r["bkt"]) not in done_set
+    ]
+    n_skipped = len(all_rows) - len(pending_rows)
     if not pending_rows:
         return {
             "docs": 0, "partitions_done": 0, "partitions_skipped": n_skipped,
             "seconds": time.time() - t0,
         }
+    # claim the table BEFORE writing a byte — the losing writer of a
+    # same-table race aborts here with nothing to clean up
+    ticket = snapshots.begin_commit(output_dir, reclaim_stale=reclaim_stale)
+    try:
+        return _run_claimed(
+            spark, pages, output_dir, resume, ticket, pending_rows,
+            n_skipped, done_set, t0,
+        )
+    except Exception:
+        snapshots.abort_commit(output_dir, ticket)
+        raise
+
+
+def _run_claimed(
+    spark, pages, output_dir, resume, ticket, pending_rows, n_skipped,
+    done_set, t0,
+) -> dict:
+    """The claimed section of run_extraction_job: everything between
+    intent and snapshot commit (any failure here releases the intent)."""
+    from . import snapshots
+
+    pending = spark.createDataFrame(pending_rows, "dt date, bkt int")
 
     # process only pending partitions; broadcast the (small) pending list.
     # dt/bkt are pure functions of (url, warc_ts), so they are recomputed
@@ -198,15 +264,18 @@ def run_extraction_job(
     (
         extracted.write.mode("overwrite")
         # per-write option so correctness does NOT depend on the session
-        # being built by build_session: in static mode this overwrite would
-        # silently delete every previously completed partition
+        # being built by build_session: in static mode this overwrite
+        # would silently delete every previously completed partition
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dt", "bkt")
         .parquet(out_path)
     )
 
-    # per-partition lineage + metrics (A10), appended to the manifest last —
-    # a partition is "done" only after its data landed (idempotent restart).
+    # per-partition lineage + metrics (A10), appended to the manifest
+    # BEFORE the snapshot commit — a partition is "done" only once its
+    # data landed AND the snapshot naming it committed (idempotent
+    # restart: a kill between manifest and snapshot re-extracts, and
+    # load_manifest keeps only the latest attempt per partition).
     # Collected ONCE; the manifest is written from the collected rows
     # (avoids a second full scan+agg of the job output).
     metric_rows = (
@@ -221,24 +290,38 @@ def run_extraction_job(
             F.sum("n_spans").alias("n_spans"),
         )
         .withColumn("completed_at_epoch", F.lit(int(time.time())))
+        .withColumn("snapshot_id", F.lit(ticket["next_id"]))
         .collect()
     )
     manifest_df = spark.createDataFrame(
         metric_rows,
         "dt date, bkt int, n_docs long, chars_in long, chars_out long, "
-        "n_flagged long, n_spans long, completed_at_epoch long",
+        "n_flagged long, n_spans long, completed_at_epoch long, "
+        "snapshot_id long",
     )
-    # resume=False reprocesses everything: supersede the manifest instead of
-    # appending duplicate (dt, bkt) rows that would double job_metrics
+    # resume=False reprocesses everything: supersede the manifest
+    # instead of appending duplicate (dt, bkt) rows
     manifest_mode = "append" if resume else "overwrite"
-    manifest_df.write.mode(manifest_mode).parquet(_manifest_path(output_dir))
+    manifest_df.write.mode(manifest_mode).parquet(
+        _manifest_path(output_dir)
+    )
 
     n_docs = sum(r["n_docs"] for r in metric_rows)
+    pending_iso = {(r["dt"].isoformat(), r["bkt"]) for r in pending_rows}
+    visible = sorted(done_set | pending_iso) if resume else sorted(pending_iso)
+    snapshots.commit_snapshot(
+        output_dir,
+        ticket,
+        visible,
+        op="append" if resume else "overwrite",
+        extra={"n_docs": int(n_docs)},
+    )
     return {
         "docs": int(n_docs),
         "partitions_done": len(pending_rows),
         "partitions_skipped": int(n_skipped),
         "seconds": time.time() - t0,
+        "snapshot_id": ticket["next_id"],
     }
 
 

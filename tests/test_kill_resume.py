@@ -74,3 +74,36 @@ def test_kill_and_resume(tmp_path, spark):
     a = {r["url"]: r["extracted_text"] for r in result.collect()}
     b = {r["url"]: r["extracted_text"] for r in fresh.collect()}
     assert a == b
+
+    # snapshot-log invariants through the kill: the killed writer's stale
+    # intent was auto-reclaimed by the resume run (same host, dead pid —
+    # otherwise the resume would have FAILED with ConcurrentWriteError),
+    # the latest snapshot covers every partition exactly once, and
+    # rollback + re-extract reproduces the same bytes
+    from sbb_ocr_postcorrection_spark import snapshots
+    from sbb_ocr_postcorrection_spark.snapshots import (
+        list_snapshots,
+        read_extractions,
+        rollback_to_snapshot,
+    )
+
+    assert not os.path.exists(snapshots._intent_path(out))
+    snaps = list_snapshots(out)
+    assert snaps, "completing runs must commit snapshots"
+    assert snapshots.snapshot_partition_set(snaps[-1]) == {
+        (r["dt"].isoformat(), r["bkt"]) for r in parts
+    }
+    assert read_extractions(spark, out).count() == N_PAGES
+    if len(snaps) >= 2 and snaps[0]["n_partitions"] < snaps[-1]["n_partitions"]:
+        # the kill landed after the first commit: roll back to it, verify
+        # visibility shrinks, then a rerun restores the full table
+        n_first = len(snapshots.snapshot_partition_set(snaps[0]))
+        rollback_to_snapshot(out, snaps[0]["snapshot_id"])
+        vis = read_extractions(spark, out)
+        assert vis.select("dt", "bkt").distinct().count() == n_first
+        assert _run_job(out, input_path) == 0
+        again = {
+            r["url"]: r["extracted_text"]
+            for r in read_extractions(spark, out).collect()
+        }
+        assert again == a
