@@ -492,6 +492,13 @@ def _warc_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_scan_quarantine(spark, sf_dir)
 
 
+def _warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_cdx_lookup
+
+    _pin(spark)
+    return warc_cdx_lookup(spark, sf_dir)
+
+
 def _robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.robots import robots_gate
 
@@ -601,6 +608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # error-resilient mode: corrupt archives quarantine (one status
         # row for the re-fetch queue), clean archives parse normally
         "warc_quarantine_scan": _warc_quarantine_scan,
+        # CDX-style random access: write indexed archives, probe every
+        # 17th doc through (file, offset, length) ranged point reads —
+        # the returned values are what the reads DECODED, so the oracle
+        # certifies the index, the member framing, and the inflate
+        "warc_cdx_lookup": _warc_cdx_lookup,
         # robots.txt crawl-policy gate (RFC 9309 matcher in the kernel;
         # the fixture rules have a closed-form verdict the oracle states)
         "robots_gate": _robots_gate,
@@ -3007,6 +3019,24 @@ def oracle_sql() -> dict[str, str]:
     # records — same oracle, so the driver certifies the member walk +
     # inflate + framing parse end-to-end
     sql["warc_gz_scan"] = sql["warc_scan"]
+    # point reads through the CDX index must decode the same records the
+    # synth closed form describes — md5 over the INFLATED payload bytes
+    sql["warc_cdx_lookup"] = f"""
+        WITH h AS (
+          SELECT doc_id, {_URL_SQL} AS url,
+                 strftime(TIMESTAMP '2024-01-01 00:00:00'
+                          + to_seconds(doc_id * 61),
+                          '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                 {_sq(_PAGE_TMPL.split("{paras}")[0] + "<p>")} || text
+                   || {_sq(_PROMO)} || reverse(text)
+                   || {_sq("</p>" + _PAGE_TMPL.split("{paras}")[1])}
+                   AS html
+          FROM documents
+          WHERE doc_id % 17 = 0
+        )
+        SELECT url, warc_date, md5(html) AS payload_md5
+        FROM h
+    """
     sql["rare_terms"] = f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
                      FROM documents),

@@ -448,3 +448,148 @@ def write_warc_archive(
         _write,
         "file string, n_records long, n_bytes long, urls_md5 string",
     )
+
+
+def write_warc_archive_indexed(
+    pages, out_dir: str, n_files: int = 8, level: int = 6
+):
+    """write_warc_archive plus a CDX-style per-record index: returns one
+    row per record — (url, warc_date, file, offset, length) — while
+    writing the SAME byte-identical archives (each record is its own
+    gzip member, so (offset, length) brackets exactly one member and a
+    reader can inflate it without touching the rest of the file: the
+    takedown/re-audit access path robots_compliance implies). Offsets
+    are well-defined because the sink is deterministic: records sorted
+    by url, fixed compression level, zeroed gzip mtime.
+
+    Scale shape: identical to write_warc_archive (one hash shuffle on
+    the file bucket, archives built inside their writer tasks); the
+    index rides back as the task output relation — write it as a
+    parquet sidecar (write_warc_cdx) and point lookups become an index
+    equality probe + one ranged read."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import md5_60
+
+    os.makedirs(out_dir, exist_ok=True)
+    iso = F.coalesce(
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("1970-01-01T00:00:00Z"),
+    )
+    src = pages.select(
+        "url",
+        iso.alias("warc_date"),
+        F.col("html"),
+        F.pmod(md5_60(F.col("url")), F.lit(n_files)).cast("int").alias("bkt"),
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url", kind="mergesort")
+        members, offsets, lengths = [], [], []
+        off = 0
+        for u, d, p in zip(pdf["url"], pdf["warc_date"], pdf["html"]):
+            m = gzip_member(build_warc_record(u, d, bytes(p)), level)
+            members.append(m)
+            offsets.append(off)
+            lengths.append(len(m))
+            off += len(m)
+        bkt = int(pdf["bkt"].iloc[0])
+        final = os.path.join(out_dir, f"part-{bkt:05d}.warc.gz")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(members))
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "warc_date": pdf["warc_date"].to_numpy(),
+                "file": [os.path.basename(final)] * len(pdf),
+                "offset": offsets,
+                "length": lengths,
+            }
+        )
+
+    return src.groupBy("bkt").applyInPandas(
+        _write,
+        "url string, warc_date string, file string, offset long, length long",
+    )
+
+
+def write_warc_cdx(pages, out_dir: str, n_files: int = 8, level: int = 6):
+    """Write archives + persist the CDX index as a parquet sidecar
+    (``out_dir``/_cdx), then return the index DataFrame read back from
+    it. One job writes both: the sidecar write IS the action that runs
+    the archive-writing tasks."""
+    import os
+
+    idx = write_warc_archive_indexed(pages, out_dir, n_files, level)
+    cdx_path = os.path.join(out_dir, "_cdx")
+    idx.write.mode("overwrite").parquet(cdx_path)
+    return pages.sparkSession.read.parquet(cdx_path)
+
+
+def warc_point_read(out_dir: str, file: str, offset: int, length: int) -> dict:
+    """Random-access read of ONE record: seek to ``offset``, read exactly
+    ``length`` bytes (one gzip member), inflate, parse — the archive is
+    never scanned. The I/O contract a takedown or re-audit needs on a
+    multi-TB archive set."""
+    import os
+
+    with open(os.path.join(out_dir, file), "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    recs = parse_warc_gz_records(blob)
+    if len(recs) != 1:
+        raise ValueError(
+            f"index entry did not bracket exactly one member "
+            f"({len(recs)} records at {file}:{offset}+{length})"
+        )
+    return recs[0]
+
+
+def warc_cdx_lookup(spark, sf_dir, probe_mod: int = 17):
+    """Driver query certifying the index + point-read path end-to-end:
+    write the synthesized pages as indexed archives, probe every
+    ``probe_mod``-th document THROUGH the index with ranged point reads,
+    and return what the reads actually decoded — (url, warc_date,
+    payload_md5) come from the inflated record bytes, not echoed input,
+    so the oracle match proves offset/length/compression are all right.
+
+    The fixture writes under the local tmp dir (local-mode sandbox; on a
+    cluster the archive root is shared storage and the kernel's ranged
+    read becomes a ranged GET)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..queries import synth_pages_from_documents
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"warc_cdx_{tag}")
+    pages = synth_pages_from_documents(spark, sf_dir)
+    cdx = write_warc_cdx(pages, out_dir)
+    probes = cdx.where(
+        F.expr("cast(split(url, '/')[4] as long)") % probe_mod == 0
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            urls, dates, md5s = [], [], []
+            for fl, off, ln in zip(pdf["file"], pdf["offset"], pdf["length"]):
+                rec = warc_point_read(out_dir, fl, int(off), int(ln))
+                urls.append(rec["url"])
+                dates.append(rec["warc_date"])
+                md5s.append(hashlib.md5(rec["payload"]).hexdigest())
+            yield pd.DataFrame(
+                {"url": urls, "warc_date": dates, "payload_md5": md5s}
+            )
+
+    return probes.mapInPandas(
+        kern, "url string, warc_date string, payload_md5 string"
+    )
