@@ -1240,6 +1240,139 @@ def quality_gate_calibrated(
     )
 
 
+# deterministic multi-line fixture mods (the augmentation convention):
+# every BULLET_MOD-th doc gains a duplicated bullet header, every
+# ELLIPSIS_MOD-th a truncation footer — so the line-shape signals the
+# rules exist for are non-vacuously present in the synthetic corpus
+GOPHER_BULLET_MOD = 9
+GOPHER_ELLIPSIS_MOD = 11
+
+
+def gopher_quality(spark, sf_dir, docs=None) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021, Appendix A —
+    re-derived from the published paper): per-document word-shape and
+    line-shape statistics plus the composite keep verdict the paper's
+    filter applies before training. Word stats (token count, mean word
+    length, alphabetic-word fraction, most-common-bigram coverage) run
+    over the real tokens; line stats (duplicate-line fraction, bullet-
+    line fraction, ellipsis-line fraction) run over a deterministic
+    multi-line rendering (sentence breaks → newlines + the mod-keyed
+    bullet/ellipsis augmentations above).
+
+    Engine-exactness: every signal is an integer pair rendered with one
+    guarded division, and the keep rule compares the INTEGERS
+    cross-multiplied (e.g. alpha_words·10 ≥ n_tokens·8), never the
+    rounded floats. The top-bigram mode is a doc-partitioned
+    row_number — plain SQL in both engines, pinned ties (count desc,
+    bigram asc).
+
+    Scale shape: one explode + two-phase count + doc-keyed window for
+    the bigram mode; everything else is per-row array arithmetic inside
+    whole-stage codegen. No global windows, no driver data."""
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    body = F.regexp_replace(t, "\\. ", ".\n")
+    ft = F.concat(
+        F.when(
+            F.col("doc_id") % GOPHER_BULLET_MOD == 0,
+            F.lit("- promo item\n- promo item\n"),
+        ).otherwise(F.lit("")),
+        body,
+        F.when(
+            F.col("doc_id") % GOPHER_ELLIPSIS_MOD == 0,
+            F.lit("\nread more...\nread more..."),
+        ).otherwise(F.lit("")),
+    )
+    toks = _tokens(F.col("text"))
+    lines = F.filter(F.split(ft, "\n"), lambda x: x != "")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("^[a-z]+$"))
+        ).alias("alpha_words"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.startswith("- "))
+        ).alias("bullet_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.endswith("..."))
+        ).alias("ellipsis_lines"),
+    )
+    # most-common word bigram per doc: explode -> two-phase count ->
+    # doc-partitioned rank (docs with <2 tokens contribute no bigrams and
+    # left-join back as coverage 0)
+    bg = (
+        base.where(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, 2)
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("bg")
+    )
+    top = (
+        bg.withColumn("rn", F.row_number().over(wdoc))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cnt").alias("top_bigram_cnt"))
+    )
+    j = base.drop("toks").join(top, "doc_id", "left").fillna(
+        {"top_bigram_cnt": 0}
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    nl = F.greatest(F.col("n_lines"), F.lit(1))
+    dup_lines = F.col("n_lines") - F.col("n_distinct_lines")
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("sum_len") >= 3 * F.col("n_tokens"))
+        & (F.col("sum_len") <= 10 * F.col("n_tokens"))
+        & (F.col("alpha_words") * 10 >= F.col("n_tokens") * 8)
+        & (dup_lines * 10 <= F.col("n_lines") * 3)
+        & (F.col("bullet_lines") * 10 <= F.col("n_lines") * 9)
+        & (F.col("ellipsis_lines") * 10 <= F.col("n_lines") * 3)
+        & (4 * F.col("top_bigram_cnt") <= F.col("n_tokens"))
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_len") / nt, 6).alias("mean_word_len"),
+        F.round(F.col("alpha_words") / nt, 6).alias("frac_alpha_words"),
+        F.round(dup_lines / nl, 6).alias("dup_line_frac"),
+        F.round(F.col("bullet_lines") / nl, 6).alias("bullet_frac"),
+        F.round(F.col("ellipsis_lines") / nl, 6).alias("ellipsis_frac"),
+        F.round(2 * F.col("top_bigram_cnt") / nt, 6).alias(
+            "top_bigram_frac"
+        ),
+        keep.cast("int").alias("gopher_keep"),
+    )
+
+
 def text_diversity(spark, sf_dir, docs=None) -> DataFrame:
     """Per-source lexical diversity: distinct-1 (vocabulary / tokens) and
     distinct-3 (unique word trigrams / trigram positions) — the standard

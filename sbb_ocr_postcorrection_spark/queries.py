@@ -732,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ... and the picked max-F1 cutoff applied to EVERY document —
         # the calibrated replacement for the fixed score>0 gate
         "quality_gate_calibrated": pinned(textstats.quality_gate_calibrated),
+        # Gopher-rule quality signals (Rae et al. 2021 Appendix A):
+        # word-shape + line-shape stats and the composite keep verdict
+        "gopher_quality": pinned(textstats.gopher_quality),
         "lang_id_trigram": pinned(textstats.lang_id_trigram),
         # TRAINED language ID (Cavnar-Trenkle char-n-gram rank profiles,
         # learned from labeled data in-engine — closes the langid.py
@@ -3323,6 +3326,89 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_classifier_pr_curve"] = _perceptron_pr_curve_oracle(
         textstats.CLF_EPOCHS
     )
+    # Gopher signals: integer pairs + guarded divisions; the keep rule is
+    # cross-multiplied integer comparisons (never rounded floats); the
+    # bigram mode is a doc-partitioned row_number with pinned ties
+    sql["gopher_quality"] = f"""
+        WITH gq AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS t, {_TOKS_SQL} AS toks
+          FROM documents
+        ),
+        gq2 AS (
+          SELECT doc_id, toks,
+                 (CASE WHEN doc_id % {textstats.GOPHER_BULLET_MOD} = 0
+                       THEN '- promo item' || chr(10) || '- promo item'
+                            || chr(10) ELSE '' END)
+                 || regexp_replace(t, '\\. ', '.' || chr(10), 'g')
+                 || (CASE WHEN doc_id % {textstats.GOPHER_ELLIPSIS_MOD} = 0
+                          THEN chr(10) || 'read more...' || chr(10)
+                               || 'read more...' ELSE '' END) AS ft
+          FROM gq
+        ),
+        gst AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(list_sum(
+                     list_transform(toks, x -> length(x))), 0) AS BIGINT)
+                   AS sum_len,
+                 CAST(len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+                   AS alpha_words,
+                 list_filter(string_split(ft, chr(10)), x -> x <> '')
+                   AS lines
+          FROM gq2
+        ),
+        gst2 AS (
+          SELECT doc_id, n_tokens, sum_len, alpha_words,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_distinct(lines)) AS BIGINT)
+                   AS n_distinct_lines,
+                 CAST(len(list_filter(lines, x -> starts_with(x, '- ')))
+                   AS BIGINT) AS bullet_lines,
+                 CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                   AS BIGINT) AS ellipsis_lines
+          FROM gst
+        ),
+        gbg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+          FROM gq2 WHERE len(toks) >= 2
+        ),
+        gbc AS (SELECT doc_id, bg, count(*) AS cnt FROM gbg GROUP BY 1, 2),
+        gtop AS (
+          SELECT doc_id, cnt AS top_bigram_cnt FROM (
+            SELECT doc_id, cnt, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+            FROM gbc) WHERE rn = 1
+        )
+        SELECT s.doc_id,
+               CAST(s.n_tokens AS INTEGER) AS n_tokens,
+               round(s.sum_len / greatest(s.n_tokens, 1), 6)
+                 AS mean_word_len,
+               round(s.alpha_words / greatest(s.n_tokens, 1), 6)
+                 AS frac_alpha_words,
+               round((s.n_lines - s.n_distinct_lines)
+                     / greatest(s.n_lines, 1), 6) AS dup_line_frac,
+               round(s.bullet_lines / greatest(s.n_lines, 1), 6)
+                 AS bullet_frac,
+               round(s.ellipsis_lines / greatest(s.n_lines, 1), 6)
+                 AS ellipsis_frac,
+               round(2 * coalesce(t.top_bigram_cnt, 0)
+                     / greatest(s.n_tokens, 1), 6) AS top_bigram_frac,
+               CAST(CASE WHEN s.n_tokens >= 10
+                          AND s.sum_len >= 3 * s.n_tokens
+                          AND s.sum_len <= 10 * s.n_tokens
+                          AND s.alpha_words * 10 >= s.n_tokens * 8
+                          AND (s.n_lines - s.n_distinct_lines) * 10
+                              <= s.n_lines * 3
+                          AND s.bullet_lines * 10 <= s.n_lines * 9
+                          AND s.ellipsis_lines * 10 <= s.n_lines * 3
+                          AND 4 * coalesce(t.top_bigram_cnt, 0)
+                              <= s.n_tokens
+                         THEN 1 ELSE 0 END AS INTEGER) AS gopher_keep
+        FROM gst2 s LEFT JOIN gtop t USING (doc_id)
+    """
     # threshold argmax over the sweep: F1 ranked by the UNROUNDED single
     # IEEE division on exact integers (deterministic both engines), ties
     # -> lowest thr; precision floor compared as the exact integer

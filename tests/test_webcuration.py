@@ -602,3 +602,83 @@ def test_template_extract_metrics_consistent(spark):
         assert 0 < r["extraction_ratio"] <= 1
         assert r["spans_per_page"] > 0
         assert r["sum_chars_out"] <= r["sum_chars_in"]
+
+
+def test_gopher_quality_matches_reference(spark):
+    """Gopher-rule signals == a pure-Python replay of the word/line
+    statistics and the cross-multiplied integer keep rule."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        GOPHER_BULLET_MOD,
+        GOPHER_ELLIPSIS_MOD,
+        gopher_quality,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    want = {}
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        t = (text or "").lower()
+        toks = [w for w in t.split(" ") if w]
+        n = len(toks)
+        sum_len = sum(len(w) for w in toks)
+        alpha = sum(1 for w in toks if re.fullmatch("[a-z]+", w))
+        ft = (
+            ("- promo item\n- promo item\n" if doc_id % GOPHER_BULLET_MOD == 0 else "")
+            + t.replace(". ", ".\n")
+            + ("\nread more...\nread more..." if doc_id % GOPHER_ELLIPSIS_MOD == 0 else "")
+        )
+        lines = [x for x in ft.split("\n") if x]
+        nl = len(lines)
+        ndis = len(set(lines))
+        bullets = sum(1 for x in lines if x.startswith("- "))
+        ellip = sum(1 for x in lines if x.endswith("..."))
+        top = 0
+        if n >= 2:
+            top = Counter(
+                " ".join(toks[i : i + 2]) for i in range(n - 1)
+            ).most_common(1)[0][1]
+        keep = int(
+            n >= 10
+            and 3 * n <= sum_len <= 10 * n
+            and alpha * 10 >= n * 8
+            and (nl - ndis) * 10 <= nl * 3
+            and bullets * 10 <= nl * 9
+            and ellip * 10 <= nl * 3
+            and 4 * top <= n
+        )
+        want[doc_id] = (
+            n,
+            round(sum_len / max(n, 1), 6),
+            round(alpha / max(n, 1), 6),
+            round((nl - ndis) / max(nl, 1), 6),
+            round(bullets / max(nl, 1), 6),
+            round(ellip / max(nl, 1), 6),
+            round(2 * top / max(n, 1), 6),
+            keep,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["mean_word_len"],
+            r["frac_alpha_words"],
+            r["dup_line_frac"],
+            r["bullet_frac"],
+            r["ellipsis_frac"],
+            r["top_bigram_frac"],
+            r["gopher_keep"],
+        )
+        for r in gopher_quality(spark, SF).collect()
+    }
+    assert got == want
+    # non-vacuous in BOTH directions
+    keeps = {v[-1] for v in want.values()}
+    assert keeps == {0, 1}
+    # the injected bullet/ellipsis lines actually register
+    assert any(v[4] > 0 for v in want.values())
+    assert any(v[5] > 0 for v in want.values())
