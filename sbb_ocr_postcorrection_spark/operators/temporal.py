@@ -144,3 +144,70 @@ def ingest_trend(spark, sf_dir) -> DataFrame:
         "n_prior_days",
         spike.alias("spike"),
     )
+
+
+TA_TRAIL = 4     # trailing windows in the per-host baseline
+TA_FACTOR = 2    # anomaly: window volume > factor × trailing average
+TA_HOSTS = 13    # fixture host dimension
+TA_EPOCHS = 24   # fixture epoch calendar
+TA_SPIKE_EPOCH = 20  # fixture: every 5th doc lands here — a real burst
+
+
+def host_trailing_anomaly(spark, sf_dir) -> DataFrame:
+    """Per-HOST ingest anomaly with a SELF-ADAPTIVE trailing baseline:
+    each (host, window) volume compared against that host's own previous
+    TA_TRAIL windows — the per-feed refinement of ingest_trend (one
+    global calendar can hide a single host going rogue inside normal
+    total volume). Integer-only verdict, same discipline:
+    n_docs · TRAIL > FACTOR · trail_sum, flagged only with FULL history
+    (n_trail == TRAIL — a young feed never flags).
+
+    This is the certified batch TWIN of
+    streaming.ingest.trailing_anomaly_stream: same rule, same closure
+    semantics (the stream emits a window's verdict when a later window
+    arrives; the batch sees everything, so it scores every window).
+
+    Scale shape: ONE corpus-sized rollup onto (host, window); the lag
+    window then runs over the host×windows DIMENSION (never
+    corpus-sized), partitioned by host — no SinglePartition. Fixture:
+    host = doc_id % TA_HOSTS, window = doc_id div TA_HOSTS mod
+    TA_EPOCHS, except every 5th doc piles into TA_SPIKE_EPOCH — a
+    volume burst every host must flag (the non-vacuity injection)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % TA_HOSTS).cast("string"))
+    epoch = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(TA_SPIKE_EPOCH))
+        .otherwise(
+            F.expr(f"doc_id div {TA_HOSTS}") % TA_EPOCHS
+        )
+        .cast("long")
+    )
+    per = (
+        d.select(host.alias("host"), epoch.alias("epoch"))
+        .groupBy("host", "epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("epoch")
+        .rowsBetween(-TA_TRAIL, -1)
+    )
+    tr = per.select(
+        "host",
+        "epoch",
+        "n_docs",
+        F.coalesce(F.sum("n_docs").over(w), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trail"),
+    )
+    anomaly = (
+        (F.col("n_trail") == TA_TRAIL)
+        & (F.col("n_docs") * TA_TRAIL > TA_FACTOR * F.col("trail_sum"))
+    ).cast("int")
+    return tr.select(
+        "host", "epoch", "n_docs", "trail_sum", "n_trail",
+        anomaly.alias("anomaly"),
+    )

@@ -866,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingest-volume trend with integer-exact spike detection over the
         # day dimension (trailing self-join, no global window)
         "ingest_trend": pinned(temporal.ingest_trend),
+        # per-host SELF-ADAPTIVE trailing baseline (the certified batch
+        # twin of streaming.trailing_anomaly_stream)
+        "host_trailing_anomaly": pinned(temporal.host_trailing_anomaly),
         # cross-doc lexical diversity (distinct-1/distinct-3 per source) —
         # template spam collapses here even when per-doc repetition passes
         "text_diversity": pinned(textstats.text_diversity),
@@ -4130,6 +4133,33 @@ def oracle_sql() -> dict[str, str]:
                         > {temporal.SPIKE_FACTOR} * trail_chars
                  AS INTEGER) AS spike
         FROM trail
+    """
+    # per-host trailing lag window: ROWS BETWEEN N PRECEDING AND 1
+    # PRECEDING in both engines; doc_id >= 0 so div/// agree
+    sql["host_trailing_anomaly"] = f"""
+        WITH per AS (
+          SELECT 'h' || CAST(doc_id % {temporal.TA_HOSTS} AS VARCHAR)
+                   AS host,
+                 CAST(CASE WHEN doc_id % 5 = 0 THEN {temporal.TA_SPIKE_EPOCH}
+                      ELSE (doc_id // {temporal.TA_HOSTS})
+                           % {temporal.TA_EPOCHS} END AS BIGINT) AS epoch,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        tr AS (
+          SELECT host, epoch, n_docs,
+                 CAST(coalesce(sum(n_docs) OVER w, 0) AS BIGINT)
+                   AS trail_sum,
+                 CAST(count(*) OVER w AS BIGINT) AS n_trail
+          FROM per
+          WINDOW w AS (PARTITION BY host ORDER BY epoch
+                       ROWS BETWEEN {temporal.TA_TRAIL} PRECEDING
+                       AND 1 PRECEDING))
+        SELECT host, epoch, n_docs, trail_sum, n_trail,
+               CAST(n_trail = {temporal.TA_TRAIL}
+                    AND n_docs * {temporal.TA_TRAIL}
+                        > {temporal.TA_FACTOR} * trail_sum
+                 AS INTEGER) AS anomaly
+        FROM tr
     """
     sql["host_cap_sample"] = f"""
         WITH ranked AS (

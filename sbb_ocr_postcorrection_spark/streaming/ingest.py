@@ -213,3 +213,114 @@ def volume_anomaly_stream(
         expected.alias("expected_docs"),
         spike.alias("volume_anomaly"),
     )
+
+
+def trailing_anomaly_stream(
+    pages_stream: DataFrame,
+    window_sec: int = 60,
+    trail: int = 4,
+    factor: int = 2,
+) -> DataFrame:
+    """Stateful per-host ingest anomaly with a SELF-ADAPTIVE trailing
+    baseline — the ONLINE twin of temporal.host_trailing_anomaly (same
+    integer rule: n_docs · trail > factor · trail_sum, flagged only with
+    full history). volume_anomaly_stream compares against a STATIC
+    baseline map; this operator learns each host's own baseline from its
+    previous ``trail`` windows, carried across micro-batches as state —
+    the screen that catches one feed going rogue inside normal totals.
+
+    A window's verdict emits when a LATER window for that host arrives
+    (the politeness limiter's per-host non-decreasing event-time
+    assumption): only then is its count final. State per host is the
+    ring buffer of the last ``trail`` closed window counts plus the open
+    window — bounded by the host dimension times a constant, the
+    stateful-dedup discipline."""
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("epoch", LongType()),
+            StructField("n_docs", LongType()),
+            StructField("trail_sum", LongType()),
+            StructField("n_trail", LongType()),
+            StructField("anomaly", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ring", ArrayType(LongType())),
+            StructField("cur_epoch", LongType()),
+            StructField("cur_count", LongType()),
+        ]
+    )
+    host = F.regexp_extract(
+        F.col("url"), r"^(?:[a-z]+://)?(?:www\.)?([^/]+)", 1
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        ring, cur_epoch, cur_count = (
+            state.get if state.exists else ([], None, 0)
+        )
+        ring = list(ring or [])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((ring, cur_epoch, cur_count))
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["warc_ts", "url"], kind="mergesort"
+        )
+        rows: list[dict[str, Any]] = []
+        for ts in batch["warc_ts"]:
+            e = int(ts.timestamp()) // window_sec
+            if cur_epoch is None:
+                cur_epoch, cur_count = e, 0
+            elif e != cur_epoch:
+                # close the finished window: score it, then it becomes
+                # part of the trailing baseline
+                trail_sum = sum(ring)
+                n_trail = len(ring)
+                rows.append(
+                    {
+                        "host": h,
+                        "epoch": cur_epoch,
+                        "n_docs": cur_count,
+                        "trail_sum": trail_sum,
+                        "n_trail": n_trail,
+                        "anomaly": int(
+                            n_trail == trail
+                            and cur_count * trail > factor * trail_sum
+                        ),
+                    }
+                )
+                ring = (ring + [cur_count])[-trail:]
+                cur_epoch, cur_count = e, 0
+            cur_count += 1
+        state.update((ring, cur_epoch, cur_count))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    keyed = pages_stream.select(host.alias("host"), "url", "warc_ts").groupBy(
+        "host"
+    )
+    return keyed.applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -967,3 +967,103 @@ def test_politeness_limit_stream_mega_host(spark, tmp_path):
     allowed = sorted(r["url"] for r in mega if r["allowed"])
     assert allowed == [f"https://mega.test/p{i:05d}" for i in range(5)]
     assert all(r["allowed"] for r in tiny)
+
+def _ts_batch(path, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+
+
+def test_trailing_anomaly_stream_learns_baseline(spark, tmp_path):
+    """Self-adaptive per-host anomaly == a pure-Python replay of the
+    window-closure rule; the baseline ring carries ACROSS micro-batches
+    and a burst window flags only once its host has full history."""
+    import datetime as _dt
+
+    from sbb_ocr_postcorrection_spark.streaming.ingest import (
+        trailing_anomaly_stream,
+    )
+
+    t0 = _dt.datetime(2024, 4, 1, 12, 0, 0)
+    rows = []
+    # hostA: 4 quiet minutes (2 docs each), a 9-doc burst in minute 4,
+    # then 1 doc in minute 5 (closes the burst). hostB: young feed —
+    # 3 minutes only, never enough history to flag.
+    for m in range(4):
+        for i in range(2):
+            rows.append(
+                (f"https://a.test/{m}-{i}", t0 + _dt.timedelta(minutes=m, seconds=i))
+            )
+    for i in range(9):
+        rows.append(
+            (f"https://a.test/burst{i}", t0 + _dt.timedelta(minutes=4, seconds=i))
+        )
+    rows.append(("https://a.test/after", t0 + _dt.timedelta(minutes=5)))
+    for m in range(3):
+        rows.append(
+            (f"https://b.test/{m}", t0 + _dt.timedelta(minutes=m, seconds=30))
+        )
+    rows.sort(key=lambda r: r[1])
+
+    d = tmp_path / "ta"
+    os.makedirs(d)
+    # split MID-STREAM so ring state must persist across micro-batches
+    _ts_batch(d / "a.parquet", rows[: len(rows) // 2])
+    _ts_batch(d / "b.parquet", rows[len(rows) // 2 :])
+    t = _dt.datetime.now().timestamp()
+    os.utime(d / "a.parquet", (t, t))
+    os.utime(d / "b.parquet", (t + 10, t + 10))
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    seen = []
+    q = (
+        trailing_anomaly_stream(stream, window_sec=60, trail=4, factor=2)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["host"], r["epoch"]): (
+            r["n_docs"], r["trail_sum"], r["n_trail"], r["anomaly"]
+        )
+        for r in seen
+    }
+
+    # pure-Python replay of the closure semantics over the SAME rows
+    from collections import defaultdict
+
+    per_host = defaultdict(list)
+    for url, ts in rows:
+        h = url.split("//")[1].split("/")[0]
+        per_host[h].append((ts, url))
+    want = {}
+    for h, evs in per_host.items():
+        evs.sort()
+        ring, cur_e, cur_n = [], None, 0
+        for ts, _u in evs:
+            e = int(ts.timestamp()) // 60
+            if cur_e is None:
+                cur_e, cur_n = e, 0
+            elif e != cur_e:
+                want[(h, cur_e)] = (
+                    cur_n,
+                    sum(ring),
+                    len(ring),
+                    int(len(ring) == 4 and cur_n * 4 > 2 * sum(ring)),
+                )
+                ring = (ring + [cur_n])[-4:]
+                cur_e, cur_n = e, 0
+            cur_n += 1
+    assert got == want
+    # the burst window flagged; hostB (young feed) never did
+    a_flags = [k for k, v in got.items() if v[3] == 1 and k[0] == "a.test"]
+    assert len(a_flags) == 1 and a_flags[0][1] == int(
+        (t0 + _dt.timedelta(minutes=4)).timestamp()
+    ) // 60
+    assert not any(v[3] for k, v in got.items() if k[0] == "b.test")
