@@ -582,6 +582,95 @@ def lm_unigram_score(spark, sf_dir, min_tf: int = 2, docs=None) -> DataFrame:
     )
 
 
+LM2_MAX_R = 100    # drop docs containing a bigram with surprise > this
+LM2_MAX_MEAN = 40  # ... or whose MEAN surprise exceeds this (integer form)
+
+
+def lm_bigram_score(spark, sf_dir, docs=None) -> DataFrame:
+    """Bigram-LM quality score — the conditional-probability deepening of
+    lm_unigram_score (CCNet's KenLM filter is an n-gram LM; the unigram
+    form misses a doc whose words are all common but whose SEQUENCES are
+    corpus-alien, e.g. shuffled spam or wrong-language word salad).
+
+    Surprise of a bigram (w1, w2) is the INTEGER inverse conditional
+    probability: ctx(w1) div c2(w1, w2), where ctx(w1) = Σ_w c2(w1, w)
+    is the context count — exactly 1/P(w2|w1) floored, so every per-doc
+    aggregate (count, sum, max) is exact int64 and the verdict
+    hash-matches by construction (the lm_unigram discipline: no
+    log/exp, one guarded IEEE division only for the display mean).
+    Thresholds read off the measured corpus distribution (median max_r
+    49, p97 368): a doc fails on one very alien bigram (max_r >
+    LM2_MAX_R) or a high mean (sum_r > LM2_MAX_MEAN · n_bigrams,
+    compared cross-multiplied).
+
+    Scale shape: the bigram stream is built once per consumer chain and
+    slot-persisted (feeds the c2 rollup, the ctx rollup, and the probe
+    side); the surprise ratio attaches to the VOCAB-sized distinct-
+    bigram relation first (c2 ⋈ ctx on w1 — both vocabulary-sized), so
+    the corpus-sized stream joins once, on the pair key. Hot contexts
+    skew like hot tokens — each joins one ratio row, AQE handles
+    stragglers, nothing broadcasts the vocabulary."""
+    from .relational import persist_slot
+
+    d = _base_docs(spark, sf_dir, docs)
+    toks = _tokens(F.col("text"))
+    bg = persist_slot(
+        "lm_bigram_stream",
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))
+                    ),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")),
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    rt = c2.join(ctx, "w1").select(
+        "w1", "w2", F.expr("ctx div c2").cast("long").alias("r")
+    )
+    per = (
+        bg.join(rt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("r").cast("long").alias("sum_r"),
+            F.max("r").cast("long").alias("max_r"),
+        )
+    )
+    base = d.select("doc_id")
+    # a 0/1-token doc has no bigrams: the sequence filter passes it
+    # (other gates judge emptiness), mirroring lm_unigram's rarity rule
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_r", F.lit(0)).cast("long").alias("sum_r"),
+        F.coalesce("max_r", F.lit(0)).cast("long").alias("max_r"),
+        F.round(
+            F.coalesce(F.col("sum_r") / F.col("n_bigrams"), F.lit(0.0)), 4
+        ).alias("mean_surprise"),
+        (
+            F.col("n_bigrams").isNull()
+            | (
+                (F.col("max_r") <= LM2_MAX_R)
+                & (F.col("sum_r") <= LM2_MAX_MEAN * F.col("n_bigrams"))
+            )
+        )
+        .cast("int")
+        .alias("lm2_keep"),
+    )
+
+
 # character-trigram language profiles (public frequent-trigram heuristic,
 # the cld2-style char-level modality beside the token-level stopword
 # detector) — interpolated verbatim into the DuckDB oracle

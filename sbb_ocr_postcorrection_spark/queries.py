@@ -704,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram-LM quality score (CCNet perplexity-filter analog,
         # integer aggregates for cross-engine exactness)
         "lm_unigram_score": pinned(textstats.lm_unigram_score),
+        # bigram-LM surprise (integer inverse conditional probability):
+        # catches common-words-alien-sequences docs the unigram LM passes
+        "lm_bigram_score": pinned(textstats.lm_bigram_score),
         # quality-weighted deterministic downsampling (md5 coin)
         "corpus_sample": pinned(textstats.quality_weighted_sample),
         # PII detect + redact (JVM regexp over deterministically
@@ -2543,6 +2546,40 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_tf,
                    CAST(CASE WHEN p.min_tf IS NULL OR p.min_tf >= 2
                              THEN 1 ELSE 0 END AS INTEGER) AS lm_keep
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # bigram surprise: ctx(w1) // c2(w1,w2) — all integers, div and
+        # // agree (nonnegative); keep rule cross-multiplied
+        "lm_bigram_score": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            bgx AS (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> struct_pack(w1 := toks[i],
+                                              w2 := toks[i+1]))) AS b
+                    FROM t WHERE len(toks) >= 2),
+            bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS ctx FROM bgf GROUP BY 1),
+            rt AS (SELECT c2.w1, c2.w2,
+                          CAST(ctx.ctx // c2.c2 AS BIGINT) AS r
+                   FROM c2 JOIN ctx USING (w1)),
+            per AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(r) AS BIGINT) AS sum_r,
+                           CAST(max(r) AS BIGINT) AS max_r
+                    FROM bgf JOIN rt USING (w1, w2) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(p.sum_r, 0) AS sum_r,
+                   coalesce(p.max_r, 0) AS max_r,
+                   round(coalesce(CAST(p.sum_r AS DOUBLE) / p.n_bigrams,
+                                  0.0), 4) AS mean_surprise,
+                   CAST(CASE WHEN p.n_bigrams IS NULL
+                              OR (p.max_r <= {textstats.LM2_MAX_R}
+                                  AND p.sum_r <= {textstats.LM2_MAX_MEAN}
+                                      * p.n_bigrams)
+                             THEN 1 ELSE 0 END AS INTEGER) AS lm2_keep
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "decontaminate": f"""

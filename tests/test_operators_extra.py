@@ -391,3 +391,57 @@ def test_host_tiers_scaled_equals_ntile_many_hosts(spark):
         ).collect()
     }
     assert got == want and len(got) == n
+
+
+def test_lm_bigram_score_matches_reference(spark):
+    """Bigram surprise == a pure-Python replay: integer inverse
+    conditional probability, max/mean rules, 0/1-token docs pass."""
+    from collections import Counter
+
+    import duckdb
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import (
+        LM2_MAX_MEAN,
+        LM2_MAX_R,
+        lm_bigram_score,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    toks = {
+        d: [w for w in (t or "").lower().split(" ") if w]
+        for d, t in docs.items()
+    }
+    # c2 = bigram count; ctx = bigram-context count (bigrams starting w1)
+    c2, ctx = Counter(), Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - 1):
+            c2[(ws[i], ws[i + 1])] += 1
+            ctx[ws[i]] += 1
+    want = {}
+    for d, ws in toks.items():
+        rs = [
+            ctx[ws[i]] // c2[(ws[i], ws[i + 1])] for i in range(len(ws) - 1)
+        ]
+        if rs:
+            keep = int(
+                max(rs) <= LM2_MAX_R and sum(rs) <= LM2_MAX_MEAN * len(rs)
+            )
+            want[d] = (
+                len(rs), sum(rs), max(rs),
+                round(sum(rs) / len(rs), 4), keep,
+            )
+        else:
+            want[d] = (0, 0, 0, 0.0, 1)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["sum_r"], r["max_r"],
+            r["mean_surprise"], r["lm2_keep"],
+        )
+        for r in lm_bigram_score(spark, SF).collect()
+    }
+    assert got == want
