@@ -181,6 +181,76 @@ def _rank_loop(
     )
 
 
+HITS_ITERS = 3  # unnormalized int64 growth ≤ (maxdeg²)^K = 10^12 « 2^63
+
+
+def host_hits(
+    spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the distinct host
+    graph — the query-independent link-analysis companion to PageRank:
+    a node is a good AUTHORITY if good hubs point at it and a good HUB
+    if it points at good authorities (directories/aggregators vs.
+    canonical sources — PageRank conflates the two roles).
+
+    Engine-exactness: the classic algorithm L2-normalizes per iteration
+    (floats); this implementation runs the UNNORMALIZED integer power
+    iteration instead — scores differ from the normalized ones by a
+    global constant per iteration, so the RANKING is identical while
+    every value stays exact int64 (bounded: with max degree ≤ 101 hosts,
+    one a→h round multiplies magnitude by ≤ maxdeg², so K=3 stays under
+    10^12). Update order is the published one: authorities from current
+    hubs, then hubs from the NEW authorities.
+
+    Scale shape: per iteration two equality joins + two aggregations on
+    the distinct edge relation, lineage cut by localCheckpoint (the
+    _rank_loop discipline); nothing data-sized reaches the driver."""
+    edges = persist_slot(
+        "hits_edges", synth_link_edges(spark, sf_dir).distinct()
+    )
+    nodes = persist_slot(
+        "hits_nodes",
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct(),
+    )
+    scores = nodes.select(
+        "id", F.lit(1).cast("long").alias("a"), F.lit(1).cast("long").alias("h")
+    )
+    for _ in range(iters):
+        # authorities from hubs: a(i) = Σ_{j→i} h(j)
+        a_new = (
+            edges.join(scores, edges.src_id == scores.id)
+            .groupBy("dst_id")
+            .agg(F.sum("h").alias("a_in"))
+        )
+        with_a = nodes.join(
+            a_new, nodes.id == a_new.dst_id, "left"
+        ).select(
+            "id", F.coalesce("a_in", F.lit(0)).cast("long").alias("a")
+        )
+        # hubs from the NEW authorities: h(i) = Σ_{i→j} a(j)
+        h_new = (
+            edges.join(with_a, edges.dst_id == with_a.id)
+            .groupBy("src_id")
+            .agg(F.sum("a").alias("h_out"))
+        )
+        scores = (
+            with_a.join(h_new, with_a.id == h_new.src_id, "left")
+            .select(
+                "id",
+                "a",
+                F.coalesce("h_out", F.lit(0)).cast("long").alias("h"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per iterate
+        )
+    return scores.select(
+        _host_col(F.col("id")).alias("host"),
+        F.col("a").alias("authority"),
+        F.col("h").alias("hub"),
+    )
+
+
 def host_pagerank(
     spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
 ) -> DataFrame:

@@ -829,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": pinned(linkgraph.page_outlinks),
         "link_graph": pinned(linkgraph.link_graph),
         "host_pagerank": pinned(linkgraph.host_pagerank),
+        # HITS hubs/authorities: the role-separating companion to
+        # PageRank (unnormalized integer power iteration, exact)
+        "host_hits": pinned(linkgraph.host_hits),
         # seeded personalized variant: teleport + dangling mass flow only
         # to the trusted seed set (link-spam demotion / crawl priority)
         "host_trustrank": pinned(linkgraph.host_trustrank),
@@ -1460,6 +1463,50 @@ def _lpa_oracle(iters: int) -> str:
            l.lab AS community_id,
            CAST(s.community_size AS BIGINT) AS community_size
     FROM lab{iters} l JOIN sizes s USING (lab)"""
+    )
+
+
+def _hits_oracle(iters: int) -> str:
+    """Chained-CTE replay of host_hits: distinct edges, unnormalized
+    integer power iteration, authorities-then-hubs update order (the
+    PageRank-oracle convention — one MATERIALIZED pair per iteration)."""
+    H = linkgraph.N_HOSTS
+    parts = [
+        f"""he AS MATERIALIZED (
+      SELECT DISTINCT doc_id % {H} AS src_id,
+                      (doc_id * 31 + j) % {H} AS dst_id
+      FROM documents
+      CROSS JOIN generate_series(1, {linkgraph.LINK_FANOUT}) t(j)
+      WHERE doc_id % {H} <> (doc_id * 31 + j) % {H})""",
+        """hn AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM he
+        UNION ALL SELECT dst_id FROM he))""",
+        """s0 AS MATERIALIZED (
+      SELECT id, CAST(1 AS BIGINT) AS a, CAST(1 AS BIGINT) AS h FROM hn)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""ha{k} AS MATERIALIZED (
+      SELECT n.id, CAST(coalesce(x.a_in, 0) AS BIGINT) AS a
+      FROM hn n LEFT JOIN (
+        SELECT e.dst_id AS id, sum(s.h) AS a_in
+        FROM he e JOIN s{k - 1} s ON e.src_id = s.id GROUP BY 1) x
+      USING (id)),
+    s{k} AS MATERIALIZED (
+      SELECT a.id, a.a, CAST(coalesce(y.h_out, 0) AS BIGINT) AS h
+      FROM ha{k} a LEFT JOIN (
+        SELECT e.src_id AS id, sum(a2.a) AS h_out
+        FROM he e JOIN ha{k} a2 ON e.dst_id = a2.id GROUP BY 1) y
+      USING (id))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT 'host' || CAST(id AS VARCHAR) || '.example.net' AS host,
+           a AS authority, h AS hub
+    FROM s{iters}"""
     )
 
 
@@ -3599,6 +3646,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY src_id, dst_id
     """
     sql["host_pagerank"] = _pagerank_oracle(linkgraph.PR_ITERS)
+    sql["host_hits"] = _hits_oracle(linkgraph.HITS_ITERS)
     sql["host_trustrank"] = _pagerank_oracle(
         linkgraph.PR_ITERS, seed_mod=linkgraph.TRUST_SEED_MOD
     )
