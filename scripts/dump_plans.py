@@ -41,9 +41,11 @@ SHOW = [
     ("containment_pairs",
      "shingle-equality blocking with df cap; asymmetric scores from the candidate-only intersection — no CartesianProduct, no all-pairs"),
     ("winnow_matches",
-     "fingerprint-hash equality join (df-capped); window minima via a map-side-combinable min(struct(h, -i)) aggregation (NOT a sort window) — no global window, no nested-loop join"),
+     "fingerprint selection inside the Arrow kernel (per-doc dedup + carried set sizes: no global distinct, no sizes rejoin); df-capped fingerprint-hash equality join over the slot-persisted kernel output — no global window, no nested-loop join"),
+    ("winnow_fingerprints_np",
+     "ZERO-shuffle kernel form: one input-spread Exchange below MapInPandas, NO HashAggregate — selection happens in NumPy per document"),
     ("passage_retrieval",
-     "probe vectors BROADCAST into the bucket-equality sparse dot product; top-k via probe-partitioned window — no dense arrays shuffled, no cross join"),
+     "probe vectors BROADCAST into the bucket-equality sparse dot product; candidate norms ride the vector rows (whole-partition window) THROUGH the dot groupBy — no corpus-embed recompute, no pair-relation norms join; top-k via probe-partitioned window — no dense arrays shuffled, no cross join"),
     ("semantic_dedup",
      "pinned-centroid assignment is plan-literal algebra; pairing joins on the cell key only (the published per-cluster cost) — no CartesianProduct"),
     ("cms_token_counts",

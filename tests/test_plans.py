@@ -296,3 +296,36 @@ def test_r5_late_ops_plan_shapes(spark):
     tp = plan_of(template_extract_metrics(spark, SF_DIR))
     assert "CartesianProduct" not in tp
     assert "BatchEvalPython" not in tp  # only the Arrow kernel seam
+
+
+def test_winnow_np_kernel_zero_shuffle(spark):
+    """The r6 winnow fast path: selection happens INSIDE the Arrow
+    kernel, so the fingerprint relation needs no aggregation at all —
+    the plan is MapInPandas over the input spread, with no
+    HashAggregate and no more than the single repartition Exchange."""
+    from sbb_ocr_postcorrection_spark.operators.winnow import (
+        winnow_fingerprints_np,
+    )
+
+    plan = plan_of(winnow_fingerprints_np(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # the input-spread repartition
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_passage_retrieval_single_candidate_embed(spark):
+    """The r6 norm-carrying rewrite: candidate norms ride the vector
+    rows, so the plan embeds the candidate side ONCE — the dots ⋈ norms
+    join over the probe×passage pair relation is gone (no join keyed on
+    (doc_id, chunk_id) AFTER the dot aggregation)."""
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        passage_retrieval,
+    )
+
+    plan = plan_of(passage_retrieval(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # exactly one window over (doc_id, chunk_id) — the norm attach —
+    # and the explode-side token aggregation appears for probe + cand
+    # sides only (a third copy would mean the old norms recompute)
+    assert plan.count("MapInPandas") == 0  # all-JVM path stays JVM
