@@ -28,6 +28,7 @@ from .operators import (
     multimodal,
     packing,
     relational as R,
+    selection,
     similarity,
     substring,
     temporal,
@@ -143,6 +144,78 @@ def _hex2int(hexpr: str) -> str:
         f"i -> strpos('0123456789abcdef', substr({hexpr}, i, 1)) - 1), "
         "(a, b) -> a * 16 + b)"
     )
+
+
+def _ilog2_sql(x: str) -> str:
+    """DuckDB mirror of operators.selection.with_ilog2 — Mitchell
+    fixed-point log2 of a POSITIVE integer expression, exact int64:
+    S·(length(bin(x))−1) + S·(x − 2^f) // 2^f. `x` must be a simple
+    column reference (it is inlined four times)."""
+    from .operators.selection import DSIR_S
+
+    f = f"(length(bin({x})) - 1)"
+    p = f"(CAST(1 AS BIGINT) << {f})"
+    return f"({f} * {DSIR_S} + (({x} - {p}) * {DSIR_S}) // {p})"
+
+
+def _dsir_weight_ctes() -> str:
+    """Shared CTE chain documents → bigram buckets → smoothed counts →
+    Mitchell-log weights (mirrors operators.selection._weights_from)."""
+    from .operators.selection import DSIR_BUCKETS, DSIR_TARGET_LANG
+
+    b = DSIR_BUCKETS
+    return f"""
+            WITH t AS (SELECT doc_id, lang,
+                              (lang = '{DSIR_TARGET_LANG}') AS is_t,
+                              {_TOKS_SQL} AS toks FROM documents),
+            bgx AS (SELECT doc_id, is_t,
+                           unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+                    FROM t WHERE len(toks) >= 2),
+            bb AS MATERIALIZED (
+              SELECT doc_id, is_t,
+                     CAST({_hex2int('md5(g)')} % {b} AS BIGINT) AS bucket
+              FROM bgx),
+            cnt AS (SELECT bucket,
+                           CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
+                                AS BIGINT) AS ct,
+                           CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END)
+                                AS BIGINT) AS cr
+                    FROM bb GROUP BY bucket),
+            fullb AS (SELECT CAST(unnest(generate_series(0, {b - 1}))
+                                  AS BIGINT) AS bucket),
+            cc AS (SELECT fullb.bucket,
+                          CAST(coalesce(ct, 0) AS BIGINT) AS ct,
+                          CAST(coalesce(cr, 0) AS BIGINT) AS cr
+                   FROM fullb LEFT JOIN cnt USING (bucket)),
+            ccl AS (SELECT bucket, ct, cr,
+                           CAST(ct + 1 AS BIGINT) AS ct1,
+                           CAST(cr + 1 AS BIGINT) AS cr1 FROM cc),
+            tot AS (SELECT CAST(sum(ct) + {b} AS BIGINT) AS nt1,
+                           CAST(sum(cr) + {b} AS BIGINT) AS nr1 FROM cc),
+            totl AS (SELECT {_ilog2_sql('nt1')} AS lnt,
+                            {_ilog2_sql('nr1')} AS lnr FROM tot),
+            w AS (SELECT bucket, ct, cr,
+                         CAST({_ilog2_sql('ct1')} - {_ilog2_sql('cr1')}
+                              + lnr - lnt AS BIGINT) AS w
+                  FROM ccl, totl)"""
+
+
+# per-doc DSIR score stage (appended after _dsir_weight_ctes with a comma)
+_DSIR_SCORE_CTES = """
+            pb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+                   FROM bb GROUP BY 1, 2),
+            psc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                           CAST(sum(c * w) AS BIGINT) AS score
+                    FROM pb JOIN w USING (bucket) GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END
+                          AS INTEGER) AS is_target,
+                     CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                     CAST(coalesce(s.score, 0) AS BIGINT) AS score
+              FROM documents d LEFT JOIN psc s USING (doc_id))"""
 
 
 def _byte_at(i: str) -> str:
@@ -901,6 +974,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
         "frame_sample": pinned(multimodal.frame_sample_plan),
+        # DSIR (Xie et al. 2023): hashed-bigram importance model between
+        # the target domain and the raw pool — training is ONE aggregation
+        # to a DSIR_BUCKETS-row dim (Mitchell fixed-point logs, int-exact)
+        "dsir_weights": pinned(selection.dsir_weights),
+        # per-doc fixed-point log importance score (weight dim broadcast)
+        "dsir_score": pinned(selection.dsir_score),
+        # deterministic Gumbel-race top-k resample of the raw pool
+        "dsir_sample": pinned(selection.dsir_sample),
+        # CCNet head/middle/tail per-language LM-score terciles (integer
+        # order statistics over the (lang, score)-histogram dim)
+        "ccnet_buckets": pinned(selection.ccnet_buckets),
+        # temperature-scaled source mixing (alpha = 1/2 multinomial):
+        # per-doc inclusion rate 1/isqrt(n_src), md5-coin deterministic
+        "mix_temperature": pinned(selection.mix_temperature),
+        # Heaps-law vocabulary growth at power-of-two doc checkpoints
+        "vocab_growth": pinned(selection.vocab_growth),
     }
 
 
@@ -3098,6 +3187,113 @@ def oracle_sql() -> dict[str, str]:
         # with pinned tie-breaks make the centroid collect SQL-decidable
         # (formerly the registry's one rows-only query)
         "ann_ivf": _ivf_trained_oracle(),
+        # DSIR importance model: the bucket-count "training" aggregation
+        # + Mitchell fixed-point logs replay directly (all int64)
+        "dsir_weights": f"""
+            {_dsir_weight_ctes()}
+            SELECT bucket, ct, cr, w FROM w
+        """,
+        "dsir_score": f"""
+            {_dsir_weight_ctes()},
+            {_DSIR_SCORE_CTES}
+            SELECT doc_id, lang, is_target, n_grams, score FROM scored
+        """,
+        "dsir_sample": f"""
+            {_dsir_weight_ctes()},
+            {_DSIR_SCORE_CTES},
+            raw AS (
+              SELECT doc_id, lang, n_grams, score,
+                     CAST({_hex2int("md5('dsir|' || CAST(doc_id AS VARCHAR))")}
+                          % {1 << selection._U_BITS} + 1 AS BIGINT) AS u1
+              FROM scored WHERE is_target = 0
+            ),
+            r2 AS (SELECT doc_id, lang, n_grams, score,
+                          CAST({selection._U_BITS * selection.DSIR_S}
+                               - {_ilog2_sql('u1')} + 1 AS BIGINT) AS e1
+                   FROM raw),
+            r3 AS (SELECT doc_id, lang, n_grams, score,
+                          CAST({selection.DSIR_TAU} * {_ilog2_sql('e1')}
+                               - score AS BIGINT) AS race_key
+                   FROM r2)
+            SELECT doc_id, lang, n_grams, score, race_key FROM r3
+            ORDER BY race_key, doc_id LIMIT {selection.DSIR_K}
+        """,
+        # CCNet terciles: lm_bigram surprise chain + per-(lang, m)
+        # histogram + cumulative window over the histogram dim
+        "ccnet_buckets": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            bgx AS (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> struct_pack(w1 := toks[i],
+                                              w2 := toks[i+1]))) AS b
+                    FROM t WHERE len(toks) >= 2),
+            bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS ctx FROM bgf GROUP BY 1),
+            rt AS (SELECT c2.w1, c2.w2,
+                          CAST(ctx.ctx // c2.c2 AS BIGINT) AS r
+                   FROM c2 JOIN ctx USING (w1)),
+            per AS (SELECT doc_id, count(*) AS n_bigrams, sum(r) AS sum_r
+                    FROM bgf JOIN rt USING (w1, w2) GROUP BY 1),
+            sc AS (SELECT d.doc_id, d.lang,
+                          CAST(coalesce(p.sum_r, 0)
+                               // greatest(coalesce(p.n_bigrams, 0), 1)
+                               AS BIGINT) AS m
+                   FROM documents d LEFT JOIN per p USING (doc_id)),
+            hist AS (SELECT lang, m, count(*) AS c FROM sc GROUP BY 1, 2),
+            cum AS (SELECT lang, m,
+                           sum(c) OVER (PARTITION BY lang ORDER BY m) AS cum,
+                           sum(c) OVER (PARTITION BY lang) AS n_l
+                    FROM hist),
+            thr AS (SELECT lang,
+                           min(CASE WHEN cum * 3 >= n_l THEN m END) AS t1,
+                           min(CASE WHEN cum * 3 >= 2 * n_l THEN m END) AS t2
+                    FROM cum GROUP BY 1)
+            SELECT sc.doc_id, sc.lang, sc.m,
+                   CASE WHEN sc.m <= t.t1 THEN 'head'
+                        WHEN sc.m <= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN thr t USING (lang)
+        """,
+        # temperature mixing: isqrt is floor(correctly-rounded IEEE sqrt)
+        # — deterministic in both engines for exact int64 casts
+        "mix_temperature": f"""
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+                       FROM documents GROUP BY 1),
+            w AS (SELECT source, n_src,
+                         CAST(greatest(floor(sqrt(CAST(n_src AS DOUBLE))), 1)
+                              AS BIGINT) AS w_src
+                  FROM s)
+            SELECT d.doc_id, d.source, w.n_src, w.w_src,
+                   CAST(CASE WHEN
+                       {_hex2int("md5('mix|' || CAST(doc_id AS VARCHAR))")}
+                       % w.w_src = 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM documents d JOIN w USING (source)
+        """,
+        "vocab_growth": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                         FROM documents),
+            firsts AS (SELECT token, min(doc_id) AS first_doc
+                       FROM tok GROUP BY 1),
+            pd AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tok FROM documents),
+            cps AS (SELECT CAST(CAST(1 AS BIGINT) << j AS BIGINT) AS checkpoint
+                    FROM (SELECT unnest(generate_series(0,
+                          {selection.HEAPS_CHECKPOINTS - 1})) AS j)),
+            vocab AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab_size
+                      FROM firsts, cps WHERE first_doc < checkpoint
+                      GROUP BY 1),
+            tk AS (SELECT checkpoint, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                          CAST(count(*) AS BIGINT) AS n_docs_used
+                   FROM pd, cps WHERE doc_id < checkpoint GROUP BY 1)
+            SELECT c.checkpoint, t.n_docs_used,
+                   CAST(coalesce(v.vocab_size, 0) AS BIGINT) AS vocab_size,
+                   CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM cps c
+            LEFT JOIN vocab v USING (checkpoint)
+            LEFT JOIN tk t USING (checkpoint)
+            WHERE t.n_docs_used IS NOT NULL
+        """,
     }
     # the salted LSH expansion must produce EXACTLY the unsalted candidate
     # set — same oracle, so the driver itself certifies the equivalence

@@ -1,0 +1,266 @@
+"""Independent pure-Python references for the selection operators
+(operators/selection.py): DSIR weights/scores/resample, CCNet terciles,
+temperature mixing, Heaps-law vocab growth.
+
+Each test recomputes the expected result from scratch in plain Python
+(hashlib/math only — no SQL reuse, no Spark expression reuse), so a bug
+shared by the Spark plan and the DuckDB oracle cannot hide."""
+
+import hashlib
+import math
+
+import pandas as pd
+
+from sbb_ocr_postcorrection_spark.operators import selection as sel
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ilog2(x: int) -> int:
+    f = x.bit_length() - 1
+    p = 1 << f
+    return f * sel.DSIR_S + ((x - p) * sel.DSIR_S) // p
+
+
+def _toks(text):
+    return [w for w in (text or "").lower().split(" ") if w]
+
+
+def _bigram_buckets(text):
+    t = _toks(text)
+    return [
+        _md5long(f"{t[i]} {t[i + 1]}") % sel.DSIR_BUCKETS
+        for i in range(len(t) - 1)
+    ]
+
+
+def _docs_pdf():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Mitchell fixed-point log2
+# --------------------------------------------------------------------------
+
+def test_ilog2_exact_at_powers_and_bounded_between():
+    S = sel.DSIR_S
+    for f in range(0, 50):
+        assert _ilog2(1 << f) == f * S
+    # Mitchell's approximation: ilog2/S is within 0.0861 of true log2
+    for x in [3, 5, 7, 100, 12345, 999_999, (1 << 40) + 12345]:
+        assert abs(_ilog2(x) / S - math.log2(x)) < 0.0861
+
+
+def test_with_ilog2_spark_matches_python(spark):
+    vals = [1, 2, 3, 7, 8, 100, 1023, 1024, 1025, 999_999, (1 << 45) + 17]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: r["il"] for r in sel.with_ilog2(df, "x", "il").collect()
+    }
+    assert got == {v: _ilog2(v) for v in vals}
+
+
+# --------------------------------------------------------------------------
+# DSIR
+# --------------------------------------------------------------------------
+
+def _fixture_docs(spark):
+    """Two lexical domains: target-vocab docs (lang=en) + raw docs split
+    between en-like text and an alien vocabulary."""
+    rows = []
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta"
+    vocab_b = "qqq www eee rrr ttt yyy uuu iii"
+    for i in range(20):  # target domain
+        rows.append((i, f"{vocab_a} alpha beta {i % 3}", "en", "srcA"))
+    for i in range(20, 35):  # raw, target-like
+        rows.append((i, f"{vocab_a} gamma delta {i % 3}", "de", "srcA"))
+    for i in range(35, 50):  # raw, alien
+        rows.append((i, f"{vocab_b} qqq www {i % 3}", "zh", "srcB"))
+    return (
+        rows,
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ),
+    )
+
+
+def _py_dsir(rows):
+    ct = [0] * sel.DSIR_BUCKETS
+    cr = [0] * sel.DSIR_BUCKETS
+    for doc_id, text, lang, _ in rows:
+        tgt = lang == sel.DSIR_TARGET_LANG
+        for b in _bigram_buckets(text):
+            (ct if tgt else cr)[b] += 1
+    nt1, nr1 = sum(ct) + sel.DSIR_BUCKETS, sum(cr) + sel.DSIR_BUCKETS
+    shift = _ilog2(nr1) - _ilog2(nt1)
+    w = [
+        _ilog2(ct[b] + 1) - _ilog2(cr[b] + 1) + shift
+        for b in range(sel.DSIR_BUCKETS)
+    ]
+    scores = {}
+    for doc_id, text, lang, _ in rows:
+        bs = _bigram_buckets(text)
+        scores[doc_id] = (len(bs), sum(w[b] for b in bs))
+    return ct, cr, w, scores
+
+
+def test_dsir_weights_reference(spark):
+    rows, d = _fixture_docs(spark)
+    ct, cr, w, _ = _py_dsir(rows)
+    got = sel.dsir_weights(spark, SF, docs=d).collect()
+    assert len(got) == sel.DSIR_BUCKETS
+    for r in got:
+        b = r["bucket"]
+        assert (r["ct"], r["cr"], r["w"]) == (ct[b], cr[b], w[b])
+
+
+def test_dsir_score_reference_and_discrimination(spark):
+    rows, d = _fixture_docs(spark)
+    _, _, _, scores = _py_dsir(rows)
+    got = {r["doc_id"]: r for r in sel.dsir_score(spark, SF, docs=d).collect()}
+    assert len(got) == len(rows)
+    for doc_id, (n, s) in scores.items():
+        assert (got[doc_id]["n_grams"], got[doc_id]["score"]) == (n, s)
+    # raw target-like docs must outscore raw alien docs
+    like = [got[i]["score"] for i in range(20, 35)]
+    alien = [got[i]["score"] for i in range(35, 50)]
+    assert min(like) > max(alien)
+
+
+def test_dsir_sample_reference(spark):
+    rows, d = _fixture_docs(spark)
+    _, _, _, scores = _py_dsir(rows)
+    k = 10
+    keys = []
+    for doc_id, text, lang, _ in rows:
+        if lang == sel.DSIR_TARGET_LANG:
+            continue
+        u = _md5long(f"dsir|{doc_id}") % (1 << sel._U_BITS) + 1
+        e1 = sel._U_BITS * sel.DSIR_S - _ilog2(u) + 1
+        key = sel.DSIR_TAU * _ilog2(e1) - scores[doc_id][1]
+        keys.append((key, doc_id))
+    expect = [doc_id for _, doc_id in sorted(keys)[:k]]
+    got = sel.dsir_sample(spark, SF, k=k, docs=d).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(expect)
+    assert [r["race_key"] for r in got] == sorted(r["race_key"] for r in got)
+    # the race resamples TOWARD the target: mostly target-like raw docs
+    assert sum(1 for r in got if r["doc_id"] < 35) >= k - 2
+
+
+# --------------------------------------------------------------------------
+# CCNet terciles
+# --------------------------------------------------------------------------
+
+def _py_ccnet(pdf):
+    from collections import Counter
+
+    c2, ctx = Counter(), Counter()
+    bigrams = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        t = _toks(text)
+        bg = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        bigrams[doc_id] = bg
+        for p in bg:
+            c2[p] += 1
+            ctx[p[0]] += 1
+    m = {}
+    for doc_id, bg in bigrams.items():
+        rs = [ctx[p[0]] // c2[p] for p in bg]
+        m[doc_id] = sum(rs) // max(len(rs), 1)
+    buckets = {}
+    for lang in pdf["lang"].unique():
+        ids = [i for i in pdf[pdf["lang"] == lang]["doc_id"]]
+        ms = sorted(m[i] for i in ids)
+        n = len(ms)
+        t1 = ms[math.ceil(n / 3) - 1]
+        t2 = ms[math.ceil(2 * n / 3) - 1]
+        for i in ids:
+            buckets[i] = (
+                "head" if m[i] <= t1 else "middle" if m[i] <= t2 else "tail"
+            )
+    return m, buckets
+
+
+def test_ccnet_buckets_reference(spark):
+    pdf = _docs_pdf()
+    m, buckets = _py_ccnet(pdf)
+    got = {r["doc_id"]: r for r in sel.ccnet_buckets(spark, SF).collect()}
+    assert len(got) == len(pdf)
+    for doc_id in m:
+        assert got[doc_id]["m"] == m[doc_id]
+        assert got[doc_id]["bucket"] == buckets[doc_id]
+    # every language must populate its head tercile with >= 1/3 of docs
+    for lang in pdf["lang"].unique():
+        ids = [i for i in pdf[pdf["lang"] == lang]["doc_id"]]
+        heads = sum(1 for i in ids if got[i]["bucket"] == "head")
+        assert heads * 3 >= len(ids)
+
+
+# --------------------------------------------------------------------------
+# temperature mixing
+# --------------------------------------------------------------------------
+
+def test_mix_temperature_reference(spark):
+    pdf = _docs_pdf()
+    n_src = pdf.groupby("source").size().to_dict()
+    got = {r["doc_id"]: r for r in sel.mix_temperature(spark, SF).collect()}
+    assert len(got) == len(pdf)
+    for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+        w = max(math.floor(math.sqrt(n_src[source])), 1)
+        kept = 1 if _md5long(f"mix|{doc_id}") % w == 0 else 0
+        r = got[doc_id]
+        assert (r["source"], r["n_src"], r["w_src"], r["kept"]) == (
+            source,
+            n_src[source],
+            w,
+            kept,
+        )
+
+
+def test_mix_temperature_downweights_large_sources(spark):
+    """On a skewed fixture the alpha=1/2 rule must keep a LARGER FRACTION
+    of the small source than of the big one (expected kept ~ sqrt(n))."""
+    rows = [(i, f"w{i}", "en", "big" if i < 900 else "small") for i in range(1000)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = sel.mix_temperature(spark, SF, docs=d).collect()
+    frac = {}
+    for src in ("big", "small"):
+        rs = [r for r in got if r["source"] == src]
+        frac[src] = sum(r["kept"] for r in rs) / len(rs)
+    assert frac["small"] > frac["big"]
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocab growth
+# --------------------------------------------------------------------------
+
+def test_vocab_growth_reference(spark):
+    pdf = _docs_pdf().sort_values("doc_id")
+    got = {r["checkpoint"]: r for r in sel.vocab_growth(spark, SF).collect()}
+    vocab_at, tokens_at = {}, {}
+    docs = list(zip(pdf["doc_id"], pdf["text"]))
+    cps = [1 << j for j in range(sel.HEAPS_CHECKPOINTS)]
+    for cp in cps:
+        # recompute from scratch per checkpoint (independent, O(n^2) fine)
+        toks = [t for doc_id, text in docs if doc_id < cp for t in _toks(text)]
+        vocab_at[cp] = len(set(toks))
+        tokens_at[cp] = len(toks)
+    n_docs = len(docs)
+    for cp in cps:
+        used = min(cp, n_docs)
+        if used == 0:
+            assert cp not in got
+            continue
+        r = got[cp]
+        assert r["n_docs_used"] == used
+        assert r["vocab_size"] == vocab_at[cp]
+        assert r["n_tokens"] == tokens_at[cp]
+    # monotone non-decreasing vocabulary (Heaps sanity)
+    vs = [got[cp]["vocab_size"] for cp in cps if cp in got]
+    assert vs == sorted(vs)
