@@ -177,3 +177,134 @@ def frame_sample_plan(spark, sf_dir, every_n: int = 10) -> DataFrame:
         d.filter(F.pmod(F.col("doc_id"), F.lit(every_n)) == 0)
         .select("doc_id", F.length("text").alias("payload_len"))
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual average-hash near-duplicate detection (aHash)
+# --------------------------------------------------------------------------
+#
+# The classic image near-dup pipeline (aHash/pHash family): decode →
+# grayscale thumbnail → threshold against the mean → compact bit
+# fingerprint → banded bucket join → Hamming verify. With real codecs the
+# luma grid would come from the decoded thumbnail; here the deterministic
+# fake decode samples AHASH_BITS evenly-spaced payload bytes as lumas (the
+# _fake_decode convention — kernel-local swap point, plan unchanged).
+
+AHASH_BITS = 60           # fits int64 with headroom (sign-safe)
+AHASH_BANDS = 4           # 4 bands x 15 bits — LSH-style candidate blocking
+AHASH_MAX_HAM = 8         # near-dup verify threshold
+AHASH_SCHEMA = "doc_id long, n_bytes int, ahash long"
+_TWIN_OFFSET = 1_000_000  # augmented near-identical twin ids (doc_id + this)
+
+
+def _ahash_bytes(b: bytes) -> int:
+    """60-bit average hash of a payload: sample AHASH_BITS evenly-spaced
+    bytes as lumas, set bit i iff luma_i exceeds the sample mean
+    (compared cross-multiplied: 60·luma_i > Σ lumas — integer-exact)."""
+    n = len(b)
+    if n == 0:
+        return 0
+    import numpy as np
+
+    arr = np.frombuffer(b, dtype=np.uint8)
+    idx = (np.arange(AHASH_BITS, dtype=np.int64) * n) // AHASH_BITS
+    lum = arr[idx].astype(np.int64)
+    total = int(lum.sum())
+    bits = (AHASH_BITS * lum > total).astype(np.int64)
+    return int((bits << np.arange(AHASH_BITS, dtype=np.int64)).sum())
+
+
+def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload → (n_bytes, ahash). One output row per
+    input row; the binary column crosses Arrow once, zero shuffle."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            rows.append(
+                {"doc_id": doc_id, "n_bytes": len(b), "ahash": _ahash_bytes(b)}
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "ahash"])
+
+
+def _ahash_inputs(spark, sf_dir) -> DataFrame:
+    """Documents-as-images plus deterministic NEAR-IDENTICAL twins (every
+    37th doc re-encoded with two bytes flipped — the witness pairs a
+    perceptual dedup must catch; the containment_pairs augmentation
+    convention).
+
+    The twin SWAPS the bytes at samples 7 and 31 of the luma grid
+    ((i·n) div 60 — positions the hash is GUARANTEED to read). A swap
+    keeps the luma total unchanged, so no OTHER bit's mean threshold
+    moves: exactly the two swapped samples can flip (Hamming ≤ 2 for
+    payloads ≥ AHASH_BITS bytes, where every sample reads a distinct
+    byte) — inside the banded join's EXACT ≤ 3 pigeonhole guarantee, and
+    nonzero whenever the two bytes straddle the doc's luma mean."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+    twins = (
+        base.where((F.col("doc_id") % 37 == 0) & (F.length("t") >= AHASH_BITS))
+        .withColumn("p7", F.expr(f"(7 * length(t)) div {AHASH_BITS} + 1"))
+        .withColumn("p31", F.expr(f"(31 * length(t)) div {AHASH_BITS} + 1"))
+        .select(
+            (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"),
+            F.expr(
+                "concat(substring(t, 1, p7 - 1), substring(t, p31, 1), "
+                "substring(t, p7 + 1, p31 - p7 - 1), substring(t, p7, 1), "
+                "substring(t, p31 + 1, length(t)))"
+            ).alias("t"),
+        )
+    )
+    return base.unionByName(twins)
+
+
+def image_ahash(spark, sf_dir) -> DataFrame:
+    """Per-image perceptual fingerprints (doc_id, n_bytes, ahash)."""
+    inp = _ahash_inputs(spark, sf_dir)
+    payloads = inp.select("doc_id", F.encode("t", "utf-8").alias("payload"))
+    return payloads.mapInPandas(ahash_batch, schema=AHASH_SCHEMA)
+
+
+def image_ahash_dedup(spark, sf_dir) -> DataFrame:
+    """Perceptual near-dup pairs: banded bucket join + Hamming verify.
+
+    Scale shape: the 60-bit hash splits into AHASH_BANDS 15-bit bands and
+    candidates must share one band exactly. Pigeonhole: ≤ 3 differing
+    bits touch at most 3 of the 4 bands, so recall is EXACT for
+    Hamming ≤ 3; at 4–8 flipped bits recall is probabilistic — the
+    standard banding recall/cost dial (dedup_simhash's prefix buckets,
+    lsh_recall_eval's measured S-curve). The self-join is band-bucket
+    equality — never all-pairs; Hamming is one JVM bit_count(xor)."""
+    h = image_ahash(spark, sf_dir).select("doc_id", "ahash")
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(AHASH_BANDS)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "ahash",
+        "band",
+        F.expr("(ahash >> (band * 15)) & 32767").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ahash").alias("a_hash"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ahash").alias("b_hash"),
+        "band",
+        "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr("bit_count(a_hash ^ b_hash)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= AHASH_MAX_HAM)
+    )
+    return pairs

@@ -158,6 +158,50 @@ def _ilog2_sql(x: str) -> str:
     return f"({f} * {DSIR_S} + (({x} - {p}) * {DSIR_S}) // {p})"
 
 
+def _ahash_ctes() -> str:
+    """Shared CTE chain: documents + flipped-byte twins → 60 evenly-spaced
+    byte lumas → mean-threshold bits → 60-bit average hash (mirrors
+    operators.multimodal._ahash_bytes; ASCII text ⇒ substr chars ARE the
+    payload bytes)."""
+    from .operators.multimodal import AHASH_BITS, _TWIN_OFFSET
+
+    nb = AHASH_BITS
+    return f"""
+            WITH src AS (SELECT doc_id, coalesce(text, '') AS t
+                         FROM documents),
+            inp AS (
+              SELECT doc_id, t FROM src
+              UNION ALL
+              SELECT doc_id + {_TWIN_OFFSET},
+                     substr(t, 1, p7 - 1) || substr(t, p31, 1)
+                       || substr(t, p7 + 1, p31 - p7 - 1) || substr(t, p7, 1)
+                       || substr(t, p31 + 1)
+              FROM (SELECT doc_id, t,
+                           (7 * strlen(t)) // {nb} + 1 AS p7,
+                           (31 * strlen(t)) // {nb} + 1 AS p31
+                    FROM src)
+              WHERE doc_id % 37 = 0 AND strlen(t) >= {nb}
+            ),
+            lum AS (
+              SELECT doc_id, strlen(t) AS n,
+                     list_transform(generate_series(0, {nb - 1}),
+                       i -> ascii(substr(t,
+                              CAST((i * strlen(t)) // {nb} + 1 AS INTEGER),
+                              1))) AS ls
+              FROM inp),
+            lum2 AS (SELECT doc_id, n, ls, list_sum(ls) AS total FROM lum),
+            ah AS (
+              SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+                     CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(list_sum(list_transform(
+                                 generate_series(0, {nb - 1}),
+                                 i -> CASE WHEN {nb} * ls[i + 1] > total
+                                           THEN (CAST(1 AS BIGINT) << i)
+                                           ELSE CAST(0 AS BIGINT) END))
+                               AS BIGINT) END AS ahash
+              FROM lum2)"""
+
+
 def _dsir_weight_ctes() -> str:
     """Shared CTE chain documents → bigram buckets → smoothed counts →
     Mitchell-log weights (mirrors operators.selection._weights_from)."""
@@ -974,6 +1018,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": pinned(multimodal.resize_metadata),
         "multimodal_features": pinned(multimodal.feature_components),
         "frame_sample": pinned(multimodal.frame_sample_plan),
+        # perceptual average-hash fingerprints over the binary payload
+        # path (aHash; luma sampling is the deterministic fake decode)
+        "image_ahash": pinned(multimodal.image_ahash),
+        # banded bucket join + Hamming verify — the image near-dup
+        # pipeline, witness twins injected every 37th doc
+        "image_ahash_dedup": pinned(multimodal.image_ahash_dedup),
         # DSIR (Xie et al. 2023): hashed-bigram importance model between
         # the target domain and the raw pool — training is ONE aggregation
         # to a DSIR_BUCKETS-row dim (Mitchell fixed-point logs, int-exact)
@@ -3187,6 +3237,27 @@ def oracle_sql() -> dict[str, str]:
         # with pinned tie-breaks make the centroid collect SQL-decidable
         # (formerly the registry's one rows-only query)
         "ann_ivf": _ivf_trained_oracle(),
+        # perceptual aHash: luma sampling + mean-threshold bits replay as
+        # pure integer/string SQL (ASCII payload ⇒ chars are bytes)
+        "image_ahash": f"""
+            {_ahash_ctes()}
+            SELECT doc_id, n_bytes, ahash FROM ah
+        """,
+        "image_ahash_dedup": f"""
+            {_ahash_ctes()},
+            bd AS (SELECT doc_id, ahash, bnd,
+                          (ahash >> (bnd * 15)) & 32767 AS band_val
+                   FROM ah, (SELECT unnest(generate_series(0,
+                        {multimodal.AHASH_BANDS - 1})) AS bnd)),
+            pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                          CAST(bit_count(xor(a.ahash, b.ahash))
+                               AS INTEGER) AS hamming
+                   FROM bd a JOIN bd b
+                     ON a.bnd = b.bnd AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id, hamming FROM pr
+            WHERE hamming <= {multimodal.AHASH_MAX_HAM}
+        """,
         # DSIR importance model: the bucket-count "training" aggregation
         # + Mitchell fixed-point logs replay directly (all int64)
         "dsir_weights": f"""
