@@ -390,3 +390,122 @@ def vocab_growth(spark, sf_dir, docs=None) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pairwise source divergence (mix diagnostics)
+# --------------------------------------------------------------------------
+
+def source_divergence(spark, sf_dir, docs=None) -> DataFrame:
+    """Pairwise token-distribution divergence between sources — the mix
+    diagnostic behind temperature/mix weighting: a source whose unigram
+    distribution diverges hard from every other is an outlier (OCR junk,
+    wrong-language feed); near-zero divergence flags redundant feeds
+    (the lexical complement of source_overlap_matrix's syndication
+    detector).
+
+    The statistic is smoothed KL over the support of source a, in
+    Mitchell fixed-point log2 units (exact int64 — the DSIR discipline):
+
+        kl_num(a→b) = Σ_{t: c_at>0} c_at · [ ilog2(c_at · (N_b + V))
+                                           − ilog2((c_bt + 1) · N_a) ]
+
+    (add-one smoothing on the q side only, so every log argument is
+    positive; the ONE display division kl_bits = kl_num / (N_a · S) is a
+    two-flop IEEE expression on exact integers — deterministic in both
+    engines.)
+
+    Scale shape: per-(source, token) counts are one hash aggregation
+    (vocabulary × sources rows); the pair expansion crossJoins each
+    a-side row against the SOURCE DIM ONLY (broadcast, |S| rows) and
+    left-joins b-counts back on (token, source) — ×|S| fan-out of a
+    vocabulary-sized relation, aggregated immediately; no all-pairs on
+    anything corpus-sized."""
+    from .relational import persist_slot
+
+    d = _base_docs(spark, sf_dir, docs)
+    tok = d.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    cnt = persist_slot(
+        "srcdiv_counts",
+        tok.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_tok"))
+    vsize = cnt.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = (
+        cnt.select(
+            F.col("source").alias("source_a"),
+            "token",
+            F.col("c").alias("c_a"),
+        )
+        .crossJoin(F.broadcast(ns.select(F.col("source").alias("source_b"))))
+        .where(F.col("source_a") != F.col("source_b"))
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("c").alias("c_b"),
+    )
+    terms = (
+        a.join(b, ["source_b", "token"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "token",
+            "c_a",
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+        )
+        .join(
+            F.broadcast(
+                ns.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_tok").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                ns.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_tok").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .withColumn("x1", (F.col("c_a") * (F.col("n_b") + F.col("v"))).cast("long"))
+        .withColumn("x2", ((F.col("c_b") + 1) * F.col("n_a")).cast("long"))
+    )
+    terms = with_ilog2(with_ilog2(terms, "x1", "l1"), "x2", "l2")
+    out = (
+        terms.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_a"),
+            F.sum(F.when(F.col("c_b") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.sum(F.col("c_a") * (F.col("l1") - F.col("l2")))
+            .cast("long")
+            .alias("kl_num"),
+            F.max("n_a").alias("n_a"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms_a",
+            "n_shared",
+            "kl_num",
+            F.round(
+                F.col("kl_num").cast("double")
+                / (F.col("n_a") * DSIR_S).cast("double"),
+                6,
+            ).alias("kl_bits"),
+        )
+    )
+    return out

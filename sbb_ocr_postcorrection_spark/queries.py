@@ -1040,6 +1040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": pinned(selection.mix_temperature),
         # Heaps-law vocabulary growth at power-of-two doc checkpoints
         "vocab_growth": pinned(selection.vocab_growth),
+        # pairwise source KL divergence (Mitchell fixed-point logs) —
+        # the outlier/redundant-feed diagnostic behind mix weighting
+        "source_divergence": pinned(selection.source_divergence),
     }
 
 
@@ -3341,6 +3344,51 @@ def oracle_sql() -> dict[str, str]:
                        {_hex2int("md5('mix|' || CAST(doc_id AS VARCHAR))")}
                        % w.w_src = 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM documents d JOIN w USING (source)
+        """,
+        # source KL: support-of-a smoothed divergence, Mitchell logs;
+        # the single display division is a two-flop IEEE expression on
+        # exact integers (never lands on a 6-decimal rounding boundary)
+        "source_divergence": f"""
+            WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS token
+                         FROM documents),
+            cnt AS MATERIALIZED (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+            ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok
+                   FROM cnt GROUP BY 1),
+            vs AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+                   FROM cnt),
+            pairs AS (
+              SELECT a.source AS source_a, b2.source AS source_b,
+                     a.token, a.c AS c_a,
+                     CAST(coalesce(b.c, 0) AS BIGINT) AS c_b
+              FROM cnt a
+              JOIN ns b2 ON b2.source <> a.source
+              LEFT JOIN cnt b
+                ON b.source = b2.source AND b.token = a.token),
+            terms AS (
+              SELECT p.source_a, p.source_b, p.c_a, p.c_b,
+                     CAST(p.c_a * (nb.n_tok + vs.v) AS BIGINT) AS x1,
+                     CAST((p.c_b + 1) * na.n_tok AS BIGINT) AS x2,
+                     na.n_tok AS n_a
+              FROM pairs p
+              JOIN ns na ON na.source = p.source_a
+              JOIN ns nb ON nb.source = p.source_b, vs),
+            agg AS (
+              SELECT source_a, source_b,
+                     CAST(count(*) AS BIGINT) AS n_terms_a,
+                     CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shared,
+                     CAST(sum(c_a * ({_ilog2_sql('x1')}
+                                     - {_ilog2_sql('x2')}))
+                          AS BIGINT) AS kl_num,
+                     max(n_a) AS n_a
+              FROM terms GROUP BY 1, 2)
+            SELECT source_a, source_b, n_terms_a, n_shared, kl_num,
+                   round(CAST(kl_num AS DOUBLE)
+                         / CAST(n_a * {selection.DSIR_S} AS DOUBLE), 6)
+                     AS kl_bits
+            FROM agg
         """,
         "vocab_growth": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token

@@ -177,3 +177,82 @@ def template_gate_stream(
             "template_sig", "template_flagged"
         )
     return out
+
+
+def dsir_gate_stream(
+    stream: DataFrame,
+    weights: DataFrame,
+    threshold: int = 0,
+    drop: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Target-domain importance screen on the stream: score each arriving
+    document under a DSIR importance model trained by yesterday's batch
+    (operators/selection.dsir_weights) and gate on the fixed-point
+    log-ratio score — the continuous-ingest shape of importance
+    resampling (score at ingest, resample offline).
+
+    Stateless stream-static shape (the template_gate_stream rationale):
+    the weight model is a FIXED 1024-bucket dimension, collected once at
+    query definition into an array literal indexed by bucket; scoring is
+    pure JVM higher-order exprs (split → bigrams → md5 bucket →
+    aggregate-sum) — no state store, no watermark, no Python, and no
+    stream-side aggregation (a per-doc groupBy would force watermarks;
+    the fold over the bigram ARRAY computes the same sum row-locally).
+    Works identically on a batch frame, which the test exploits both for
+    stream == batch and for equality with the batch dsir_score plan."""
+    from ..functions.exprs import tokens_expr
+    from ..operators.selection import DSIR_BUCKETS
+
+    clash = {"dsir_n_grams", "dsir_score", "dsir_keep"} & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"dsir_gate_stream reserves column(s) {sorted(clash)}; "
+            "rename them on the input stream first"
+        )
+    wrow = {
+        r["bucket"]: r["w"]
+        for r in weights.select("bucket", "w").collect()
+    }
+    w_arr = F.lit([int(wrow.get(b, 0)) for b in range(DSIR_BUCKETS)]).cast(
+        "array<long>"
+    )
+    toks = tokens_expr(F.col(text_col))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _w_of(x):
+        bucket = (
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        )
+        return F.element_at(w_arr, (bucket + 1).cast("int"))
+
+    out = (
+        stream.withColumn("_bgs", bgs)
+        .withColumn("dsir_n_grams", F.size("_bgs").cast("long"))
+        .withColumn(
+            "dsir_score",
+            F.aggregate(
+                F.col("_bgs"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + _w_of(x),
+            ),
+        )
+        .withColumn(
+            "dsir_keep", (F.col("dsir_score") >= threshold).cast("int")
+        )
+        .drop("_bgs")
+    )
+    if drop:
+        return out.filter(F.col("dsir_keep") == 1).drop(
+            "dsir_n_grams", "dsir_score", "dsir_keep"
+        )
+    return out

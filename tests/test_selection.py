@@ -264,3 +264,58 @@ def test_vocab_growth_reference(spark):
     # monotone non-decreasing vocabulary (Heaps sanity)
     vs = [got[cp]["vocab_size"] for cp in cps if cp in got]
     assert vs == sorted(vs)
+
+
+# --------------------------------------------------------------------------
+# source divergence
+# --------------------------------------------------------------------------
+
+def test_source_divergence_reference(spark):
+    from collections import Counter, defaultdict
+
+    pdf = _docs_pdf()
+    cnt = defaultdict(Counter)
+    for src, text in zip(pdf["source"], pdf["text"]):
+        cnt[src].update(_toks(text))
+    ns = {s: sum(c.values()) for s, c in cnt.items()}
+    v = len({t for c in cnt.values() for t in c})
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in sel.source_divergence(spark, SF).collect()
+    }
+    assert len(got) == len(cnt) * (len(cnt) - 1)
+    for a in cnt:
+        for b in cnt:
+            if a == b:
+                continue
+            kl = sum(
+                ca * (_ilog2(ca * (ns[b] + v)) - _ilog2((cnt[b][t] + 1) * ns[a]))
+                for t, ca in cnt[a].items()
+            )
+            r = got[(a, b)]
+            assert r["kl_num"] == kl
+            assert r["n_terms_a"] == len(cnt[a])
+            assert r["n_shared"] == sum(1 for t in cnt[a] if cnt[b][t] > 0)
+            assert r["kl_bits"] == round(kl / (ns[a] * sel.DSIR_S), 6)
+
+
+def test_source_divergence_detects_outlier(spark):
+    """A source with an alien vocabulary must diverge harder FROM every
+    normal source than the normal sources do from each other."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta epsilon zeta", "en",
+                     f"src{i % 3}"))
+    for i in range(30, 40):
+        rows.append((i, "xxx yyy zzz qqq www eee", "en", "weird"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = sel.source_divergence(spark, SF, docs=d).collect()
+    weird_out = [r["kl_bits"] for r in got if r["source_a"] == "weird"]
+    normal = [
+        r["kl_bits"]
+        for r in got
+        if r["source_a"] != "weird" and r["source_b"] != "weird"
+    ]
+    assert min(weird_out) > max(normal)

@@ -1067,3 +1067,87 @@ def test_trailing_anomaly_stream_learns_baseline(spark, tmp_path):
         (t0 + _dt.timedelta(minutes=4)).timestamp()
     ) // 60
     assert not any(v[3] for k, v in got.items() if k[0] == "b.test")
+
+
+def test_dsir_gate_stream_matches_batch_and_batch_score(spark, tmp_path):
+    """Streaming DSIR screen: the stateless expression fold must equal
+    the batch dsir_score plan value-for-value, stream == batch, and
+    drop=True restores the input schema."""
+    from sbb_ocr_postcorrection_spark.operators import selection as sel
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        dsir_gate_stream,
+    )
+
+    rows = []
+    va = "alpha beta gamma delta epsilon zeta eta theta"
+    vb = "qqq www eee rrr ttt yyy uuu iii"
+    for i in range(12):
+        rows.append((i, f"{va} alpha beta {i % 3}", "en", "srcA"))
+    for i in range(12, 20):
+        rows.append((i, f"{va} gamma delta {i % 3}", "de", "srcA"))
+    for i in range(20, 28):
+        rows.append((i, f"{vb} qqq www {i % 3}", "zh", "srcB"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    weights = sel.dsir_weights(spark, "/root/testdata/sf0.001", docs=d)
+
+    # the expression fold == the batch shuffle plan, value for value
+    want_score = {
+        r["doc_id"]: (r["n_grams"], r["score"])
+        for r in sel.dsir_score(
+            spark, "/root/testdata/sf0.001", docs=d
+        ).collect()
+    }
+    batch_gate = {
+        r["doc_id"]: (r["dsir_n_grams"], r["dsir_score"])
+        for r in dsir_gate_stream(d, weights).collect()
+    }
+    assert batch_gate == want_score
+
+    want = {
+        r["doc_id"]: (r["dsir_score"], r["dsir_keep"])
+        for r in dsir_gate_stream(d, weights, threshold=-5000).collect()
+    }
+    din = tmp_path / "dsir_in"
+    os.makedirs(din)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf.iloc[:10].to_parquet(din / "b1.parquet")
+    pdf.iloc[10:].to_parquet(din / "b2.parquet")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(din))
+    )
+    seen = []
+    q = (
+        dsir_gate_stream(stream, weights, threshold=-5000)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: (r["dsir_score"], r["dsir_keep"]) for r in seen}
+    assert got == want
+    # alien-vocab docs score far below the cut and drop; target and
+    # target-LIKE raw docs clear it (en: +11k, de-like: ~-1.7k, alien:
+    # ~-32k fixed-point log2 units)
+    assert all(got[i][1] == 1 for i in range(20))
+    assert all(got[i][1] == 0 for i in range(20, 28))
+
+    kept = []
+    q2 = (
+        dsir_gate_stream(stream, weights, threshold=-5000, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in kept} == {
+        i for i, (_, k) in got.items() if k
+    }
+    assert kept and set(kept[0].asDict()) == {"doc_id", "text", "lang", "source"}
