@@ -329,3 +329,47 @@ def test_passage_retrieval_single_candidate_embed(spark):
     # and the explode-side token aggregation appears for probe + cand
     # sides only (a third copy would mean the old norms recompute)
     assert plan.count("MapInPandas") == 0  # all-JVM path stays JVM
+
+
+def test_selection_ops_plan_shapes(spark):
+    """r6 selection family keeps the scale contracts: the DSIR weight
+    dim broadcasts into the per-doc score join, the resample is
+    TakeOrderedAndProject (per-partition top-k, no global Sort+Exchange
+    for the k rows), CCNet terciles never plan a SinglePartition (the
+    PR-curve histogram discipline), and the divergence matrix never goes
+    cartesian on anything corpus-sized."""
+    from sbb_ocr_postcorrection_spark.operators import selection as sel
+
+    sc = plan_of(sel.dsir_score(spark, SF_DIR))
+    assert "BroadcastHashJoin" in sc, "weight dim must broadcast"
+    assert "CartesianProduct" not in sc
+
+    sp = plan_of(sel.dsir_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in sp
+    assert "CartesianProduct" not in sp
+
+    cb = plan_of(sel.ccnet_buckets(spark, SF_DIR))
+    assert "SinglePartition" not in cb
+    assert "CartesianProduct" not in cb
+
+    dv = plan_of(sel.source_divergence(spark, SF_DIR))
+    assert "CartesianProduct" not in dv
+
+    mt = plan_of(sel.mix_temperature(spark, SF_DIR))
+    assert "BroadcastHashJoin" in mt, "source dim must broadcast"
+    assert "SinglePartition" not in mt
+
+
+def test_ahash_plan_shapes(spark):
+    """aHash family: the fingerprint stage is ONE Arrow kernel pass with
+    zero shuffles before it; the dedup candidate join is band-bucket
+    equality (hash join), never a cartesian."""
+    from sbb_ocr_postcorrection_spark.operators import multimodal as mm
+
+    hp = plan_of(mm.image_ahash(spark, SF_DIR))
+    assert "ArrowEvalPython" in hp or "MapInPandas" in hp
+    assert "Exchange hashpartitioning" not in hp
+
+    dp = plan_of(mm.image_ahash_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in dp
+    assert "bit_count" in dp
