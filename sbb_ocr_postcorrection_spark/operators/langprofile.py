@@ -227,3 +227,127 @@ def lang_id_eval(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
             F.col("n_docs") * 100.0 / F.sum("n_docs").over(w), 6
         ).alias("pct_of_true"),
     )
+
+
+LID_PROB_ODDS = 999  # p > 0.999 ⇔ posterior odds vs the RUNNER-UP > 999·(L−1)
+
+
+def lang_id_posterior(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
+    """Calibrated-posterior language gate — the reference's langid.py
+    `prob > 0.999` filter (cli_preproc.py:595-604), computed as an exact
+    integer instead of the rank-distance approximation (closes the
+    remaining calibration gap of VERDICT missing #3).
+
+    Model: multinomial Naive Bayes with add-one smoothing over the SAME
+    bounded trigram stream the Cavnar-Trenkle detector trains on, with
+    log-likelihoods in Mitchell fixed-point log2 units (exact int64 in
+    both engines — operators/selection.with_ilog2):
+
+        LL_l(d) = Σ_g c_dg · [ilog2(n_lg + 1) − ilog2(N_l + V)]
+
+    The gate applies `p(best|d) > 0.999` in its union-bound sufficient
+    form: with L classes and a uniform prior, p(best) ≥ 1/(1 + Σ_{l≠b}
+    2^(Δ_l/S)) ≥ 1/(1 + (L−1)·2^(−gap/S)), so gap > S·log2(999·(L−1))
+    implies p > 0.999 (up to Mitchell's ±0.086-bit error, which the
+    threshold constant absorbs by using the SAME ilog2 — both engines
+    compare identical integers either way).
+
+    Scale shape: training is one aggregation to the (langs × bounded-
+    trigram-vocab) dim; the model broadcasts into the doc⋈model join;
+    per-(doc, lang) sums are one two-phase aggregation; best/runner-up
+    is a doc-keyed window. No floats, no collect of anything unbounded."""
+    from .selection import with_ilog2
+
+    d = _docs(spark, sf_dir, docs)
+    tri_all = _trigrams_inline(_augmented(d))
+    nlg = (
+        tri_all.where(F.col("doc_id") % LID_FOLD != 0)
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    nl = nlg.groupBy("lang").agg(F.sum("n").cast("long").alias("n_l"))
+    v = nlg.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    den = with_ilog2(
+        nl.crossJoin(F.broadcast(v)).withColumn(
+            "d1", (F.col("n_l") + F.col("v")).cast("long")
+        ),
+        "d1",
+        "lden",
+    )
+    model = (
+        with_ilog2(nlg.withColumn("n1", (F.col("n") + 1).cast("long")), "n1", "ln1")
+        .join(F.broadcast(den.select("lang", "lden")), "lang")
+        .select(
+            F.col("lang").alias("cand"),
+            "g",
+            (F.col("ln1") - F.col("lden")).cast("long").alias("w"),
+        )
+    )
+    w0 = den.select(
+        F.col("lang").alias("cand"), (-F.col("lden")).cast("long").alias("w0")
+    )
+    dgc = tri_all.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    matched = (
+        dgc.join(F.broadcast(model), "g")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("msum"),
+            F.sum("c").cast("long").alias("mc"),
+        )
+    )
+    ctot = dgc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("c_tot"))
+    ll = (
+        ctot.crossJoin(F.broadcast(w0))
+        .join(matched, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "cand",
+            (
+                F.coalesce("msum", F.lit(0))
+                + (F.col("c_tot") - F.coalesce("mc", F.lit(0))) * F.col("w0")
+            )
+            .cast("long")
+            .alias("ll"),
+        )
+    )
+    w_ = Window.partitionBy("doc_id").orderBy(F.desc("ll"), F.asc("cand"))
+    ranked = ll.withColumn("rn", F.row_number().over(w_)).where(
+        F.col("rn") <= 2
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "doc_id", F.col("cand").alias("pred_lang"), F.col("ll").alias("ll_best")
+    )
+    runner = ranked.where(F.col("rn") == 2).select(
+        "doc_id", F.col("ll").alias("ll_runner")
+    )
+    gatec = with_ilog2(
+        nl.agg(
+            (F.lit(LID_PROB_ODDS) * (F.count(F.lit(1)) - 1))
+            .cast("long")
+            .alias("x")
+        ),
+        "x",
+        "gate",
+    ).select(F.col("gate").cast("long").alias("gate"))
+    return (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(best, "doc_id")
+        .join(runner, "doc_id")
+        .crossJoin(F.broadcast(gatec))
+        .select(
+            "doc_id",
+            "true_lang",
+            "pred_lang",
+            "ll_best",
+            (F.col("ll_best") - F.col("ll_runner")).cast("long").alias("gap"),
+            "gate",
+            (F.col("ll_best") - F.col("ll_runner") > F.col("gate"))
+            .cast("int")
+            .alias("prob_pass"),
+            (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("correct"),
+        )
+    )

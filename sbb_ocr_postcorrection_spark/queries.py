@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import (
+    anagram,
     bpe,
     components,
     dedup,
@@ -156,6 +157,54 @@ def _ilog2_sql(x: str) -> str:
     f = f"(length(bin({x})) - 1)"
     p = f"(CAST(1 AS BIGINT) << {f})"
     return f"({f} * {DSIR_S} + (({x} - {p}) * {DSIR_S}) // {p})"
+
+
+def _anagram_ctes() -> str:
+    """Shared CTE chain for the TICCL anagram lookup: OCR-noise-augmented
+    vocabulary → power-sum keys → shifted-key equality join against the
+    confusion dim (constants in lockstep with operators.anagram)."""
+    from .operators.anagram import (
+        ANAGRAM_CONFUSIONS,
+        ANAGRAM_NOISE_MOD,
+        ANAGRAM_NOISE_WORDS,
+        _av,
+    )
+
+    values = ", ".join(
+        f"('{s}', '{t}', CAST({_av(s) - _av(t)} AS BIGINT), {len(s) - len(t)})"
+        for s, t in ANAGRAM_CONFUSIONS
+    )
+    a = "CAST(ascii(substr(word, i, 1)) AS BIGINT)"
+    return f"""
+            WITH aug AS (
+              SELECT lower(coalesce(text, '')) ||
+                     CASE WHEN doc_id % {ANAGRAM_NOISE_MOD} = 0
+                          THEN ' {ANAGRAM_NOISE_WORDS}' ELSE '' END AS t
+              FROM documents),
+            tok AS (SELECT unnest(list_filter(string_split(t, ' '),
+                                  x -> x <> '')) AS word FROM aug),
+            vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS tf
+                      FROM tok GROUP BY 1),
+            keyed AS MATERIALIZED (
+              SELECT word, tf,
+                     CAST(list_sum(list_transform(
+                            generate_series(1, length(word)),
+                            i -> {a} * {a} * {a} * {a} * {a}))
+                          AS BIGINT) AS key
+              FROM vocab),
+            conf AS (SELECT * FROM (VALUES {values})
+                     AS v(sub_err, sub_true, delta, dlen)),
+            hits AS (
+              SELECT e.word AS err_word, e.tf AS err_tf,
+                     c.word AS cand_word, c.tf AS cand_tf,
+                     f.sub_err, f.sub_true, e.key AS anagram_key
+              FROM keyed e CROSS JOIN conf f
+              JOIN keyed c ON c.key = e.key - f.delta
+              WHERE e.word <> c.word
+                AND contains(e.word, f.sub_err)
+                AND contains(c.word, f.sub_true)
+                AND length(e.word) = length(c.word) + f.dlen
+                AND c.tf > e.tf)"""
 
 
 def _ahash_ctes() -> str:
@@ -863,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_train": pinned(langprofile.lang_id_train),
         "lang_id_learned": pinned(langprofile.lang_id_learned),
         "lang_id_eval": pinned(langprofile.lang_id_eval),
+        # calibrated posterior gate (the reference's langid prob > 0.999,
+        # union-bound form): integer Naive Bayes, Mitchell fixed-point logs
+        "lang_id_posterior": pinned(langprofile.lang_id_posterior),
         "dedup_simhash": pinned(dedup.simhash_bucket_pairs),
         "dedup_simhash_multiprobe": pinned(dedup.simhash_rotation_pairs),
         # similarity search
@@ -1043,6 +1095,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairwise source KL divergence (Mitchell fixed-point logs) —
         # the outlier/redundant-feed diagnostic behind mix weighting
         "source_divergence": pinned(selection.source_divergence),
+        # TICCL anagram-hash OCR-variant lookup (Reynaert 2010; closes
+        # the reference's Makefile.anagram experiment in-engine)
+        "anagram_candidates": pinned(anagram.anagram_candidates),
+        # best correction per error word (frequency-directed, pinned ties)
+        "anagram_corrections": pinned(anagram.anagram_corrections),
     }
 
 
@@ -3240,6 +3297,22 @@ def oracle_sql() -> dict[str, str]:
         # with pinned tie-breaks make the centroid collect SQL-decidable
         # (formerly the registry's one rows-only query)
         "ann_ivf": _ivf_trained_oracle(),
+        # TICCL anagram keys: Σ code^5 power-sum fold + shifted-key join
+        "anagram_candidates": f"""
+            {_anagram_ctes()}
+            SELECT err_word, err_tf, cand_word, cand_tf,
+                   sub_err, sub_true, anagram_key
+            FROM hits
+        """,
+        "anagram_corrections": f"""
+            {_anagram_ctes()}
+            SELECT err_word, err_tf, cand_word, cand_tf, sub_err, sub_true
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY err_word
+                    ORDER BY cand_tf DESC, cand_word) AS rn
+                  FROM hits)
+            WHERE rn = 1
+        """,
         # perceptual aHash: luma sampling + mean-threshold bits replay as
         # pure integer/string SQL (ASCII payload ⇒ chars are bytes)
         "image_ahash": f"""
@@ -4019,6 +4092,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, g, rank, n FROM cprof
     """
     sql["lang_id_learned"] = _langid_learned_sql()
+    # posterior gate: NB log-likelihoods in Mitchell fixed-point units,
+    # union-bound 0.999 threshold on the best-vs-runner-up gap
+    sql["lang_id_posterior"] = f"""
+        WITH {_langid_ctes()},
+        nlt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_l
+                FROM ccnt GROUP BY 1),
+        vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM ccnt),
+        den AS (SELECT lang, CAST(n_l + v AS BIGINT) AS d1 FROM nlt, vv),
+        den2 AS (SELECT lang, CAST({_ilog2_sql('d1')} AS BIGINT) AS lden
+                 FROM den),
+        model AS (SELECT c.lang AS cand, c.g,
+                         CAST({_ilog2_sql('n1')} - d.lden AS BIGINT) AS w
+                  FROM (SELECT lang, g, CAST(n + 1 AS BIGINT) AS n1
+                        FROM ccnt) c
+                  JOIN den2 d ON d.lang = c.lang),
+        w0 AS (SELECT lang AS cand, CAST(-lden AS BIGINT) AS w0 FROM den2),
+        dgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                FROM tri GROUP BY 1, 2),
+        matched AS (SELECT doc_id, cand,
+                           CAST(sum(c * w) AS BIGINT) AS msum,
+                           CAST(sum(c) AS BIGINT) AS mc
+                    FROM dgc JOIN model USING (g) GROUP BY 1, 2),
+        ctot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS c_tot
+                 FROM dgc GROUP BY 1),
+        ll AS (SELECT t.doc_id, w0.cand,
+                      CAST(coalesce(m.msum, 0)
+                           + (t.c_tot - coalesce(m.mc, 0)) * w0.w0
+                           AS BIGINT) AS ll
+               FROM ctot t CROSS JOIN w0
+               LEFT JOIN matched m
+                 ON m.doc_id = t.doc_id AND m.cand = w0.cand),
+        rk AS (SELECT doc_id, cand, ll,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY ll DESC, cand) AS rn
+               FROM ll),
+        nlc AS (SELECT CAST({langprofile.LID_PROB_ODDS} * (count(*) - 1)
+                            AS BIGINT) AS x FROM nlt),
+        gatec AS (SELECT CAST({_ilog2_sql('x')} AS BIGINT) AS gate FROM nlc)
+        SELECT d.doc_id, d.lang AS true_lang, b.cand AS pred_lang,
+               b.ll AS ll_best, CAST(b.ll - r.ll AS BIGINT) AS gap, g.gate,
+               CAST(CASE WHEN b.ll - r.ll > g.gate THEN 1 ELSE 0 END
+                    AS INTEGER) AS prob_pass,
+               CAST(CASE WHEN b.cand = d.lang THEN 1 ELSE 0 END
+                    AS INTEGER) AS correct
+        FROM documents d
+        JOIN (SELECT * FROM rk WHERE rn = 1) b USING (doc_id)
+        JOIN (SELECT * FROM rk WHERE rn = 2) r USING (doc_id)
+        CROSS JOIN gatec g
+    """
     sql["lang_id_eval"] = f"""
         WITH verdicts AS ({_langid_learned_sql()}),
         agg AS (

@@ -127,3 +127,103 @@ def test_lang_id_generalizes_on_synthetic_corpus(spark):
     assert rows, "held-out fold is non-empty"
     assert all(r["true_lang"] == r["pred_lang"] for r in rows)
     assert all(r["pct_of_true"] == 100.0 for r in rows)
+
+
+def test_lang_id_posterior_reference(spark):
+    """Pure-Python NB + Mitchell-log replay of lang_id_posterior at
+    sf0.001 — every column, every doc."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from sbb_ocr_postcorrection_spark.operators import langprofile as LP
+
+    S = 1024
+
+    def ilog2(x):
+        f = x.bit_length() - 1
+        p = 1 << f
+        return f * S + ((x - p) * S) // p
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def aug(lang, text):
+        rep = " ".join([LP.LID_PHRASES[lang]] * LP.LID_REPEAT)
+        return (rep + " " + (text or "").lower())[: LP.LID_PREFIX]
+
+    def tris(t):
+        return [t[i : i + 3] for i in range(max(len(t) - 2, 1))]
+
+    nlg = defaultdict(Counter)
+    for i, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+        if i % LP.LID_FOLD != 0:
+            nlg[lang].update(tris(aug(lang, text)))
+    vocab = {g for c in nlg.values() for g in c}
+    v = len(vocab)
+    langs = sorted(nlg)
+    lden = {l: ilog2(sum(nlg[l].values()) + v) for l in langs}
+    gate = ilog2(LP.LID_PROB_ODDS * (len(langs) - 1))
+
+    got = {
+        r["doc_id"]: r
+        for r in LP.lang_id_posterior(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == len(pdf)
+    for i, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+        c = Counter(tris(aug(lang, text)))
+        lls = {}
+        for l in langs:
+            lls[l] = sum(
+                n * ((ilog2(nlg[l][g] + 1) - lden[l]) if g in nlg[l] else -lden[l])
+                for g, n in c.items()
+            )
+        ordered = sorted(langs, key=lambda l: (-lls[l], l))
+        best, runner = ordered[0], ordered[1]
+        r = got[i]
+        assert r["pred_lang"] == best
+        assert r["ll_best"] == lls[best]
+        assert r["gap"] == lls[best] - lls[runner]
+        assert r["gate"] == gate
+        assert r["prob_pass"] == int(lls[best] - lls[runner] > gate)
+        assert r["correct"] == int(best == lang)
+
+
+def test_lang_id_posterior_ambiguity_gate(spark):
+    """The 0.999 gate must FAIL documents from a genuinely confusable
+    language pair while clean-language docs pass — the calibration
+    behavior the reference's langid prob filter exists for.
+
+    Confusability is constructed the only way the augmentation
+    convention allows: the en/de TRAINING bodies each carry the OTHER
+    language's phrase, so both profiles contain both phrase families
+    and per-trigram weights nearly cancel (measured gap 2,752 vs gate
+    11,738); es/fr stay cleanly separated (gap 387,392)."""
+    from sbb_ocr_postcorrection_spark.operators import langprofile as LP
+
+    de = LP.LID_PHRASES["de"]
+    en = LP.LID_PHRASES["en"]
+    rows = []
+    for i in range(1, 41):  # en/de cross-phrased: confusable pair
+        if i % 2:
+            rows.append((i, " ".join([de] * 3), "en", "src"))
+        else:
+            rows.append((i, " ".join([en] * 3), "de", "src"))
+    for i in range(41, 61):  # es/fr: clean corner
+        lang = "es" if i % 2 else "fr"
+        rows.append((i, f"clean body {lang} number {i}", lang, "src"))
+    rows.append((100, " ".join([de] * 3), "en", "src"))
+    rows.append((110, "clean body es number x", "es", "src"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in LP.lang_id_posterior(
+            spark, "/root/testdata/sf0.001", docs=d
+        ).collect()
+    }
+    # confusable probe: best guess still lands, but WITHOUT confidence
+    assert got[100]["pred_lang"] == "en" and got[100]["prob_pass"] == 0
+    # clean probe: confident pass
+    assert got[110]["pred_lang"] == "es" and got[110]["prob_pass"] == 1
+    assert got[110]["gap"] > got[110]["gate"] > got[100]["gap"]
