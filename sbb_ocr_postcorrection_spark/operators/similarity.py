@@ -871,3 +871,71 @@ def passage_retrieval(spark, sf_dir, k: int = RAG_TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "doc_id", "chunk_id", "cosine")
     )
+
+
+def triplet_mining(spark, sf_dir, n_probes: int = 16) -> DataFrame:
+    """Contrastive triplet mining over the embedding table: for each
+    probe, the nearest SAME-label candidate (positive) and the nearest
+    OTHER-label candidate (hard negative) by rounded cosine, plus the
+    triplet margin — the batch-mining step of metric-learning pipelines
+    (hard/semi-hard mining, Schroff et al. 2015 §3.2): margin ≤ 0 rows
+    are the violated triplets an embedding trainer feeds back.
+
+    Scale shape (the brute_force_topk conventions): the probe set is
+    tiny and broadcast; similarities are rounded-4 before ranking (fp
+    jitter cannot reorder); positives and negatives come from ONE pass —
+    a single window over (probe_id, is_pos) picks both tops, then a
+    conditional aggregation pivots to one row per probe. No persisted
+    ×n_probes relation, no second corpus scan."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = _as_double(F.col("embedding"))
+    probes = e.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        v.alias("pv"),
+        F.sqrt(_dot(v, v)).alias("pnorm"),
+    )
+    corpus = e.filter(F.col("vec_id") >= n_probes).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        v.alias("cv"),
+        F.sqrt(_dot(v, v)).alias("cnorm"),
+    )
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv")) / (F.col("pnorm") * F.col("cnorm")), 4
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "probe_label",
+        "cand_id",
+        sim.alias("cosine"),
+        (F.col("clabel") == F.col("probe_label")).cast("int").alias("is_pos"),
+    )
+    w = W.partitionBy("probe_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    out = (
+        top.groupBy("probe_id", "probe_label")
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col("cand_id"))).alias("pos_id"),
+            F.max(F.when(F.col("is_pos") == 1, F.col("cosine"))).alias("pos_cos"),
+            F.max(F.when(F.col("is_pos") == 0, F.col("cand_id"))).alias("neg_id"),
+            F.max(F.when(F.col("is_pos") == 0, F.col("cosine"))).alias("neg_cos"),
+        )
+        .where(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+    )
+    return out.select(
+        "probe_id",
+        "probe_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        (F.col("pos_cos") - F.col("neg_cos") <= 0).cast("int").alias("violated"),
+    )

@@ -1095,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairwise source KL divergence (Mitchell fixed-point logs) —
         # the outlier/redundant-feed diagnostic behind mix weighting
         "source_divergence": pinned(selection.source_divergence),
+        # contrastive triplet mining (hard negatives for metric
+        # learning): one window pass picks positive + hard negative
+        "triplet_mining": pinned(similarity.triplet_mining),
         # TICCL anagram-hash OCR-variant lookup (Reynaert 2010; closes
         # the reference's Makefile.anagram experiment in-engine)
         "anagram_candidates": pinned(anagram.anagram_candidates),
@@ -3297,6 +3300,44 @@ def oracle_sql() -> dict[str, str]:
         # with pinned tie-breaks make the centroid collect SQL-decidable
         # (formerly the registry's one rows-only query)
         "ann_ivf": _ivf_trained_oracle(),
+        # triplet mining: the ann_brute_force cosine conventions + one
+        # (probe, is_pos) window + conditional-aggregation pivot
+        "triplet_mining": """
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            probes AS (SELECT vec_id AS probe_id, label AS probe_label,
+                              v AS pv FROM e WHERE vec_id < 16),
+            corpus AS (SELECT vec_id AS cand_id, label AS clabel, v AS cv
+                       FROM e WHERE vec_id >= 16),
+            scored AS (
+              SELECT probe_id, probe_label, cand_id,
+                     round(list_inner_product(pv, cv) /
+                           (sqrt(list_inner_product(pv, pv)) *
+                            sqrt(list_inner_product(cv, cv))), 4) AS cosine,
+                     CAST(CASE WHEN clabel = probe_label THEN 1 ELSE 0 END
+                          AS INTEGER) AS is_pos
+              FROM probes, corpus),
+            top AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY probe_id, is_pos
+                  ORDER BY cosine DESC, cand_id) AS rn
+                FROM scored) WHERE rn = 1),
+            piv AS (
+              SELECT probe_id, probe_label,
+                     max(CASE WHEN is_pos = 1 THEN cand_id END) AS pos_id,
+                     max(CASE WHEN is_pos = 1 THEN cosine END) AS pos_cos,
+                     max(CASE WHEN is_pos = 0 THEN cand_id END) AS neg_id,
+                     max(CASE WHEN is_pos = 0 THEN cosine END) AS neg_cos
+              FROM top GROUP BY 1, 2)
+            SELECT probe_id, probe_label, pos_id, pos_cos, neg_id, neg_cos,
+                   pos_cos - neg_cos AS margin,
+                   CAST(CASE WHEN pos_cos - neg_cos <= 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS violated
+            FROM piv
+            WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+        """,
         # TICCL anagram keys: Σ code^5 power-sum fold + shifted-key join
         "anagram_candidates": f"""
             {_anagram_ctes()}

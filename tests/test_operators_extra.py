@@ -445,3 +445,46 @@ def test_lm_bigram_score_matches_reference(spark):
         for r in lm_bigram_score(spark, SF).collect()
     }
     assert got == want
+
+
+def test_triplet_mining_reference(spark):
+    """Pure-Python replay of triplet mining at sf0.001: exact positive /
+    hard-negative picks, margins, and violation flags."""
+    import math
+
+    import pandas as pd
+
+    from sbb_ocr_postcorrection_spark.operators.similarity import triplet_mining
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r.vec_id: (list(map(float, r.embedding)), r.label)
+            for r in pdf.itertuples()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    want = {}
+    for pid, (pv, pl) in vecs.items():
+        if pid >= 16:
+            continue
+        pos = [(-cos(pv, cv), cid) for cid, (cv, cl) in vecs.items()
+               if cid >= 16 and cl == pl]
+        neg = [(-cos(pv, cv), cid) for cid, (cv, cl) in vecs.items()
+               if cid >= 16 and cl != pl]
+        if not pos or not neg:
+            continue
+        (pc, pi), (nc, ni) = min(pos), min(neg)
+        want[pid] = (pi, -pc, ni, -nc)
+    got = {r["probe_id"]: r for r in triplet_mining(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(want)
+    for pid, (pi, pc, ni, nc) in want.items():
+        r = got[pid]
+        assert (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"]) == (
+            pi, pc, ni, nc)
+        assert r["margin"] == pc - nc
+        assert r["violated"] == int(pc - nc <= 0)
+        assert vecs[r["pos_id"]][1] == vecs[pid][1]
+        assert vecs[r["neg_id"]][1] != vecs[pid][1]
