@@ -308,3 +308,78 @@ def image_ahash_dedup(spark, sf_dir) -> DataFrame:
         .where(F.col("hamming") <= AHASH_MAX_HAM)
     )
     return pairs
+
+
+AHASH_GT_BANDS = 10  # 6-bit ground-truth bands: pigeonhole-exact ≤ 9 flips
+
+
+def ahash_recall_eval(spark, sf_dir) -> DataFrame:
+    """Realized recall of the production 4×15-bit banding vs EXACT
+    Hamming ground truth, per Hamming value 0..AHASH_MAX_HAM — the
+    lsh_recall_eval honesty instrument for the perceptual-hash family.
+
+    Ground truth without an all-pairs join: pairs are generated from
+    10×6-bit blocking, which by pigeonhole CANNOT miss a pair within
+    Hamming 9 (9 flipped bits cannot touch all 10 bands) — so for the
+    measured range (≤ 8) the 'truth' side is provably complete while
+    staying an equality bucket join. 6-bit buckets are hotter than the
+    production 15-bit ones; that cost belongs to the measurement query
+    only, not the deployment path."""
+    from .relational import persist_slot
+
+    h = persist_slot(
+        "ahash_recall_h", image_ahash(spark, sf_dir).select("doc_id", "ahash")
+    )
+
+    def band_pairs(nbands: int, width: int) -> DataFrame:
+        mask = (1 << width) - 1
+        bands = h.select(
+            "doc_id",
+            "ahash",
+            F.explode(F.array(*[F.lit(b) for b in range(nbands)])).alias("band"),
+        ).select(
+            "doc_id",
+            "ahash",
+            "band",
+            F.expr(f"(ahash >> (band * {width})) & {mask}").alias("band_val"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("a_id"), F.col("ahash").alias("a_hash"),
+            "band", "band_val",
+        )
+        b = bands.select(
+            F.col("doc_id").alias("b_id"), F.col("ahash").alias("b_hash"),
+            "band", "band_val",
+        )
+        return (
+            a.join(b, ["band", "band_val"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select(
+                "a_id", "b_id",
+                F.expr("bit_count(a_hash ^ b_hash)").alias("hamming"),
+            )
+            .distinct()
+        )
+
+    truth = band_pairs(AHASH_GT_BANDS, 6).where(
+        F.col("hamming") <= AHASH_MAX_HAM
+    )
+    cand = band_pairs(AHASH_BANDS, 15).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_caught"),
+        )
+        .select(
+            "hamming",
+            "n_true_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught") * 100.0 / F.col("n_true_pairs"), 6
+            ).alias("recall_pct"),
+        )
+    )

@@ -1076,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded bucket join + Hamming verify — the image near-dup
         # pipeline, witness twins injected every 37th doc
         "image_ahash_dedup": pinned(multimodal.image_ahash_dedup),
+        # realized recall of the 4×15 banding vs pigeonhole-complete
+        # 10×6 ground truth, per Hamming value (the honesty instrument)
+        "ahash_recall_eval": pinned(multimodal.ahash_recall_eval),
         # DSIR (Xie et al. 2023): hashed-bigram importance model between
         # the target domain and the raw pool — training is ONE aggregation
         # to a DSIR_BUCKETS-row dim (Mitchell fixed-point logs, int-exact)
@@ -3374,6 +3377,40 @@ def oracle_sql() -> dict[str, str]:
                         AND a.doc_id < b.doc_id)
             SELECT a_id, b_id, hamming FROM pr
             WHERE hamming <= {multimodal.AHASH_MAX_HAM}
+        """,
+        # aHash recall instrument: 10×6-bit ground-truth blocking
+        # (pigeonhole-complete ≤ 9 flips) vs the production 4×15 banding
+        "ahash_recall_eval": f"""
+            {_ahash_ctes()},
+            bd4 AS (SELECT doc_id, ahash, bnd,
+                           (ahash >> (bnd * 15)) & 32767 AS bv
+                    FROM ah, (SELECT unnest(generate_series(0, 3)) AS bnd)),
+            bd10 AS (SELECT doc_id, ahash, bnd,
+                            (ahash >> (bnd * 6)) & 63 AS bv
+                     FROM ah,
+                          (SELECT unnest(generate_series(0, 9)) AS bnd)),
+            truth AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                             CAST(bit_count(xor(a.ahash, b.ahash))
+                                  AS INTEGER) AS hamming
+                      FROM bd10 a JOIN bd10 b
+                        ON a.bnd = b.bnd AND a.bv = b.bv
+                           AND a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.ahash, b.ahash))
+                            <= {multimodal.AHASH_MAX_HAM}),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bd4 a JOIN bd4 b
+                       ON a.bnd = b.bnd AND a.bv = b.bv
+                          AND a.doc_id < b.doc_id),
+            agg AS (SELECT t.hamming,
+                           CAST(count(*) AS BIGINT) AS n_true_pairs,
+                           CAST(sum(CASE WHEN c.a_id IS NULL THEN 0
+                                         ELSE 1 END) AS BIGINT) AS n_caught
+                    FROM truth t LEFT JOIN cand c
+                      ON c.a_id = t.a_id AND c.b_id = t.b_id
+                    GROUP BY 1)
+            SELECT hamming, n_true_pairs, n_caught,
+                   round(n_caught * 100.0 / n_true_pairs, 6) AS recall_pct
+            FROM agg
         """,
         # DSIR importance model: the bucket-count "training" aggregation
         # + Mitchell fixed-point logs replay directly (all int64)

@@ -324,3 +324,102 @@ def trailing_anomaly_stream(
     return keyed.applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def hll_cardinality_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming distinct-token cardinality per source: the online twin
+    of operators/index.hll_distinct_tokens. HLL is the textbook
+    streaming sketch — its merge is an elementwise register MAX, which
+    is associative, commutative and idempotent, so cross-batch state is
+    exactly the batch aggregation's state no matter how the stream is
+    chopped (the stream == batch test asserts the integer register
+    digest s_num is IDENTICAL to the batch operator's).
+
+    State per source: the 64 register maxima + a token counter — fixed
+    bytes per key however unbounded the stream (the whole point of
+    carrying a sketch instead of a distinct-set). Each micro-batch emits
+    the UPDATED cumulative estimate row for every source it touched.
+
+    Hashing matches operators.index exactly (md5 → first 15 hex → 60-bit
+    int; bucket = h % m, rho = 55 − bitlen(h div m) + 1), so register
+    states are bit-identical across the batch and streaming paths."""
+    import hashlib
+    from collections.abc import Iterator as _Iter
+    from math import log
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.index import HLL_ALPHA_M2, HLL_BUCKETS, _HLL_POW55
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_tokens_seen", LongType()),
+            StructField("n_zero", IntegerType()),
+            StructField("s_num", LongType()),
+            StructField("hll_estimate", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("regs", ArrayType(IntegerType())),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: _Iter[pd.DataFrame], state: GroupState
+    ) -> _Iter[pd.DataFrame]:
+        (src,) = key
+        if state.exists:
+            regs, n_tokens = state.get
+            regs = list(regs)
+        else:
+            regs, n_tokens = [0] * HLL_BUCKETS, 0
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                for tok in (text or "").lower().split(" "):
+                    if not tok:
+                        continue
+                    n_tokens += 1
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    bucket = h % HLL_BUCKETS
+                    v = h // HLL_BUCKETS
+                    rho = 55 if v == 0 else 55 - v.bit_length() + 1
+                    if rho > regs[bucket]:
+                        regs[bucket] = rho
+        state.update((regs, n_tokens))
+        n_present = sum(1 for m in regs if m > 0)
+        n_zero = HLL_BUCKETS - n_present
+        s_num = sum(1 << (55 - m) for m in regs if m > 0) + n_zero * (1 << 55)
+        raw = HLL_ALPHA_M2 * _HLL_POW55 / float(s_num)
+        if n_present < HLL_BUCKETS and raw < 2.5 * HLL_BUCKETS:
+            est = float(HLL_BUCKETS) * log(float(HLL_BUCKETS) / n_zero)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            [
+                {
+                    "source": src,
+                    "n_tokens_seen": n_tokens,
+                    "n_zero": n_zero,
+                    "s_num": s_num,
+                    "hll_estimate": round(est, 4),
+                }
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return docs_stream.select("source", "text").groupBy("source").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -68,3 +68,15 @@ def test_ahash_twins_detected(spark):
         assert k in pairs, f"twin pair {k} missed"
         assert 0 <= pairs[k] <= 2
     assert any(pairs[k] > 0 for k in twin_keys)
+
+
+def test_ahash_recall_guarantee(spark):
+    """The 4×15 banding's pigeonhole guarantee: recall is exactly 100%
+    for every Hamming value ≤ 3; ground-truth counts always bound the
+    caught counts."""
+    rows = mm.ahash_recall_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_true_pairs"]
+        if r["hamming"] <= 3:
+            assert r["recall_pct"] == 100.0

@@ -1151,3 +1151,53 @@ def test_dsir_gate_stream_matches_batch_and_batch_score(spark, tmp_path):
         i for i, (_, k) in got.items() if k
     }
     assert kept and set(kept[0].asDict()) == {"doc_id", "text", "lang", "source"}
+
+
+def test_hll_cardinality_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL == batch HLL: the cross-batch register state must be
+    bit-identical to the one-pass batch aggregation (max-merge is
+    order-independent), certified on the exact integer digest s_num and
+    n_zero; the float estimate agrees to rounding."""
+    from sbb_ocr_postcorrection_spark.operators.index import hll_distinct_tokens
+    from sbb_ocr_postcorrection_spark.streaming.ingest import (
+        hll_cardinality_stream,
+    )
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    din = tmp_path / "hll_in"
+    os.makedirs(din)
+    pdf.iloc[:20].to_parquet(din / "b1.parquet")
+    pdf.iloc[20:].to_parquet(din / "b2.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(din))
+    )
+    seen = []
+    q = (
+        hll_cardinality_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in seen:  # update mode: later emissions supersede earlier ones
+        final[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in hll_distinct_tokens(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(final) == set(batch)
+    for src, b in batch.items():
+        s = final[src]
+        assert s["s_num"] == b["s_num"], src
+        assert s["n_zero"] == b["n_zero"], src
+        assert abs(s["hll_estimate"] - b["hll_estimate"]) <= 1e-3, src
+    # token counter equals the plain token count
+    n_tok = sum(
+        len([w for w in (t or "").lower().split(" ") if w]) for t in pdf["text"]
+    )
+    assert sum(r["n_tokens_seen"] for r in final.values()) == n_tok
