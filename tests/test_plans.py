@@ -373,3 +373,32 @@ def test_ahash_plan_shapes(spark):
     dp = plan_of(mm.image_ahash_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in dp
     assert "bit_count" in dp
+
+
+def test_r6_late_ops_plan_shapes(spark):
+    """Late r6 additions keep the scale contracts: the NB language model
+    and the anagram confusion dim broadcast, the triplet probe set
+    broadcasts, and nothing corpus-sized plans a cartesian product."""
+    from sbb_ocr_postcorrection_spark.operators.anagram import (
+        anagram_candidates,
+    )
+    from sbb_ocr_postcorrection_spark.operators.langprofile import (
+        lang_id_posterior,
+    )
+    from sbb_ocr_postcorrection_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    lp = plan_of(lang_id_posterior(spark, SF_DIR))
+    assert "BroadcastHashJoin" in lp, "trigram model must broadcast"
+    assert "CartesianProduct" not in lp
+
+    ac = plan_of(anagram_candidates(spark, SF_DIR))
+    assert "CartesianProduct" not in ac
+    # the vocab x vocab candidate lookup must be an equality hash join
+    # on the shifted key, not a nested loop
+    assert "adj_key" in ac
+    assert ("SortMergeJoin" in ac) or ("BroadcastHashJoin" in ac)
+
+    tm = plan_of(triplet_mining(spark, SF_DIR))
+    assert "CartesianProduct" not in tm
