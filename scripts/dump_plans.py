@@ -70,6 +70,14 @@ SHOW = [
      "slot window PARTITIONED BY HOST (no Exchange SinglePartition anywhere — per-host serialization is the politeness constraint, not a global sort); the delay UDF runs over the tiny policy dimension before the join"),
     ("ann_ivf_pinned",
      "centroids are plan literals (no broadcast variable, no collect of trained state); scoring is an equality join on the cell key — no CartesianProduct, no BroadcastNestedLoop"),
+    ("dsir_score",
+     "the 1024-bucket weight dim rides a BroadcastHashJoin into the per-doc score aggregation; the only SinglePartition is the 1-row corpus-totals aggregate; the bigram stream shuffles once"),
+    ("dsir_sample",
+     "the resample is TakeOrderedAndProject (per-partition top-k) — no rangepartitioning/global Sort for the k winners"),
+    ("image_ahash_dedup",
+     "fingerprints come from ONE zero-pre-shuffle Arrow kernel pass; the candidate join is band-bucket equality (hash join) with bit_count(xor) verify — no CartesianProduct"),
+    ("lang_id_posterior",
+     "the trigram NB model broadcasts; per-(doc, lang) log-likelihood sums are one two-phase aggregation; best/runner-up is a doc-keyed window (no global sort, no SinglePartition on anything corpus-sized)"),
 ]
 
 
