@@ -509,3 +509,65 @@ def source_divergence(spark, sf_dir, docs=None) -> DataFrame:
         )
     )
     return out
+
+
+def dsir_weights_incremental(spark, sf_dir, docs=None) -> DataFrame:
+    """Incremental importance-model retrain — the dedup_incremental shape
+    applied to DSIR: yesterday's model persists as its BUCKET COUNTS
+    (the sufficient statistic — counts are additive, so merging is one
+    union + sum, never a re-scan of history), today's delta batch adds
+    its counts, and the weights recompute from the merged dimension.
+
+    Split is deterministic (doc_id % 2 = history, else delta) and the
+    merged counts are EXACTLY the full-corpus counts, so this query
+    shares dsir_weights' oracle verbatim — the driver itself certifies
+    that incremental retraining ≡ full retraining (the
+    host_tiers_scaled / dedup_minhash_lsh_salted equivalence
+    convention).
+
+    Scale shape: at 100 TB the history side is a stored 1024-row
+    parquet, not a recount; here it is recomputed from the history
+    fold to keep the query self-contained — the merge path (union +
+    one sum-aggregation over 2×DSIR_BUCKETS rows) is the part that
+    matters and is identical either way."""
+    d = _base_docs(spark, sf_dir, docs)
+    hist_bg = _bigram_buckets(d.where(F.col("doc_id") % 2 == 0))
+    delta_bg = _bigram_buckets(d.where(F.col("doc_id") % 2 != 0))
+
+    def counts(bg):
+        return bg.groupBy("bucket").agg(
+            F.sum(F.col("is_target").cast("long")).alias("ct"),
+            F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+        )
+
+    merged = (
+        counts(hist_bg)
+        .unionByName(counts(delta_bg))
+        .groupBy("bucket")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+    full = spark.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    cnt = full.join(merged, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+        F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+    )
+    tot = cnt.agg(
+        (F.sum("ct") + DSIR_BUCKETS).cast("long").alias("nt1"),
+        (F.sum("cr") + DSIR_BUCKETS).cast("long").alias("nr1"),
+    )
+    tot = with_ilog2(with_ilog2(tot, "nt1", "lnt"), "nr1", "lnr")
+    w = cnt.withColumn("ct1", F.col("ct") + 1).withColumn(
+        "cr1", F.col("cr") + 1
+    )
+    w = with_ilog2(with_ilog2(w, "ct1", "lct"), "cr1", "lcr")
+    return w.crossJoin(F.broadcast(tot.select("lnt", "lnr"))).select(
+        "bucket",
+        "ct",
+        "cr",
+        (F.col("lct") - F.col("lcr") + F.col("lnr") - F.col("lnt"))
+        .cast("long")
+        .alias("w"),
+    )

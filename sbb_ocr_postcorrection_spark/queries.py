@@ -1083,6 +1083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the target domain and the raw pool — training is ONE aggregation
         # to a DSIR_BUCKETS-row dim (Mitchell fixed-point logs, int-exact)
         "dsir_weights": pinned(selection.dsir_weights),
+        # incremental retrain: history counts + delta counts merged by
+        # one sum — must equal full retraining (same oracle certifies)
+        "dsir_weights_incremental": pinned(selection.dsir_weights_incremental),
         # per-doc fixed-point log importance score (weight dim broadcast)
         "dsir_score": pinned(selection.dsir_score),
         # deterministic Gumbel-race top-k resample of the raw pool
@@ -3568,6 +3571,9 @@ def oracle_sql() -> dict[str, str]:
     # the salted LSH expansion must produce EXACTLY the unsalted candidate
     # set — same oracle, so the driver itself certifies the equivalence
     sql["dedup_minhash_lsh_salted"] = sql["dedup_minhash_lsh"]
+    # incremental DSIR retrain must reproduce full retraining exactly
+    # (counts are additive) — same oracle, driver certifies equivalence
+    sql["dsir_weights_incremental"] = sql["dsir_weights"]
     # the Arrow-batched fingerprint kernel must reproduce the JVM fold's
     # oracle bit-for-bit — same SQL, so the driver certifies the fast path
     sql["fingerprints_np"] = sql["fingerprints"]

@@ -319,3 +319,18 @@ def test_source_divergence_detects_outlier(spark):
         if r["source_a"] != "weird" and r["source_b"] != "weird"
     ]
     assert min(weird_out) > max(normal)
+
+
+def test_dsir_weights_incremental_equals_full(spark):
+    """History-counts + delta-counts merge must reproduce full-corpus
+    training bucket-for-bucket (counts are additive sufficient stats)."""
+    rows, d = _fixture_docs(spark)
+    full = {
+        r["bucket"]: (r["ct"], r["cr"], r["w"])
+        for r in sel.dsir_weights(spark, SF, docs=d).collect()
+    }
+    inc = {
+        r["bucket"]: (r["ct"], r["cr"], r["w"])
+        for r in sel.dsir_weights_incremental(spark, SF, docs=d).collect()
+    }
+    assert inc == full
