@@ -42,15 +42,14 @@ SEQ_LEN = 128
 BUCKET_DOCS = 64
 
 
-def sequence_pack(
+def _pack_spans(
     spark, sf_dir, seq_len: int = SEQ_LEN, bucket_docs: int = BUCKET_DOCS,
     docs=None,
 ) -> DataFrame:
-    """Per context window: (window_id, n_tokens, n_docs, first_doc,
-    last_doc). n_tokens == seq_len for every window except the last
-    (n_tokens counts occupied slots: document tokens + one EOS slot per
-    document, truncated at the stream end).
-    """
+    """The packing layout's doc↔window span relation: (doc_id, window_id,
+    slots_here) — shared by sequence_pack (per-window rollup) and
+    shard_manifest (per-shard provenance rollup). Two-level prefix sum,
+    no global-sort window (see sequence_pack's docstring)."""
     from ..functions.exprs import tokens_expr
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
@@ -144,9 +143,88 @@ def sequence_pack(
             - F.greatest(F.col("off"), F.col("window_id") * seq_len)
         ).alias("slots_here"),
     )
+    return spans
+
+
+def sequence_pack(
+    spark, sf_dir, seq_len: int = SEQ_LEN, bucket_docs: int = BUCKET_DOCS,
+    docs=None,
+) -> DataFrame:
+    """Per context window: (window_id, n_tokens, n_docs, first_doc,
+    last_doc). n_tokens == seq_len for every window except the last
+    (n_tokens counts occupied slots: document tokens + one EOS slot per
+    document, truncated at the stream end).
+    """
+    spans = _pack_spans(spark, sf_dir, seq_len, bucket_docs, docs=docs)
     return spans.groupBy("window_id").agg(
         F.sum("slots_here").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+SHARD_WINDOWS = 8  # context windows per output shard
+
+
+def shard_manifest(
+    spark, sf_dir, seq_len: int = SEQ_LEN, shard_windows: int = SHARD_WINDOWS,
+    docs=None,
+) -> DataFrame:
+    """Per-output-shard provenance manifest — the data card a trainer
+    reads before consuming a shard: how many tokens/docs, how many
+    distinct sources feed it, which source dominates (by occupied
+    slots, pinned tie-break), and the shard's English share.
+
+    At 100 TB this is the audit artifact that catches a mis-mixed shard
+    (one source flooding a file, a language concentration the mix law
+    should have prevented) BEFORE it burns training compute — the
+    export_audit idea applied at shard granularity.
+
+    Scale shape: the span relation (two-level prefix sum, no global
+    window) joins doc attributes on doc_id once; per-(shard, source)
+    slot totals are a dimension (≤ |sources| rows per shard), so the
+    dominant-source pick is a window over that dimension, not the
+    corpus."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    spans = _pack_spans(spark, sf_dir, seq_len, docs=docs).withColumn(
+        "shard_id", F.expr(f"window_id DIV {int(shard_windows)}")
+    )
+    attrs = d.select("doc_id", "source", "lang")
+    sp = spans.join(attrs, "doc_id")
+    per_src = sp.groupBy("shard_id", "source").agg(
+        F.sum("slots_here").cast("long").alias("src_slots")
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.desc("src_slots"), F.asc("source")
+    )
+    top = (
+        per_src.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "shard_id",
+            F.col("source").alias("top_source"),
+            F.col("src_slots").alias("top_source_slots"),
+        )
+    )
+    roll = sp.groupBy("shard_id").agg(
+        F.countDistinct("window_id").cast("long").alias("n_windows"),
+        F.sum("slots_here").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.when(F.col("lang") == "en", F.col("slots_here")).otherwise(0))
+        .cast("long")
+        .alias("en_slots"),
+    )
+    return roll.join(top, "shard_id").select(
+        "shard_id",
+        "n_windows",
+        "n_tokens",
+        "n_docs",
+        "n_sources",
+        "top_source",
+        "top_source_slots",
+        F.round(F.col("en_slots") * 100.0 / F.col("n_tokens"), 6).alias(
+            "en_pct"
+        ),
     )

@@ -847,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-sequence packing layout: two-level prefix sum (bucket
         # cumsum + broadcast bucket offsets), no global-sort window
         "seq_pack": pinned(packing.sequence_pack),
+        # per-output-shard provenance manifest (the trainer's data card:
+        # dominant source, source diversity, language share per shard)
+        "shard_manifest": pinned(packing.shard_manifest),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
@@ -2287,6 +2290,63 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM spans GROUP BY window_id
+        """,
+        # shard manifest: the seq_pack layout CTEs + attribute join +
+        # per-(shard, source) dominant pick over the source dim
+        "shard_manifest": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+            ), counts AS (
+              SELECT doc_id, coalesce(len(l) + 1, 1) AS n_slots FROM toks
+            ), placed AS (
+              SELECT doc_id, n_slots,
+                     CAST(coalesce(sum(n_slots) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS off
+              FROM counts
+            ), spans AS (
+              SELECT doc_id, off, n_slots,
+                     unnest(range(off // {packing.SEQ_LEN},
+                                  (off + n_slots - 1) // {packing.SEQ_LEN} + 1))
+                     AS window_id
+              FROM placed
+            ), sp AS (
+              SELECT s.doc_id,
+                     s.window_id // {packing.SHARD_WINDOWS} AS shard_id,
+                     s.window_id,
+                     least(s.off + s.n_slots,
+                           (s.window_id + 1) * {packing.SEQ_LEN})
+                       - greatest(s.off, s.window_id * {packing.SEQ_LEN})
+                       AS slots_here,
+                     d.source, d.lang
+              FROM spans s JOIN documents d USING (doc_id)
+            ), per_src AS (
+              SELECT shard_id, source,
+                     CAST(sum(slots_here) AS BIGINT) AS src_slots
+              FROM sp GROUP BY 1, 2
+            ), top AS (
+              SELECT shard_id, source AS top_source,
+                     src_slots AS top_source_slots
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY shard_id
+                      ORDER BY src_slots DESC, source) AS rn
+                    FROM per_src)
+              WHERE rn = 1
+            ), roll AS (
+              SELECT shard_id,
+                     CAST(count(DISTINCT window_id) AS BIGINT) AS n_windows,
+                     CAST(sum(slots_here) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                     CAST(sum(CASE WHEN lang = 'en' THEN slots_here
+                              ELSE 0 END) AS BIGINT) AS en_slots
+              FROM sp GROUP BY 1
+            )
+            SELECT r.shard_id, r.n_windows, r.n_tokens, r.n_docs,
+                   r.n_sources, t.top_source, t.top_source_slots,
+                   round(r.en_slots * 100.0 / r.n_tokens, 6) AS en_pct
+            FROM roll r JOIN top t USING (shard_id)
         """,
         # content remap (self-join on arithmetic base ids) synthesizes the
         # duplicate groups the corpus lacks — mirrored exactly in the

@@ -109,3 +109,36 @@ def test_sequence_pack_plan_two_level_prefix(spark):
     # counts is persisted: the corpus-wide tokenize feeds both the bucket
     # rollup and the placement from ONE in-memory relation
     assert "InMemoryTableScan" in plan
+
+
+def test_shard_manifest_consistent_with_pack(spark):
+    """Shard rollups must tie out against the per-window layout: token
+    totals per shard equal the window sums, window counts match, the
+    dominant source never exceeds the shard total, and shards are
+    full-size except the last."""
+    from sbb_ocr_postcorrection_spark.operators.packing import (
+        SEQ_LEN,
+        SHARD_WINDOWS,
+        sequence_pack,
+        shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    windows = sequence_pack(spark, sf).collect()
+    shards = {r["shard_id"]: r for r in shard_manifest(spark, sf).collect()}
+    by_shard = {}
+    for w in windows:
+        sid = w["window_id"] // SHARD_WINDOWS
+        tot, n = by_shard.get(sid, (0, 0))
+        by_shard[sid] = (tot + w["n_tokens"], n + 1)
+    assert set(shards) == set(by_shard)
+    last = max(shards)
+    for sid, (tot, n) in by_shard.items():
+        r = shards[sid]
+        assert r["n_tokens"] == tot
+        assert r["n_windows"] == n
+        assert 0 < r["top_source_slots"] <= r["n_tokens"]
+        assert 1 <= r["n_sources"]
+        assert 0.0 <= r["en_pct"] <= 100.0
+        if sid != last:
+            assert r["n_tokens"] == SEQ_LEN * SHARD_WINDOWS
