@@ -1276,3 +1276,51 @@ def lsh_recall_eval(spark, sf_dir, max_shingle_df: int | None = 10_000) -> DataF
             F.col("n_candidates_hit") * 100.0 / F.col("n_true_pairs"), 6
         ).alias("recall_pct"),
     )
+
+
+NORM_DUP_MOD = 31          # every 31st doc gets a styling twin
+NORM_DUP_OFFSET = 3_000_000
+
+
+def normalized_exact_groups(spark, sf_dir) -> DataFrame:
+    """Normalization-aware exact dedup — RefinedWeb/CCNet hash documents
+    AFTER punctuation/whitespace folding, because web mirrors differ in
+    typography (curly quotes, NBSP, dash style) while being the same
+    text. Canonical key = md5 of the text_normalize folding (same
+    translate map + whitespace collapse as operators.textstats, lower +
+    trim), so this catches exactly the variants dedup_exact's raw-byte
+    hash misses; n_raw_variants > 1 in a group is the proof.
+
+    Witnesses (the pii_redact convention): every NORM_DUP_MOD-th doc
+    gains a twin whose spaces are NBSPs — raw hashes differ, canonical
+    hashes collide. Same two-phase hash-agg shape as exact_groups
+    (shuffle carries digests, never text)."""
+    from .textstats import NORM_FROM, NORM_TO, NORM_WS_RE
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+    twins = base.where(F.col("doc_id") % NORM_DUP_MOD == 0).select(
+        (F.col("doc_id") + NORM_DUP_OFFSET).alias("doc_id"),
+        F.translate("t", " ", "\u00a0").alias("t"),
+    )
+    allr = base.unionByName(twins)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.translate(F.col("t"), NORM_FROM, NORM_TO), NORM_WS_RE, " "
+            )
+        )
+    )
+    return (
+        allr.select(
+            "doc_id",
+            F.md5(F.col("t")).alias("rh"),
+            F.md5(norm).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("rh").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )

@@ -1524,3 +1524,42 @@ def text_diversity(spark, sf_dir, docs=None) -> DataFrame:
             ).alias("distinct3"),
         )
     )
+
+
+# mojibake witnesses: UTF-8-decoded-as-Latin-1 pairs + replacement chars
+MOJI_FIX_A = " caf\u00c3\u00a9 r\u00c3\u00a8gle"   # 'caf\u00e9' / 'r\u00e8gle' mangled
+MOJI_FIX_B = " lost\ufffd\ufffdbytes"                # decoder gave up
+MOJI_PAIR_RE = "\u00c3[\u0080-\u00bf]"              # \u00c3 + continuation byte
+MOJI_REPL = "\ufffd"
+
+
+def mojibake_score(spark, sf_dir, docs=None) -> DataFrame:
+    """Encoding-damage detector — the CCNet-class gate that drops pages
+    whose bytes were decoded with the wrong charset: the classic
+    signature is U+00C3 followed by a Latin-1-supplement continuation
+    character (a UTF-8 two-byte sequence read as Latin-1), plus U+FFFD
+    replacement characters where a decoder already gave up. Counts are
+    pure JVM regexp/translate aggregates; the verdict is integer.
+
+    The synthetic corpus is clean ASCII, so witnesses are appended
+    in-plan (the pii_redact convention): every 11th doc gets a mangled
+    caf\u00e9/r\u00e8gle, every 13th a replacement-char run — identically in
+    both engines, so precision AND recall of the signature are what the
+    oracle certifies."""
+    d = _base_docs(spark, sf_dir, docs)
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(MOJI_FIX_A)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(MOJI_FIX_B)).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    n_pairs = F.size(F.regexp_extract_all(F.col("t"), F.lit(MOJI_PAIR_RE), F.lit(0)))
+    n_repl = F.length("t") - F.length(
+        F.translate(F.col("t"), MOJI_REPL, "")
+    )
+    return t.select(
+        "doc_id",
+        n_pairs.cast("int").alias("n_bad_pairs"),
+        n_repl.cast("int").alias("n_replacement"),
+        ((n_pairs > 0) | (n_repl > 0)).cast("int").alias("mojibake_flag"),
+    )

@@ -816,6 +816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded-LSH candidate generation and the composite keep/drop flow)
         # is DuckDB-oracle-checked
         "dedup_exact": pinned(dedup.exact_groups),
+        # normalization-aware exact dedup: canonical hash AFTER the
+        # text_normalize folding catches typographic mirror variants
+        "dedup_normalized": pinned(dedup.normalized_exact_groups),
+        # encoding-damage gate: UTF-8-as-Latin-1 signatures + U+FFFD
+        "mojibake_score": pinned(textstats.mojibake_score),
         # URL-level dedup (the stage BEFORE content hashing in a web
         # pipeline): canonicalize scheme/case/www/query/fragment/slash
         # noise, one hash-agg on the canonical key
@@ -2233,6 +2238,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the translate map and the augmentation fixtures interpolate from
         # the SAME module constants the Spark operator uses
+        "dedup_normalized": f"""
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS t
+                          FROM documents),
+            allr AS (
+              SELECT doc_id, t FROM base
+              UNION ALL
+              SELECT doc_id + {dedup.NORM_DUP_OFFSET},
+                     translate(t, ' ', {_sq(chr(0xA0))})
+              FROM base WHERE doc_id % {dedup.NORM_DUP_MOD} = 0),
+            h AS (
+              SELECT doc_id, md5(t) AS rh,
+                     md5(lower(trim(regexp_replace(
+                       translate(t, {_sq(textstats.NORM_FROM)},
+                                 {_sq(textstats.NORM_TO)}),
+                       {_sq(textstats.NORM_WS_RE)}, ' ', 'g')))) AS norm_hash
+              FROM allr)
+            SELECT norm_hash, CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT rh) AS BIGINT) AS n_raw_variants,
+                   min(doc_id) AS keeper_id
+            FROM h GROUP BY 1
+        """,
+        "mojibake_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     (CASE WHEN doc_id % 11 = 0
+                           THEN {_sq(textstats.MOJI_FIX_A)} ELSE '' END) ||
+                     (CASE WHEN doc_id % 13 = 0
+                           THEN {_sq(textstats.MOJI_FIX_B)} ELSE '' END) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        {_sq(textstats.MOJI_PAIR_RE)})) AS INTEGER)
+                     AS n_bad_pairs,
+                   CAST(length(t) - length(translate(t,
+                        {_sq(textstats.MOJI_REPL)}, '')) AS INTEGER)
+                     AS n_replacement,
+                   CAST(CASE WHEN len(regexp_extract_all(t,
+                             {_sq(textstats.MOJI_PAIR_RE)})) > 0
+                          OR length(t) <> length(translate(t,
+                             {_sq(textstats.MOJI_REPL)}, ''))
+                             THEN 1 ELSE 0 END AS INTEGER) AS mojibake_flag
+            FROM t
+        """,
         "text_normalize": f"""
             WITH t AS (
               SELECT doc_id,

@@ -334,3 +334,44 @@ def test_dsir_weights_incremental_equals_full(spark):
         for r in sel.dsir_weights_incremental(spark, SF, docs=d).collect()
     }
     assert inc == full
+
+
+# --------------------------------------------------------------------------
+# normalization dedup + mojibake (r6 curation additions)
+# --------------------------------------------------------------------------
+
+def test_dedup_normalized_collapses_styling_twins(spark):
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        NORM_DUP_MOD,
+        normalized_exact_groups,
+    )
+
+    pdf = _docs_pdf()
+    n_twins = sum(1 for i in pdf["doc_id"] if i % NORM_DUP_MOD == 0)
+    rows = normalized_exact_groups(spark, SF).collect()
+    dups = [r for r in rows if r["n_copies"] > 1]
+    # every NBSP twin collapses onto its base despite distinct raw hashes
+    assert len(dups) == n_twins
+    for r in dups:
+        assert r["n_copies"] == 2 and r["n_raw_variants"] == 2
+        assert r["keeper_id"] % NORM_DUP_MOD == 0  # base id wins min()
+    # total rows = one group per base doc (twins merged in)
+    assert len(rows) == len(pdf)
+
+
+def test_mojibake_score_flags_witnesses_only(spark):
+    from sbb_ocr_postcorrection_spark.operators.textstats import mojibake_score
+
+    pdf = _docs_pdf()
+    got = {r["doc_id"]: r for r in mojibake_score(spark, SF).collect()}
+    for i in pdf["doc_id"]:
+        r = got[i]
+        if i % 11 == 0:
+            assert r["n_bad_pairs"] == 2  # two mangled accents appended
+        else:
+            assert r["n_bad_pairs"] == 0
+        if i % 13 == 0:
+            assert r["n_replacement"] == 2
+        else:
+            assert r["n_replacement"] == 0
+        assert r["mojibake_flag"] == int(i % 11 == 0 or i % 13 == 0)
