@@ -1324,3 +1324,51 @@ def normalized_exact_groups(spark, sf_dir) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
     )
+
+
+def minhash_incremental(spark, sf_dir, jaccard_dup: float = 0.8) -> DataFrame:
+    """Fuzzy CROSS-SNAPSHOT dedup: probe today's batch against
+    yesterday's banded MinHash index — the production shape of
+    continuous near-dup suppression. History persists only its band-hash
+    dim (4 small rows per doc — never its text or shingles at probe
+    time); a batch doc sharing any band with a history doc becomes a
+    candidate, then candidate-only Jaccard verifies (the
+    incremental_dedup ⟶ minhash_lsh composition; split = doc_id parity,
+    the incremental convention).
+
+    Output: one row per candidate (batch_id, hist_id) with band hits,
+    verified jaccard, and the dup verdict at ``jaccard_dup``. Scale
+    shape: band probe is an equality join on (band, band_hash);
+    verification shuffles only candidate ids + their shingle sets."""
+    from .relational import persist_slot
+
+    sh = persist_slot("mh_incr_shingles", shingle_table(spark, sf_dir))
+    bt = _band_table(minhash_signatures_from(sh))
+    hist = bt.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("hist_id"), "band", "band_hash"
+    )
+    batch = bt.where(F.col("doc_id") % 2 != 0).select(
+        F.col("doc_id").alias("batch_id"), "band", "band_hash"
+    )
+    cand = batch.join(hist, ["band", "band_hash"]).groupBy(
+        "batch_id", "hist_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    ver = candidate_jaccard(
+        cand.select(
+            F.col("batch_id").alias("id1"), F.col("hist_id").alias("id2")
+        ),
+        sh,
+    ).select(
+        F.col("id1").alias("batch_id"),
+        F.col("id2").alias("hist_id"),
+        "jaccard",
+    )
+    return cand.join(ver, ["batch_id", "hist_id"], "left").select(
+        "batch_id",
+        "hist_id",
+        "n_band_hits",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        (F.coalesce("jaccard", F.lit(0.0)) >= jaccard_dup)
+        .cast("int")
+        .alias("is_dup"),
+    )

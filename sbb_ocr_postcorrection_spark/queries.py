@@ -857,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": pinned(packing.shard_manifest),
         "dedup_jaccard_pairs": pinned(dedup.jaccard_pairs),
         "dedup_minhash_lsh": pinned(dedup.minhash_lsh_candidates),
+        # fuzzy cross-snapshot dedup: batch probes yesterday's band-hash
+        # index, candidate-only Jaccard verify (incremental × LSH)
+        "dedup_minhash_incremental": pinned(dedup.minhash_incremental),
         "dedup_minhash_lsh_salted": pinned(dedup.minhash_lsh_candidates_salted),
         "dedup_lsh_bucket_stats": pinned(dedup.lsh_bucket_stats),
         # realized LSH recall curve vs exact-Jaccard ground truth
@@ -2805,6 +2808,38 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
+        """,
+        "dedup_minhash_incremental": f"""
+            WITH {_minhash_sig_ctes(with_lang=True)},
+            hb AS (SELECT doc_id AS hist_id, band, band_hash
+                   FROM bands WHERE doc_id % 2 = 0),
+            bb AS (SELECT doc_id AS batch_id, band, band_hash
+                   FROM bands WHERE doc_id % 2 <> 0),
+            cand AS (SELECT batch_id, hist_id,
+                            CAST(count(*) AS BIGINT) AS n_band_hits
+                     FROM bb JOIN hb USING (band, band_hash)
+                     GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT c.batch_id, c.hist_id, count(*) AS n_common
+                      FROM cand c
+                      JOIN sh a ON a.doc_id = c.batch_id
+                      JOIN sh b ON b.doc_id = c.hist_id
+                                AND b.shingle = a.shingle
+                                AND b.lang = a.lang
+                      GROUP BY 1, 2),
+            jac AS (SELECT i.batch_id, i.hist_id,
+                           round(i.n_common /
+                                 (sa.n_sh + sb.n_sh - i.n_common), 6)
+                             AS jaccard
+                    FROM inter i
+                    JOIN sizes sa ON sa.doc_id = i.batch_id
+                    JOIN sizes sb ON sb.doc_id = i.hist_id)
+            SELECT c.batch_id, c.hist_id, c.n_band_hits,
+                   coalesce(j.jaccard, 0.0) AS jaccard,
+                   CAST(CASE WHEN coalesce(j.jaccard, 0.0) >= 0.8
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+            FROM cand c LEFT JOIN jac j
+              ON j.batch_id = c.batch_id AND j.hist_id = c.hist_id
         """,
         "dedup_lsh_bucket_stats": f"""
             WITH {_minhash_sig_ctes()},

@@ -291,3 +291,29 @@ def test_passage_dedup_banner_on_every_page(spark):
         assert r["cleaned_text"] == (
             f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
         )
+
+
+def test_minhash_incremental_matches_in_corpus_candidates(spark):
+    """Cross-snapshot probing must surface exactly the in-corpus LSH
+    candidate pairs that straddle the parity split, with candidate-only
+    Jaccard verdicts consistent with the pair relation."""
+    from sbb_ocr_postcorrection_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_lsh_candidates,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cands = {
+        tuple(sorted((r["id1"], r["id2"])))
+        for r in minhash_lsh_candidates(spark, sf).collect()
+    }
+    cross = {p for p in cands if (p[0] % 2) != (p[1] % 2)}
+    inc = minhash_incremental(spark, sf).collect()
+    got = {tuple(sorted((r["batch_id"], r["hist_id"]))) for r in inc}
+    assert got == cross
+    for r in inc:
+        assert r["batch_id"] % 2 == 1 and r["hist_id"] % 2 == 0
+        assert 1 <= r["n_band_hits"] <= 4
+        assert r["is_dup"] == int(r["jaccard"] >= 0.8)
+    # at least one verified near-dup crosses the snapshot boundary
+    assert any(r["is_dup"] for r in inc)
