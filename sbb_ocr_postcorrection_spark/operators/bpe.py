@@ -536,3 +536,55 @@ def tokenizer_divergence(
             == F.col("token_ids")
         ).cast("int").alias("same_segmentation"),
     )
+
+
+ONEHOT_MOD = 17   # every 17th doc is tensorized (a training batch)
+ONEHOT_POS = 8    # first positions per doc (the ref's bounded target len)
+
+
+def onehot_tensorize(
+    spark: SparkSession, sf_dir: str, num_merges: int = DEFAULT_MERGES,
+    docs=None,
+) -> DataFrame:
+    """M14 — one-hot tensorization of token-id sequences (the reference
+    feeds `nn.functional.one_hot(target_tensor, num_classes=input_size)`
+    into its GAN/seq2seq training,
+    `mt/models/train.py:244`, `predict.py:202`). Spark-first analog:
+    explode the learned bpe_encode ids positionally and build the
+    num_classes-wide indicator array in-plan — the tensor layout a
+    training exporter writes, no Python in the loop.
+
+    num_classes = the learned vocab size, computed IN-PLAN from the
+    encode relation (a 1-row dim, broadcast) exactly like the
+    reference's input_size hyperparameter. Bounded to a batch sample
+    (every ONEHOT_MOD-th doc × first ONEHOT_POS positions): one-hot is
+    a dense V-wide row per token BY DEFINITION, so the exporter bounds
+    the batch, not the operator."""
+    from .relational import persist_slot
+
+    # enc feeds BOTH the positional explode and the vocab-size dim; the
+    # encode subtree contains the whole training replay — run it once
+    enc = persist_slot(
+        "onehot_enc", bpe_encode(spark, sf_dir, num_merges=num_merges, docs=docs)
+    )
+    ex = (
+        enc.where(F.col("doc_id") % ONEHOT_MOD == 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.slice(F.col("token_ids"), 1, ONEHOT_POS)
+            ).alias("pos", "vocab_id"),
+        )
+    )
+    v = enc.select(
+        F.explode("token_ids").alias("x")
+    ).agg(F.max("x").cast("int").alias("v"))
+    return ex.crossJoin(F.broadcast(v)).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "vocab_id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("v")),
+            lambda j: (j == F.col("vocab_id")).cast("int"),
+        ).alias("onehot"),
+    )

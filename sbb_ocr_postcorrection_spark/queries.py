@@ -972,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer inference: text → learned-vocab id arrays (the input
         # seq_pack actually wants)
         "bpe_encode": pinned(bpe.bpe_encode),
+        # M14: one-hot tensorization of learned token ids (bounded batch)
+        "onehot_tensorize": pinned(bpe.onehot_tensorize),
         # corpus search surface: postings statistics + conjunctive
         # multi-term query (contamination audits / takedown lookups)
         "inverted_index": pinned(index.inverted_index),
@@ -3900,6 +3902,26 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1)"""
     )
     sql["bpe_encode"] = _bpe_encode_oracle(8)
+    # M14 one-hot: compose the encode replay, explode positions, build
+    # the indicator list against the in-plan vocab-size dim
+    from .operators.bpe import ONEHOT_MOD, ONEHOT_POS
+
+    sql["onehot_tensorize"] = f"""
+        WITH enc AS ({sql['bpe_encode']}),
+        ex AS (SELECT doc_id, CAST(j - 1 AS INTEGER) AS pos,
+                      token_ids[j] AS vocab_id
+               FROM enc,
+                    unnest(generate_series(1,
+                       least(len(token_ids), {ONEHOT_POS}))) AS u(j)
+               WHERE doc_id % {ONEHOT_MOD} = 0),
+        vs AS (SELECT CAST(max(x) AS INTEGER) AS v
+               FROM (SELECT unnest(token_ids) AS x FROM enc))
+        SELECT doc_id, pos, vocab_id,
+               list_transform(generate_series(1, v),
+                 j -> CAST(CASE WHEN j = vocab_id THEN 1 ELSE 0 END
+                           AS INTEGER)) AS onehot
+        FROM ex, vs
+    """
     sql["inverted_index"] = f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
                      FROM documents),

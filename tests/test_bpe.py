@@ -333,3 +333,35 @@ def test_tokenizer_divergence_consistent(spark):
     n_same = sum(r["same_segmentation"] for r in rows)
     # the audit is informative either way; record that it runs corpus-wide
     assert 0 <= n_same <= len(rows)
+
+
+def test_onehot_tensorize_matches_encode(spark):
+    """One-hot rows must index exactly the bpe_encode ids: width = vocab
+    size, a single 1 at vocab_id, positions bounded."""
+    from sbb_ocr_postcorrection_spark.operators.bpe import (
+        ONEHOT_MOD,
+        ONEHOT_POS,
+        bpe_encode,
+        onehot_tensorize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    enc = {r["doc_id"]: r["token_ids"] for r in bpe_encode(spark, sf).collect()}
+    v = max(x for ids in enc.values() for x in ids)
+    rows = onehot_tensorize(spark, sf).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["doc_id"] % ONEHOT_MOD == 0 and 0 <= r["pos"] < ONEHOT_POS
+        assert r["vocab_id"] == enc[r["doc_id"]][r["pos"]]
+        assert len(r["onehot"]) == v
+        assert sum(r["onehot"]) == 1 and r["onehot"][r["vocab_id"] - 1] == 1
+        seen.add((r["doc_id"], r["pos"]))
+    # every eligible (doc, pos) is present exactly once
+    want = {
+        (d, p)
+        for d, ids in enc.items()
+        if d % ONEHOT_MOD == 0
+        for p in range(min(len(ids), ONEHOT_POS))
+    }
+    assert seen == want
