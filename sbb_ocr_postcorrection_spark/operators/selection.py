@@ -571,3 +571,65 @@ def dsir_weights_incremental(spark, sf_dir, docs=None) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
+
+
+CUR_SHARDS = 8          # shards per phase
+CUR_DECILE = 10         # anneal = (at least) the top 1/CUR_DECILE by score
+CUR_KEY_BITS = 20       # curriculum key: score-major, md5 minor
+
+
+def curriculum_plan(spark, sf_dir, docs=None) -> DataFrame:
+    """Two-phase training schedule — the decay/anneal phase of
+    WSD-style training consumes the highest-quality slice (MiniCPM's
+    annealing mix, OLMo 2's mid-training): assign each document a PHASE
+    (anneal = at least the top decile by the model-based quality score,
+    ties kept), a deterministic SHARD within the corpus (md5 coin), and
+    an integer CURRICULUM KEY (score-major, md5 minor) the exporter
+    sorts shards by at write time.
+
+    No corpus-sized window anywhere: the decile threshold is an order
+    statistic over the (score)-histogram dim (descending cumulative —
+    the ccnet_buckets discipline), and the sort the curriculum implies
+    is delegated to the exporter via the KEY instead of a row_number
+    (a per-shard row_number would sort corpus/shards rows per task)."""
+    from .textstats import quality_classifier
+
+    qc = quality_classifier(spark, sf_dir, docs=docs).select(
+        "doc_id", "clf_score"
+    )
+    hist = qc.groupBy("clf_score").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    wd = (
+        Window.orderBy(F.desc("clf_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # histogram dim: distinct integer scores — the ONE tiny ordered window
+    cum = hist.withColumn("cumd", F.sum("c").over(wd)).crossJoin(
+        F.broadcast(qc.agg(F.count(F.lit(1)).alias("n")))
+    )
+    # t = the LARGEST score whose descending cumulative already covers a
+    # decile — the minimal top slice of size ≥ n/10 (min() here would
+    # always pick the lowest score, cumd(min) = n ≥ n/10 vacuously)
+    thr = cum.agg(
+        F.max(
+            F.when(F.col("cumd") * CUR_DECILE >= F.col("n"), F.col("clf_score"))
+        ).alias("t")
+    )
+    coin = _md5long(F.concat(F.lit("cur|"), F.col("doc_id").cast("string")))
+    key_minor = _md5long(
+        F.concat(F.lit("ck|"), F.col("doc_id").cast("string"))
+    ) % (1 << CUR_KEY_BITS)
+    return qc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "clf_score",
+        F.when(F.col("clf_score") >= F.col("t"), F.lit("anneal"))
+        .otherwise(F.lit("pretrain"))
+        .alias("phase"),
+        (coin % CUR_SHARDS).cast("int").alias("shard"),
+        (
+            F.col("clf_score") * (1 << CUR_KEY_BITS) + key_minor
+        )
+        .cast("long")
+        .alias("curriculum_key"),
+    )

@@ -1106,6 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail per-language LM-score terciles (integer
         # order statistics over the (lang, score)-histogram dim)
         "ccnet_buckets": pinned(selection.ccnet_buckets),
+        # two-phase (pretrain/anneal) schedule: top-decile quality slice
+        # + deterministic shards + exporter-sortable curriculum key
+        "curriculum_plan": pinned(selection.curriculum_plan),
         # temperature-scaled source mixing (alpha = 1/2 multinomial):
         # per-doc inclusion rate 1/isqrt(n_src), md5-coin deterministic
         "mix_temperature": pinned(selection.mix_temperature),
@@ -3720,6 +3723,31 @@ def oracle_sql() -> dict[str, str]:
     # incremental DSIR retrain must reproduce full retraining exactly
     # (counts are additive) — same oracle, driver certifies equivalence
     sql["dsir_weights_incremental"] = sql["dsir_weights"]
+    # curriculum plan: compose the classifier-score oracle, decile
+    # threshold from the descending histogram cumulative
+    from .operators.selection import CUR_DECILE, CUR_KEY_BITS, CUR_SHARDS
+
+    sql["curriculum_plan"] = f"""
+        WITH qc AS ({sql['quality_classifier']}),
+        q2 AS (SELECT doc_id, clf_score FROM qc),
+        hist AS (SELECT clf_score, count(*) AS c FROM q2 GROUP BY 1),
+        cum AS (SELECT clf_score,
+                       sum(c) OVER (ORDER BY clf_score DESC) AS cumd
+                FROM hist),
+        nn AS (SELECT count(*) AS n FROM q2),
+        thr AS (SELECT max(CASE WHEN cumd * {CUR_DECILE} >= n
+                                THEN clf_score END) AS t
+                FROM cum, nn)
+        SELECT doc_id, clf_score,
+               CASE WHEN clf_score >= t THEN 'anneal'
+                    ELSE 'pretrain' END AS phase,
+               CAST({_hex2int("md5('cur|' || CAST(doc_id AS VARCHAR))")}
+                    % {CUR_SHARDS} AS INTEGER) AS shard,
+               CAST(clf_score * {1 << CUR_KEY_BITS}
+                    + {_hex2int("md5('ck|' || CAST(doc_id AS VARCHAR))")}
+                      % {1 << CUR_KEY_BITS} AS BIGINT) AS curriculum_key
+        FROM q2, thr
+    """
     # the Arrow-batched fingerprint kernel must reproduce the JVM fold's
     # oracle bit-for-bit — same SQL, so the driver certifies the fast path
     sql["fingerprints_np"] = sql["fingerprints"]

@@ -375,3 +375,26 @@ def test_mojibake_score_flags_witnesses_only(spark):
         else:
             assert r["n_replacement"] == 0
         assert r["mojibake_flag"] == int(i % 11 == 0 or i % 13 == 0)
+
+
+def test_curriculum_plan_properties(spark):
+    """Anneal phase is at least a decile (ties kept) and exactly the
+    top-score slice; curriculum keys sort consistently with scores;
+    shards are balanced-ish and deterministic."""
+    from collections import Counter
+
+    got = sel.curriculum_plan(spark, SF).collect()
+    n = len(got)
+    anneal = [r for r in got if r["phase"] == "anneal"]
+    pre = [r for r in got if r["phase"] == "pretrain"]
+    assert n == len(_docs_pdf())
+    assert len(anneal) * sel.CUR_DECILE >= n
+    assert min(r["clf_score"] for r in anneal) > max(
+        r["clf_score"] for r in pre
+    )
+    # key is score-major: sorting by key never inverts score order
+    srt = sorted(got, key=lambda r: r["curriculum_key"])
+    scores = [r["clf_score"] for r in srt]
+    assert scores == sorted(scores)
+    # deterministic md5 shards, all occupied at this n
+    assert set(Counter(r["shard"] for r in got)) == set(range(sel.CUR_SHARDS))
