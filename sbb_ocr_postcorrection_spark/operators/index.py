@@ -518,3 +518,72 @@ def hll_distinct_tokens(spark, sf_dir, docs=None) -> DataFrame:
             4,
         ).alias("err_pct"),
     )
+
+
+KEYTERMS_K = 3
+
+
+def doc_keyterms(spark, sf_dir, k: int = KEYTERMS_K, docs=None) -> DataFrame:
+    """Per-document key terms by integer TF-IDF — extractive tagging for
+    retrieval/routing exports: score(d, t) = c_dt · (ilog2(N_docs) −
+    ilog2(df_t)), exact int64 under the Mitchell fixed-point log2
+    (operators/selection discipline; idf ≥ 0 since df ≤ N). Top-k per
+    doc via a doc-keyed window (scales with the corpus), pinned ties.
+
+    Scale shape: df is one aggregation to the vocabulary dim; the
+    corpus-sized (doc, token) relation joins it on the token key (hot
+    tokens join one df row each — the lm_unigram shuffle shape); N_docs
+    is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    from .relational import load
+    from .selection import with_ilog2
+    from ..functions.exprs import tokens_expr
+
+    d = (
+        docs
+        if docs is not None
+        else load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    ct = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    df_t = with_ilog2(
+        ct.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        "df",
+        "ldf",
+    )
+    nd = with_ilog2(
+        d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")), "n_docs", "lnd"
+    ).select("lnd")
+    scored = (
+        ct.join(df_t, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "c",
+            "df",
+            (F.col("c") * (F.col("lnd") - F.col("ldf")))
+            .cast("long")
+            .alias("tfidf_num"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_num"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("c").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf_num",
+        )
+    )

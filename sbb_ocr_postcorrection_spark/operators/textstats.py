@@ -1563,3 +1563,57 @@ def mojibake_score(spark, sf_dir, docs=None) -> DataFrame:
         n_repl.cast("int").alias("n_replacement"),
         ((n_pairs > 0) | (n_repl > 0)).cast("int").alias("mojibake_flag"),
     )
+
+
+def token_entropy(spark, sf_dir, docs=None) -> DataFrame:
+    """Shannon token-entropy quality signal — the information-theoretic
+    gate pair to quality_repetition: near-zero entropy is template/
+    repetition spam (one token dominates), suspiciously high entropy at
+    a given length is word-salad (every token unique). Exact int64 via
+    the Mitchell fixed-point log2 (selection.with_ilog2 discipline):
+
+        h_num = N·ilog2(N) − Σ_t c_t·ilog2(c_t)   (≥ 0, exact)
+
+    entropy_bits = h_num / (N·S) is the one display division (two IEEE
+    flops on exact integers). Scale shape: one (doc, token) aggregation
+    + one doc aggregation — the token_stats shape, zero joins beyond
+    the base rejoin."""
+    from .selection import with_ilog2
+
+    d = _base_docs(spark, sf_dir, docs)
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    ct = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ct = with_ilog2(ct, "c", "lc")
+    per = ct.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("lc")).cast("long").alias("sum_clc"),
+    )
+    per = with_ilog2(per, "n_tokens", "ln")
+    per = per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_tokens") * F.col("ln") - F.col("sum_clc"))
+        .cast("long")
+        .alias("h_num"),
+    )
+    base = d.select("doc_id")
+    from .selection import DSIR_S
+
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("h_num", F.lit(0)).cast("long").alias("h_num"),
+        F.round(
+            F.coalesce(
+                F.col("h_num").cast("double")
+                / (F.col("n_tokens") * DSIR_S).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -821,6 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": pinned(dedup.normalized_exact_groups),
         # encoding-damage gate: UTF-8-as-Latin-1 signatures + U+FFFD
         "mojibake_score": pinned(textstats.mojibake_score),
+        # Shannon token entropy (Mitchell fixed-point): the info-theoretic
+        # pair to quality_repetition (template spam low, salad high)
+        "token_entropy": pinned(textstats.token_entropy),
+        # per-doc integer TF-IDF key terms (extractive tagging export)
+        "doc_keyterms": pinned(index.doc_keyterms),
         # URL-level dedup (the stage BEFORE content hashing in a web
         # pipeline): canonicalize scheme/case/www/query/fragment/slash
         # noise, one hash-agg on the canonical key
@@ -2289,6 +2294,51 @@ def oracle_sql() -> dict[str, str]:
                              {_sq(textstats.MOJI_REPL)}, ''))
                              THEN 1 ELSE 0 END AS INTEGER) AS mojibake_flag
             FROM t
+        """,
+        "token_entropy": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                         FROM documents),
+            ct AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2),
+            per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_distinct,
+                           CAST(sum(c * {_ilog2_sql('c')}) AS BIGINT)
+                             AS sum_clc
+                    FROM ct GROUP BY 1),
+            h AS (SELECT doc_id, n_tokens, n_distinct,
+                         CAST(n_tokens * {_ilog2_sql('n_tokens')}
+                              - sum_clc AS BIGINT) AS h_num
+                  FROM per)
+            SELECT d.doc_id,
+                   coalesce(h.n_tokens, 0) AS n_tokens,
+                   coalesce(h.n_distinct, 0) AS n_distinct,
+                   coalesce(h.h_num, 0) AS h_num,
+                   round(coalesce(CAST(h.h_num AS DOUBLE)
+                                  / (h.n_tokens * {selection.DSIR_S}), 0.0), 6)
+                     AS entropy_bits
+            FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        "doc_keyterms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                         FROM documents),
+            ct AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2),
+            dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                    FROM ct GROUP BY 1),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            sc AS (SELECT c.doc_id, c.token, c.c, dfx.df,
+                          CAST(c.c * ({_ilog2_sql('n_docs')}
+                                      - {_ilog2_sql('df')}) AS BIGINT)
+                            AS tfidf_num
+                   FROM ct c JOIN dfx USING (token), nd)
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+                   c AS tf, df, tfidf_num
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf_num DESC, token) AS rank
+                  FROM sc)
+            WHERE rank <= {index.KEYTERMS_K}
         """,
         "text_normalize": f"""
             WITH t AS (

@@ -398,3 +398,62 @@ def test_curriculum_plan_properties(spark):
     assert scores == sorted(scores)
     # deterministic md5 shards, all occupied at this n
     assert set(Counter(r["shard"] for r in got)) == set(range(sel.CUR_SHARDS))
+
+
+def test_token_entropy_reference_and_ordering(spark):
+    from collections import Counter
+
+    from sbb_ocr_postcorrection_spark.operators.textstats import token_entropy
+
+    pdf = _docs_pdf()
+    got = {r["doc_id"]: r for r in token_entropy(spark, SF).collect()}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        c = Counter(_toks(text))
+        n = sum(c.values())
+        h = n * _ilog2(n) - sum(v * _ilog2(v) for v in c.values())
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_distinct"], r["h_num"]) == (n, len(c), h)
+        assert r["entropy_bits"] == round(h / (n * sel.DSIR_S), 6)
+    # ordering property on injected extremes
+    rows = [
+        (0, "spam " * 50, "en", "s"),
+        (1, " ".join(f"w{i}" for i in range(50)), "en", "s"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ext = {r["doc_id"]: r for r in token_entropy(spark, SF, docs=d).collect()}
+    assert ext[0]["entropy_bits"] == 0.0          # one token repeated
+    assert ext[1]["entropy_bits"] > 5.0           # 50 uniques ~ log2(50)
+
+
+def test_doc_keyterms_reference(spark):
+    from collections import Counter
+
+    from sbb_ocr_postcorrection_spark.operators.index import (
+        KEYTERMS_K,
+        doc_keyterms,
+    )
+
+    pdf = _docs_pdf()
+    docs = {i: Counter(_toks(t)) for i, t in zip(pdf["doc_id"], pdf["text"])}
+    df = Counter(t for c in docs.values() for t in c)
+    n_docs = len(docs)
+    lnd = _ilog2(n_docs)
+    got = {}
+    for r in doc_keyterms(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for doc_id, c in docs.items():
+        if not c:
+            assert doc_id not in got
+            continue
+        scored = sorted(
+            ((tf * (lnd - _ilog2(df[t])), t) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:KEYTERMS_K]
+        rows = sorted(got[doc_id], key=lambda r: r["rank"])
+        assert [(r["tfidf_num"], r["token"]) for r in rows] == scored
+        # a corpus-ubiquitous token never carries positive weight
+        for r in rows:
+            if r["df"] == n_docs:
+                assert r["tfidf_num"] == 0
