@@ -78,6 +78,10 @@ SHOW = [
      "fingerprints come from ONE zero-pre-shuffle Arrow kernel pass; the candidate join is band-bucket equality (hash join) with bit_count(xor) verify — no CartesianProduct"),
     ("lang_id_posterior",
      "the trigram NB model broadcasts; per-(doc, lang) log-likelihood sums are one two-phase aggregation; best/runner-up is a doc-keyed window (no global sort, no SinglePartition on anything corpus-sized)"),
+    ("dedup_minhash_incremental",
+     "history/batch band tables join on (band, band_hash) equality; candidate-only Jaccard verification — the shuffle carries candidate ids + shingle sets, never all-pairs"),
+    ("curriculum_plan",
+     "the decile threshold is an order statistic over the distinct-score histogram dim (the ONE tiny ordered window); phase/shard/key are pure expressions — no corpus-sized sort anywhere"),
 ]
 
 
