@@ -71,8 +71,10 @@ def _md5long(col):
 def with_ilog2(df: DataFrame, x: str, out: str) -> DataFrame:
     """Append `out` = Mitchell fixed-point log2 of the POSITIVE int64
     column `x`: S·floor(log2 x) + S·(x − 2^f) div 2^f. Exact int64 in
-    both engines; the piecewise-linear interpolant is within 0.086 of
-    true log2 (Mitchell 1962), ample for ranking weights."""
+    both engines; the piecewise-linear interpolant is within
+    0.0861 + 1/S of true log2 (Mitchell 1962's analytic bound plus the
+    fixed-point floor — hypothesis-pinned in tests/test_selection.py),
+    ample for ranking weights."""
     return (
         df.withColumn("_f", (F.length(F.bin(F.col(x))) - 1).cast("long"))
         .withColumn("_p", F.expr("shiftleft(cast(1 as bigint), cast(_f as int))"))

@@ -256,3 +256,82 @@ def dsir_gate_stream(
             "dsir_n_grams", "dsir_score", "dsir_keep"
         )
     return out
+
+
+ENTROPY_MIN_MILLIBITS = 500  # drop docs under 0.5 bits/token (template spam)
+
+
+def _ilog2_frag(v: str) -> str:
+    """Inline Mitchell fixed-point log2 of the positive int64 SQL
+    fragment `v` (S = 1024; mirrors operators/selection.with_ilog2)."""
+    f = f"(length(bin({v})) - 1)"
+    p = f"shiftleft(cast(1 as bigint), cast({f} as int))"
+    return f"({f} * 1024 + (({v} - {p}) * 1024) div {p})"
+
+
+def entropy_gate_stream(
+    stream: DataFrame, drop: bool = False, text_col: str = "text"
+) -> DataFrame:
+    """Shannon-entropy quality screen on the stream: the online form of
+    operators/textstats.token_entropy, computed WITHOUT any stream-side
+    aggregation — the per-doc token histogram folds row-locally over the
+    SORTED token array (equal tokens are adjacent, so one pass counts
+    runs), and each run contributes c·ilog2(c) to the exact fixed-point
+    entropy numerator. Pure JVM higher-order exprs: no state store, no
+    watermark, no Python (the dsir_gate_stream discipline). Docs under
+    ENTROPY_MIN_MILLIBITS/1000 bits per token (template/repetition spam)
+    fail the gate; empty docs score 0 and fail (emptiness is judged
+    upstream — here zero entropy IS the spam signal)."""
+    from ..functions.exprs import tokens_expr
+
+    clash = {"ent_n_tokens", "ent_h_num", "entropy_keep"} & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"entropy_gate_stream reserves column(s) {sorted(clash)}; "
+            "rename them on the input stream first"
+        )
+    toks = tokens_expr(F.col(text_col))
+    fold = (
+        "aggregate("
+        "  array_sort(_etoks),"
+        "  struct(cast('' as string) as prev, cast(0 as bigint) as run,"
+        "         cast(0 as bigint) as acc),"
+        "  (s, x) -> IF(x = s.prev,"
+        "    struct(s.prev as prev, s.run + cast(1 as bigint) as run,"
+        "           s.acc as acc),"
+        "    struct(x as prev, cast(1 as bigint) as run,"
+        f"          s.acc + IF(s.run > 0, s.run * {_ilog2_frag('s.run')},"
+        "                      cast(0 as bigint)) as acc)),"
+        f" s -> s.acc + IF(s.run > 0, s.run * {_ilog2_frag('s.run')},"
+        "                  cast(0 as bigint)))"
+    )
+    out = (
+        stream.withColumn("_etoks", toks)
+        .withColumn("ent_n_tokens", F.size("_etoks").cast("long"))
+        .withColumn("_sum_clc", F.expr(fold))
+        .withColumn(
+            "ent_h_num",
+            F.when(F.col("ent_n_tokens") > 0,
+                   F.col("ent_n_tokens")
+                   * F.expr(_ilog2_frag("ent_n_tokens"))
+                   - F.col("_sum_clc"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "entropy_keep",
+            (
+                (F.col("ent_n_tokens") > 0)
+                & (
+                    F.col("ent_h_num") * 1000
+                    >= F.col("ent_n_tokens") * 1024 * ENTROPY_MIN_MILLIBITS
+                )
+            ).cast("int"),
+        )
+        .drop("_etoks", "_sum_clc")
+    )
+    if drop:
+        return out.filter(F.col("entropy_keep") == 1).drop(
+            "ent_n_tokens", "ent_h_num", "entropy_keep"
+        )
+    return out

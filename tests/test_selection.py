@@ -457,3 +457,40 @@ def test_doc_keyterms_reference(spark):
         for r in rows:
             if r["df"] == n_docs:
                 assert r["tfidf_num"] == 0
+
+
+# --------------------------------------------------------------------------
+# ilog2 foundation properties (hypothesis)
+# --------------------------------------------------------------------------
+
+def test_ilog2_properties_hypothesis():
+    """The Mitchell fixed-point log2 every log-space operator stands on:
+    monotone nondecreasing (thresholds and argmaxes stay order-correct),
+    exact at powers of two, within Mitchell's analytic 0.0861-bit bound
+    PLUS the 1/S fixed-point quantization (hypothesis found x=2881
+    exceeding the bare analytic bound by 4e-6 — the floor division),
+    and shift-invariant by whole octaves (ilog2(2x) = ilog2(x) + S)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    S = sel.DSIR_S
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 60) - 1))
+    def bound_and_octave(x):
+        v = _ilog2(x)
+        assert abs(v / S - math.log2(x)) < 0.0861 + 1.0 / S
+        if x <= (1 << 59):
+            assert _ilog2(2 * x) == v + S
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=(1 << 60) - 2),
+        st.integers(min_value=1, max_value=1 << 20),
+    )
+    def monotone(x, d):
+        assert _ilog2(min(x + d, (1 << 60) - 1)) >= _ilog2(x)
+
+    bound_and_octave()
+    monotone()

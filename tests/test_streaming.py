@@ -1201,3 +1201,70 @@ def test_hll_cardinality_stream_matches_batch(spark, tmp_path):
         len([w for w in (t or "").lower().split(" ") if w]) for t in pdf["text"]
     )
     assert sum(r["n_tokens_seen"] for r in final.values()) == n_tok
+
+
+def test_entropy_gate_stream_matches_batch_entropy(spark, tmp_path):
+    """The stream gate's row-local sorted-run fold must reproduce the
+    batch token_entropy aggregation value-for-value, stream == batch,
+    template spam fails, normal docs pass, empty docs fail."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import token_entropy
+    from sbb_ocr_postcorrection_spark.streaming.curate_stream import (
+        entropy_gate_stream,
+    )
+
+    rows = [(0, "spam " * 40, "en", "s"), (1, "", "en", "s")]
+    rows += [
+        (i, f"alpha beta gamma delta w{i} x{i} y{i} z{i}", "en", "s")
+        for i in range(2, 14)
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    d = spark.createDataFrame(rows, schema)
+
+    want_batch = {
+        r["doc_id"]: (r["n_tokens"], r["h_num"])
+        for r in token_entropy(spark, "/root/testdata/sf0.001", docs=d).collect()
+    }
+    gate_batch = {
+        r["doc_id"]: (r["ent_n_tokens"], r["ent_h_num"], r["entropy_keep"])
+        for r in entropy_gate_stream(d).collect()
+    }
+    assert {k: v[:2] for k, v in gate_batch.items()} == want_batch
+    assert gate_batch[0][2] == 0 and gate_batch[1][2] == 0
+    assert all(gate_batch[i][2] == 1 for i in range(2, 14))
+
+    din = tmp_path / "ent_in"
+    os.makedirs(din)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf.iloc[:7].to_parquet(din / "b1.parquet")
+    pdf.iloc[7:].to_parquet(din / "b2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(din))
+    )
+    seen = []
+    q = (
+        entropy_gate_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: seen.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["ent_n_tokens"], r["ent_h_num"], r["entropy_keep"])
+        for r in seen
+    }
+    assert got == gate_batch
+
+    kept = []
+    q2 = (
+        entropy_gate_stream(stream, drop=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: kept.extend(b.collect()))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in kept} == set(range(2, 14))
+    assert kept and set(kept[0].asDict()) == {"doc_id", "text", "lang", "source"}
