@@ -211,3 +211,72 @@ def host_trailing_anomaly(spark, sf_dir) -> DataFrame:
         "host", "epoch", "n_docs", "trail_sum", "n_trail",
         anomaly.alias("anomaly"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_analysis(spark, sf_dir) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: per user, the
+    earliest 'view', the earliest 'click' strictly AFTER that view, and
+    the earliest 'purchase' strictly after that click — the canonical
+    product-analytics sequential-pattern query (and, in pipeline terms,
+    the crawl analog discover → fetch → extract progression audit).
+
+    Plan shape: one per-step min-aggregation on user_id chained by
+    equi-joins — each stage is a two-phase combinable agg + a user-keyed
+    join, NO per-user ordered window over the full stream (an ordered
+    window would sort every user's whole history; the min-chain reads
+    each step's events once). Depth/conversion are integer verdicts."""
+    e = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v, c, p = FUNNEL_STEPS
+    # witness slices (the pii_redact convention): the dense synthetic
+    # stream converts EVERY user, which would leave depth 0/1/2 verdicts
+    # vacuous — suppress purchases for user % 7 == 0 and clicks for
+    # user % 11 == 0 in-plan, identically in both engines, so every
+    # funnel stage has real exits the oracle certifies
+    ev = e.select("user_id", "event_type", "ts").where(
+        ~(
+            ((F.col("user_id") % 7 == 0) & (F.col("event_type") == p))
+            | ((F.col("user_id") % 11 == 0) & (F.col("event_type") == c))
+        )
+    )
+    s1 = (
+        ev.where(F.col("event_type") == v)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == c)
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == p)
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.col("t_view").isNotNull().cast("int")
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("funnel_depth"),
+            F.col("t_purchase").isNotNull().cast("int").alias("converted"),
+        )
+    )

@@ -808,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join: latest prior click per user for each error event,
         # union+ordered-window formulation (one shuffle, no range join)
         "asof_join": pinned(temporal.asof_join),
+        # ordered-sequence funnel (view→click→purchase): chained per-step
+        # min-aggs, no per-user ordered window over the full stream
+        "funnel_analysis": pinned(temporal.funnel_analysis),
         "detector_eval": pinned(evaluation.detector_eval),
         # set ops / splits
         "stratified_split": pinned(R.stratified_split),
@@ -2064,6 +2067,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "funnel_analysis": """
+            WITH ev AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE NOT ((user_id % 7 = 0 AND event_type = 'purchase')
+                         OR (user_id % 11 = 0 AND event_type = 'click'))),
+            s1 AS (SELECT user_id, min(ts) AS t_view FROM ev
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+                   FROM ev e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                   FROM ev e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                   GROUP BY 1),
+            users AS (SELECT DISTINCT user_id FROM ev)
+            SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                   CAST((CASE WHEN s1.t_view IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN s2.t_click IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END)
+                        AS INTEGER) AS funnel_depth,
+                   CAST(CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS converted
+            FROM users u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "asof_join": """
             WITH tagged AS (

@@ -488,3 +488,52 @@ def test_triplet_mining_reference(spark):
         assert r["violated"] == int(pc - nc <= 0)
         assert vecs[r["pos_id"]][1] == vecs[pid][1]
         assert vecs[r["neg_id"]][1] != vecs[pid][1]
+
+
+def test_funnel_analysis_reference(spark):
+    """Pure-Python replay of the ordered funnel at sf0.001: first view,
+    first click strictly after it, first purchase strictly after that."""
+    import pandas as pd
+
+    from sbb_ocr_postcorrection_spark.operators.temporal import funnel_analysis
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    byuser = {}
+    for r in pdf.itertuples():
+        # mirror the operator's in-plan witness suppression
+        if r.user_id % 7 == 0 and r.event_type == "purchase":
+            continue
+        if r.user_id % 11 == 0 and r.event_type == "click":
+            continue
+        byuser.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for u, evs in byuser.items():
+        evs.sort()
+        tv = min((t for t, k in evs if k == "view"), default=None)
+        tc = (
+            min((t for t, k in evs if k == "click" and t > tv), default=None)
+            if tv is not None
+            else None
+        )
+        tp = (
+            min((t for t, k in evs if k == "purchase" and t > tc), default=None)
+            if tc is not None
+            else None
+        )
+        depth = sum(x is not None for x in (tv, tc, tp))
+        want[u] = (tv, tc, tp, depth, int(tp is not None))
+    got = {
+        r["user_id"]: (
+            r["t_view"],
+            r["t_click"],
+            r["t_purchase"],
+            r["funnel_depth"],
+            r["converted"],
+        )
+        for r in funnel_analysis(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+    # witness slices make every funnel exit real: converters, click-stall
+    # (user % 7), and view-stall (user % 11)
+    depths = {d for (_, _, _, d, _) in got.values()}
+    assert {1, 2, 3} <= depths
