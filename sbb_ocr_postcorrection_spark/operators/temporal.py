@@ -280,3 +280,56 @@ def funnel_analysis(spark, sf_dir) -> DataFrame:
             F.col("t_purchase").isNotNull().cast("int").alias("converted"),
         )
     )
+
+
+RETENTION_DAYS = (1, 3, 7)
+
+
+def cohort_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by their
+    FIRST-activity day (the cohort), then counted again at day +1/+3/+7
+    — the standard engagement rollup (and the re-crawl analog: hosts
+    first seen on day D that are still yielding documents at D+k).
+
+    Plan shape: first-activity is one min-aggregation per user; each
+    retention offset is an equality join of the (user, day) activity
+    dim against the cohort dim on the SHIFTED day — no windows, no
+    per-user history scans. Percentages are round-6 integer ratios."""
+    e = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    act = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohorts = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    out = cohorts
+    for k in RETENTION_DAYS:
+        ret = (
+            first.join(act, "user_id")
+            .where(F.col("day") == F.date_add(F.col("cohort_day"), k))
+            .groupBy("cohort_day")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"d{k}_retained"))
+        )
+        out = out.join(ret, "cohort_day", "left")
+    cols = [
+        "cohort_day",
+        "n_users",
+    ]
+    for k in RETENTION_DAYS:
+        cols.append(
+            F.coalesce(f"d{k}_retained", F.lit(0))
+            .cast("long")
+            .alias(f"d{k}_retained")
+        )
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"d{k}_retained"), F.lit(0))
+                * 100.0
+                / F.col("n_users"),
+                6,
+            ).alias(f"d{k}_pct")
+        )
+    return out.select(*cols)

@@ -811,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered-sequence funnel (view→click→purchase): chained per-step
         # min-aggs, no per-user ordered window over the full stream
         "funnel_analysis": pinned(temporal.funnel_analysis),
+        # first-activity cohorts × day +1/+3/+7 retention (shifted-day
+        # equality joins against the cohort dim, no windows)
+        "cohort_retention": pinned(temporal.cohort_retention),
         "detector_eval": pinned(evaluation.detector_eval),
         # set ops / splits
         "stratified_split": pinned(R.stratified_split),
@@ -2067,6 +2070,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                         FROM events),
+            firstd AS (SELECT user_id, min(day) AS cohort_day
+                       FROM act GROUP BY 1),
+            cohorts AS (SELECT cohort_day,
+                               CAST(count(*) AS BIGINT) AS n_users
+                        FROM firstd GROUP BY 1),
+            r1 AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS ret
+                   FROM firstd f JOIN act a
+                     ON a.user_id = f.user_id
+                    AND a.day = f.cohort_day + 1 GROUP BY 1),
+            r3 AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS ret
+                   FROM firstd f JOIN act a
+                     ON a.user_id = f.user_id
+                    AND a.day = f.cohort_day + 3 GROUP BY 1),
+            r7 AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS ret
+                   FROM firstd f JOIN act a
+                     ON a.user_id = f.user_id
+                    AND a.day = f.cohort_day + 7 GROUP BY 1)
+            SELECT c.cohort_day, c.n_users,
+                   coalesce(r1.ret, 0) AS d1_retained,
+                   round(coalesce(r1.ret, 0) * 100.0 / c.n_users, 6)
+                     AS d1_pct,
+                   coalesce(r3.ret, 0) AS d3_retained,
+                   round(coalesce(r3.ret, 0) * 100.0 / c.n_users, 6)
+                     AS d3_pct,
+                   coalesce(r7.ret, 0) AS d7_retained,
+                   round(coalesce(r7.ret, 0) * 100.0 / c.n_users, 6)
+                     AS d7_pct
+            FROM cohorts c
+            LEFT JOIN r1 USING (cohort_day)
+            LEFT JOIN r3 USING (cohort_day)
+            LEFT JOIN r7 USING (cohort_day)
         """,
         "funnel_analysis": """
             WITH ev AS (

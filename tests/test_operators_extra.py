@@ -537,3 +537,33 @@ def test_funnel_analysis_reference(spark):
     # (user % 7), and view-stall (user % 11)
     depths = {d for (_, _, _, d, _) in got.values()}
     assert {1, 2, 3} <= depths
+
+
+def test_cohort_retention_reference(spark):
+    """Pure-Python replay of cohort retention at sf0.001."""
+    import pandas as pd
+
+    from sbb_ocr_postcorrection_spark.operators.temporal import cohort_retention
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    act = {}
+    for r in pdf.itertuples():
+        act.setdefault(r.user_id, set()).add(r.ts.date())
+    first = {u: min(days) for u, days in act.items()}
+    import datetime as dt
+
+    want = {}
+    for u, c in first.items():
+        row = want.setdefault(c, [0, 0, 0, 0])
+        row[0] += 1
+        for i, k in enumerate((1, 3, 7)):
+            if c + dt.timedelta(days=k) in act[u]:
+                row[1 + i] += 1
+    got = {r["cohort_day"]: r for r in cohort_retention(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(want)
+    for c, (n, d1, d3, d7) in want.items():
+        r = got[c]
+        assert (r["n_users"], r["d1_retained"], r["d3_retained"], r["d7_retained"]) == (n, d1, d3, d7)
+        assert r["d1_pct"] == round(d1 * 100.0 / n, 6)
+    # retention is a real fraction, not vacuously total
+    assert any(r["d1_retained"] < r["n_users"] for r in got.values())
