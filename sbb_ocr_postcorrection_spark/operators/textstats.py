@@ -1617,3 +1617,66 @@ def token_entropy(spark, sf_dir, docs=None) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+def corpus_card(spark, sf_dir, docs=None) -> DataFrame:
+    """The one-row dataset card — the summary a training team reads
+    before consuming a corpus snapshot: sizes (docs/tokens/vocab),
+    composition (languages, sources, English share), hygiene (exact-dup
+    doc rate, encoding-damage rate), and the model-based quality pass
+    rate. Every number is an exact integer or a round-6 integer ratio,
+    composed from the SAME definitions the per-doc operators certify.
+
+    Scale shape: five independent scalar/dimension aggregations (each
+    map-side combinable) crossJoined as 1-row broadcast dims — the
+    whole card costs a handful of corpus passes and shuffles nothing
+    wider than a vocabulary count."""
+    d = _base_docs(spark, sf_dir, docs)
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en_docs"),
+        F.countDistinct(F.md5(F.coalesce("text", F.lit("")))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+    toks = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("token").cast("long").alias("vocab_size"),
+    )
+    moji = mojibake_score(spark, sf_dir, docs=d).agg(
+        F.sum("mojibake_flag").cast("long").alias("n_mojibake")
+    )
+    qual = quality_classifier(spark, sf_dir, docs=d).agg(
+        F.sum("clf_keep").cast("long").alias("n_quality_keep")
+    )
+    return (
+        base.crossJoin(F.broadcast(toks))
+        .crossJoin(F.broadcast(moji))
+        .crossJoin(F.broadcast(qual))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            "n_langs",
+            "n_sources",
+            F.round(F.col("n_en_docs") * 100.0 / F.col("n_docs"), 6).alias(
+                "en_pct"
+            ),
+            (F.col("n_docs") - F.col("n_distinct_texts"))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts"))
+                * 100.0
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_pct"),
+            "n_mojibake",
+            F.round(
+                F.col("n_quality_keep") * 100.0 / F.col("n_docs"), 6
+            ).alias("quality_keep_pct"),
+        )
+    )

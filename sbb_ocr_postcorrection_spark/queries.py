@@ -830,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Shannon token entropy (Mitchell fixed-point): the info-theoretic
         # pair to quality_repetition (template spam low, salad high)
         "token_entropy": pinned(textstats.token_entropy),
+        # the one-row dataset card (sizes, composition, hygiene, quality)
+        "corpus_card": pinned(textstats.corpus_card),
         # per-doc integer TF-IDF key terms (extractive tagging export)
         "doc_keyterms": pinned(index.doc_keyterms),
         # URL-level dedup (the stage BEFORE content hashing in a web
@@ -3842,6 +3844,37 @@ def oracle_sql() -> dict[str, str]:
     # incremental DSIR retrain must reproduce full retraining exactly
     # (counts are additive) — same oracle, driver certifies equivalence
     sql["dsir_weights_incremental"] = sql["dsir_weights"]
+    # dataset card: compose the mojibake and classifier oracles as
+    # scoped subqueries over the same definitions the per-doc ops certify
+    sql["corpus_card"] = f"""
+        WITH base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_en_docs,
+                 CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+                   AS n_distinct_texts
+          FROM documents),
+        tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+               FROM tok),
+        mj AS (SELECT CAST(sum(mojibake_flag) AS BIGINT) AS n_mojibake
+               FROM ({sql['mojibake_score']})),
+        q AS (SELECT CAST(sum(clf_keep) AS BIGINT) AS n_quality_keep
+              FROM ({sql['quality_classifier']}))
+        SELECT n_docs, n_tokens, vocab_size, n_langs, n_sources,
+               round(n_en_docs * 100.0 / n_docs, 6) AS en_pct,
+               CAST(n_docs - n_distinct_texts AS BIGINT)
+                 AS n_exact_dup_docs,
+               round((n_docs - n_distinct_texts) * 100.0 / n_docs, 6)
+                 AS dup_pct,
+               n_mojibake,
+               round(n_quality_keep * 100.0 / n_docs, 6)
+                 AS quality_keep_pct
+        FROM base, tt, mj, q
+    """
     # curriculum plan: compose the classifier-score oracle, decile
     # threshold from the descending histogram cumulative
     from .operators.selection import CUR_DECILE, CUR_KEY_BITS, CUR_SHARDS

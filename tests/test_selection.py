@@ -494,3 +494,30 @@ def test_ilog2_properties_hypothesis():
 
     bound_and_octave()
     monotone()
+
+
+def test_corpus_card_reference(spark):
+    """From-scratch replay of the one-row dataset card at sf0.001."""
+    from sbb_ocr_postcorrection_spark.operators.textstats import corpus_card
+    import hashlib as _h
+
+    pdf = _docs_pdf()
+    toks = [t for text in pdf["text"] for t in _toks(text)]
+    n = len(pdf)
+    distinct_texts = len({
+        _h.md5((t or "").encode()).hexdigest() for t in pdf["text"]
+    })
+    r = corpus_card(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_docs"] == n
+    assert r["n_tokens"] == len(toks)
+    assert r["vocab_size"] == len(set(toks))
+    assert r["n_langs"] == pdf["lang"].nunique()
+    assert r["n_sources"] == pdf["source"].nunique()
+    assert r["en_pct"] == round(
+        (pdf["lang"] == "en").sum() * 100.0 / n, 6
+    )
+    assert r["n_exact_dup_docs"] == n - distinct_texts
+    assert 0 <= r["n_mojibake"] <= n
+    assert 0.0 <= r["quality_keep_pct"] <= 100.0
