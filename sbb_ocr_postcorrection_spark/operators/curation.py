@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import decontaminate, deduplicate_corpus, shingle_table
+from .dedup import decontaminate, deduplicate_corpus, minhash_doc_arrays
 from .relational import load, persist_slot
 from .textstats import lang_id, lm_unigram_score, quality_score, repetition_stats
 from .urls import host_reputation_gate, synth_host_expr
@@ -47,12 +47,19 @@ def curate_corpus(spark, sf_dir, jaccard_threshold: float = 0.8) -> DataFrame:
         .select("doc_id", "lang", "text")
         .repartition(spark.sparkContext.defaultParallelism),
     )
-    # ONE shingle table shared by dedup (signatures + verification) and
-    # decontamination (bench + train sides) — four consumers, one
-    # tokenize+explode pass
-    sh = persist_slot("curation_shingles", shingle_table(spark, sf_dir))
+    # ONE per-document shingle-array relation shared by dedup (in-array
+    # signatures + array verification) and decontamination (bench + train
+    # sides read the exploded view straight off the cache) — four
+    # consumers, one tokenize+shingle+md5 pass (r7: the exploded
+    # corpus-wide table is never materialized at all)
+    mh_base = persist_slot(
+        "curation_mh_base", minhash_doc_arrays(spark, sf_dir)
+    )
+    sh = mh_base.select(
+        "doc_id", "lang", F.explode("sh_arr").alias("shingle")
+    )
     dd = deduplicate_corpus(
-        spark, sf_dir, jaccard_threshold=jaccard_threshold, sh=sh
+        spark, sf_dir, jaccard_threshold=jaccard_threshold, base=mh_base
     ).select(
         "doc_id",
         "lang",

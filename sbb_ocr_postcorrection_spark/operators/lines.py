@@ -109,41 +109,55 @@ LINE_TOKS = 3
 HOT_LINE_DF = 5
 
 
-def _line_rows(d, n: int):
-    """(doc_id, pos, line): the corpus as exploded consecutive n-token
-    chunks, ≥1 line per document (an empty/null doc emits one '' sentinel
-    line so it can never vanish from a reassembly). The ONE definition
-    line_dedup and passage_dedup share — their chunking can't drift."""
+def _doc_lines(d, n: int):
+    """(doc_id, lns): the corpus as PER-DOCUMENT arrays of consecutive
+    n-token chunks, ≥1 line per document (an empty/null doc gets one ''
+    sentinel line so it can never vanish from a reassembly). The ONE
+    chunking definition line_dedup and passage_dedup share — r7 keeps it
+    doc-level so reassembly is in-array row math instead of a corpus-wide
+    explode → groupBy(doc_id) exchange; the exploded (doc_id, pos, line)
+    view is a posexplode away when cross-document counting needs it."""
     from ..functions.exprs import tokens_expr
 
-    toks = tokens_expr(F.col("text"))
-    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(n)).cast("int"), F.lit(1))
-    return d.select(
+    # tokens materialized as a column first: inlining the tokenizer into
+    # the chunk lambda would re-evaluate split+filter per reference
+    base = d.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    n_lines = F.greatest(
+        F.ceil(F.size("toks") / F.lit(n)).cast("int"), F.lit(1)
+    )
+    return base.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_lines),
-                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * n + 1, n)),
-            )
-        ).alias("pos", "line"),
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(" ", F.slice("toks", (i - 1) * n + 1, n)),
+        ).alias("lns"),
     )
 
 
-def _reassemble(joined, drop_marker: str):
-    """Shared reassembly aggregation: rows whose ``drop_marker`` column is
-    non-null are removed; survivors rejoin in position order. collect_list
-    drops the NULLed-out structs, so removal rides inside the ONE per-doc
-    shuffle — no second pass."""
-    keep_struct = F.when(F.col(drop_marker).isNull(), F.struct("pos", "line"))
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_lines"),
-        F.count(keep_struct).cast("int").alias("n_kept"),
+def _line_rows(d, n: int):
+    """Exploded (doc_id, pos, line) view of _doc_lines (0-based pos)."""
+    return _doc_lines(d, n).select(
+        "doc_id", F.posexplode("lns").alias("pos", "line")
+    )
+
+
+def _reassemble_arr(base, covered):
+    """Shared r7 reassembly: ``base`` is the per-doc (doc_id, lns) array
+    relation, ``covered`` a (doc_id, drop_pos: array<int>) relation of
+    0-based positions to remove (absent doc ⇒ keep everything). Survivors
+    rejoin in position order as pure row math — the per-doc order is the
+    array order, so there is no corpus-wide collect_list exchange; the
+    only join is equality-keyed on doc_id and scales with the number of
+    CONTAMINATED documents (AQE broadcasts it when small)."""
+    joined = base.join(covered, "doc_id", "left")
+    drop = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
+    return joined.select(
+        "doc_id",
+        F.size("lns").cast("int").alias("n_lines"),
+        (F.size("lns") - F.size(drop)).cast("int").alias("n_kept"),
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(keep_struct)),
-                lambda s: s["line"],
-            ),
+            F.filter("lns", lambda x, i: ~F.array_contains(drop, i)),
         ).alias("cleaned_text"),
     )
 
@@ -162,29 +176,35 @@ def line_dedup(
     same convention pdf_layout uses), standing in for newline-split lines
     the synthetic corpus doesn't have.
 
-    Scale design (100 TB): the line relation is an explode bounded by
-    document length, persisted ONCE (it feeds both the hot-line
-    aggregation and the removal join — without the persist the
-    corpus-wide tokenize+explode would execute twice; Spark reuses
-    exchanges, not arbitrary lineage). The hot-line set is a two-phase
-    aggregation whose RESULT is tiny by construction (lines repeated
-    across ≥ hot_df docs — boilerplate vocabulary, not corpus-sized), so
-    removal is a broadcast LEFT join + conditional aggregation in the ONE
-    per-doc reassembly shuffle: collect_list skips the nulled-out hot
-    lines, n_kept counts the survivors, and since every document emits at
-    least one line row (empty docs produce a single '' line), degenerate
-    docs surface with empty cleaned text instead of vanishing (ADVICE r1
-    #3) — no second scan, no extra join.
+    Scale design (100 TB): the per-doc line-array relation is computed
+    once (persisted — it feeds the hot-line aggregation and the final
+    reassembly; Spark reuses exchanges, not arbitrary lineage). The
+    hot-line set is a two-phase aggregation over the exploded view whose
+    RESULT is tiny by construction (lines repeated across ≥ hot_df docs —
+    boilerplate vocabulary, not corpus-sized), so marking is a broadcast
+    join producing the covered (doc_id, pos) set, which scales with the
+    number of CONTAMINATED documents; reassembly is per-row array math
+    (r7 — the old form paid a corpus-wide explode → collect_list
+    exchange to rebuild orders the array already had). Since every
+    document emits at least one line (empty docs produce a single ''
+    sentinel), degenerate docs surface with empty cleaned text instead
+    of vanishing (ADVICE r1 #3).
     """
     d = docs if docs is not None else load(spark, sf_dir, "documents")
-    rows = persist_slot("line_dedup_rows", _line_rows(d, n_line_toks))
+    base = persist_slot("line_dedup_base", _doc_lines(d, n_line_toks))
+    rows = base.select("doc_id", F.posexplode("lns").alias("pos", "line"))
     hot = (
         rows.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("line_df"))
         .filter(F.col("line_df") >= hot_df)
-        .select("line", F.lit(True).alias("is_hot"))
+        .select("line")
     )
-    return _reassemble(rows.join(F.broadcast(hot), "line", "left"), "is_hot")
+    covered = (
+        rows.join(F.broadcast(hot), "line")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("drop_pos"))
+    )
+    return _reassemble_arr(base, covered)
 
 
 # passage_dedup defaults — interpolated into the DuckDB oracle
@@ -247,16 +267,14 @@ def passage_dedup(
         )
     else:
         d = docs
-    rows = persist_slot("passage_dedup_rows", _line_rows(d, n_line_toks))
-    arr = rows.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "line"))),
-            lambda s: s["line"],
-        ).alias("lns")
-    )
+    base = persist_slot("passage_dedup_base", _doc_lines(d, n_line_toks))
     # NO truncated windows: a doc shorter than p_lines contributes no
     # passages (guarded — Spark's sequence(1, 0) counts DOWN, it is not
     # empty). Such docs can then never be covered and keep everything.
+    # r7: the line arrays are already per-doc, so the old explode →
+    # collect_list rebuild (one corpus exchange) and the second persisted
+    # relation are gone; passages explode straight off the cached arrays
+    # for both consumers.
     windows = F.when(
         F.size("lns") >= p_lines,
         F.transform(
@@ -264,11 +282,8 @@ def passage_dedup(
             lambda i: F.concat_ws(" ", F.slice("lns", i, p_lines)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    passages = persist_slot(
-        "passage_dedup_passages",
-        arr.select(
-            "doc_id", F.posexplode(windows).alias("wpos", "passage")
-        ),
+    passages = base.select(
+        "doc_id", F.posexplode(windows).alias("wpos", "passage")
     )
     hot = (
         passages.groupBy("passage")
@@ -279,7 +294,7 @@ def passage_dedup(
             (F.col("passage_df") >= hot_df)
             & (F.trim(F.col("passage")) != "")
         )
-        .select("passage", F.lit(True).alias("is_hot"))
+        .select("passage")
     )
     covered = (
         passages.join(F.broadcast(hot), "passage")
@@ -289,10 +304,10 @@ def passage_dedup(
                 F.sequence(F.col("wpos"), F.col("wpos") + (p_lines - 1))
             ).alias("pos"),
         )
-        .distinct()
-        .withColumn("drop", F.lit(True))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("drop_pos"))
     )
-    return _reassemble(rows.join(covered, ["doc_id", "pos"], "left"), "drop")
+    return _reassemble_arr(base, covered)
 
 
 def split_roundtrip_flags(spark, sf_dir) -> DataFrame:

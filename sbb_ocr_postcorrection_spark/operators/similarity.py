@@ -791,10 +791,30 @@ def passage_retrieval(spark, sf_dir, k: int = RAG_TOP_K) -> DataFrame:
     vectors are (corpus × dim)-sparse rows that join probes on the
     bucket key only; top-k is a probe-partitioned window. The brute
     scoring here is the documented small-probe baseline — the bucketed
-    LSH / IVF operators in this module are the big-probe-set paths."""
+    LSH / IVF operators in this module are the big-probe-set paths.
+
+    r7 plan diet: a chunk's tokens live in ONE row, so its bucket sums
+    are per-row math — each side's dense DIM-slot vector (and its norm)
+    is computed IN-ARRAY in the scan stage, removing the r6 explode →
+    groupBy(doc, chunk, bucket) exchange and the norm-attach window.
+    The probe set is dimension-sized BY CONTRACT (the docstring above),
+    so the probe vectors collect into ONE broadcast row and each
+    passage row scores all probes with a zip_with dot per pair — the
+    bucket-equality pair join and its |probes|×|entries| intermediate
+    (the largest relation in the r6 plan, re-aggregated by a second
+    exchange) disappear; only the top-k window still shuffles, carrying
+    one row per sharing pair. A pair enters the ranking iff it shares a
+    nonzero bucket — exactly the r6 join's row set, enforced by the
+    `shared` existence filter (a no-overlap pair must NOT surface as
+    cosine 0). Same integer math on the same md5 hashes, so the oracle
+    is unchanged: the div-by-2^k sign bit is read with shiftright (a
+    double division's 53-bit mantissa cannot carry a 60-bit hash)."""
     from ..functions.exprs import tokens_expr
     from ..operators.lines import passage_windows
     from .dedup import md5_60
+
+    assert RAG_DIM & (RAG_DIM - 1) == 0, "RAG_DIM must be a power of two"
+    _dim_shift = RAG_DIM.bit_length() - 1
 
     pw = passage_windows(spark, sf_dir)
     is_probe = F.col("doc_id") % RAG_PROBE_MOD == 0
@@ -807,58 +827,84 @@ def passage_retrieval(spark, sf_dir, k: int = RAG_TOP_K) -> DataFrame:
     )
 
     def vec(rel, keys):
-        ex = rel.select(*keys, F.explode("t").alias("token"))
-        h = md5_60(F.col("token"))
-        ex = ex.select(*keys, h.alias("h"))
-        sign = F.when(F.expr(f"(h div {RAG_DIM}) % 2") == 0, 1).otherwise(-1)
-        return (
-            ex.select(
-                *keys,
-                F.pmod(F.col("h"), F.lit(RAG_DIM)).cast("int").alias("bucket"),
-                sign.alias("sg"),
-            )
-            .groupBy(*keys, "bucket")
-            .agg(F.sum("sg").cast("long").alias("s"))
-            .where(F.col("s") != 0)
+        # hs materialized as its own projection: one md5 per token
+        # (CollapseProject keeps non-cheap expressions single-evaluated)
+        hs = rel.select(
+            *keys, F.transform("t", lambda tok: md5_60(tok)).alias("hs")
+        )
+        # fold the hash array into a DIM-slot accumulator array — one
+        # compact expression (a per-DIM-struct formulation measured
+        # seconds of optimizer+codegen per query); sign = +1 when bit
+        # _dim_shift of the hash is 0 ((h div DIM) % 2 == 0 for h >= 0)
+        sg = lambda h: F.when(  # noqa: E731
+            F.shiftright(h, _dim_shift).bitwiseAND(F.lit(1)) == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+        va = F.aggregate(
+            "hs",
+            F.array_repeat(F.lit(0).cast("long"), RAG_DIM),
+            lambda acc, h: F.transform(
+                acc,
+                lambda v, i: v
+                + F.when(
+                    F.pmod(h, F.lit(RAG_DIM)).cast("int") == i, sg(h)
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+        norm = F.aggregate(
+            "va", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        )
+        return hs.select(*keys, va.alias("va")).select(
+            *keys, "va", norm.alias("nrm")
         )
 
-    qv = vec(probes, ["probe_id"])
-    pv = vec(cand, ["doc_id", "chunk_id"])
-    qn = qv.groupBy("probe_id").agg(F.sum(F.col("s") * F.col("s")).alias("qn"))
-    # the candidate norm rides ON the vector rows (whole-partition window
-    # over the same keys the groupBy already shuffled on) and then
-    # THROUGH the dot aggregation as a functionally-dependent key — this
-    # removes both a full recompute of pv (norms used to be a second
-    # aggregation over it) and the dots ⋈ norms join over the
-    # probe×passage pair relation, the largest in the plan (the
-    # winnow_matches carried-size discipline; measured ~6 s -> ~2.5 s
-    # at sf0.1)
-    pvn = pv.withColumn(
-        "pn",
-        F.sum(F.col("s") * F.col("s")).over(
-            W.partitionBy("doc_id", "chunk_id")
-        ),
+    # one-row probe relation attached on a constant-valued equality key;
+    # the keys are written as pmod(<attribute>, 1) — both always 0 — so
+    # the optimizer keeps the equi-join (BroadcastHashJoin): a foldable
+    # literal key would be eliminated and degrade the join to a
+    # nested-loop build
+    qarr = vec(probes, ["probe_id"]).agg(
+        F.collect_list(
+            F.struct("probe_id", "va", F.col("nrm").alias("qn"))
+        ).alias("ps"),
+        F.pmod(F.count(F.lit(1)), F.lit(1)).cast("int").alias("_k"),
     )
-    dots = (
-        F.broadcast(qv.select("probe_id", "bucket", F.col("s").alias("qs")))
-        .join(
-            pvn.select(
-                "doc_id", "chunk_id", "pn", "bucket", F.col("s").alias("ps")
+    cv = vec(cand, ["doc_id", "chunk_id"]).withColumnRenamed("nrm", "pn")
+    paired = cv.withColumn(
+        "_k", F.pmod(F.col("chunk_id"), F.lit(1)).cast("int")
+    ).join(F.broadcast(qarr), "_k")
+    hits = F.filter(
+        F.transform(
+            "ps",
+            lambda p: F.struct(
+                p["probe_id"].alias("probe_id"),
+                p["qn"].alias("qn"),
+                F.aggregate(
+                    F.zip_with(p["va"], F.col("va"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).alias("dot"),
+                F.exists(
+                    F.zip_with(
+                        p["va"],
+                        F.col("va"),
+                        lambda x, y: (x != 0) & (y != 0),
+                    ),
+                    lambda b: b,
+                ).alias("shared"),
             ),
-            "bucket",
-        )
-        .groupBy("probe_id", "doc_id", "chunk_id", "pn")
-        .agg(F.sum(F.col("qs") * F.col("ps")).alias("dot"))
+        ),
+        lambda e: e["shared"],
     )
     scored = (
-        dots.join(F.broadcast(qn), "probe_id")
+        paired.select("doc_id", "chunk_id", "pn", F.explode(hits).alias("h"))
         .select(
-            "probe_id",
+            F.col("h.probe_id").alias("probe_id"),
             "doc_id",
             "chunk_id",
             F.round(
-                F.col("dot")
-                / F.sqrt((F.col("qn") * F.col("pn")).cast("double")),
+                F.col("h.dot")
+                / F.sqrt((F.col("h.qn") * F.col("pn")).cast("double")),
                 6,
             ).alias("cosine"),
         )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _quote_augmented, md5_60
-from .relational import load, persist_slot
+from .relational import load
 
 # Guarantee: any shared substring of length >= WIN_K + WIN_W - 1 = 27
 # chars yields an identical selected fingerprint in both documents.
@@ -246,25 +246,27 @@ def _winnow_doc_fps(spark, sf_dir, docs=None) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = []
+            # accumulate numpy columns, ONE DataFrame per batch: a pandas
+            # frame per document costs more than the hashing itself
+            ids, fps, nfp = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
                 got = _doc_selected(t)
                 if got is None:
                     continue
                 h, sel = got
                 u = np.unique(h[sel])
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": np.full(len(u), doc_id, dtype=np.int64),
-                            "fp_hash": u,
-                            "n_fp": np.full(len(u), len(u), dtype=np.int64),
-                        }
-                    )
-                )
+                ids.append(np.full(len(u), doc_id, dtype=np.int64))
+                fps.append(u)
+                nfp.append(np.full(len(u), len(u), dtype=np.int64))
             yield (
-                pd.concat(out)
-                if out
+                pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "fp_hash": np.concatenate(fps),
+                        "n_fp": np.concatenate(nfp),
+                    }
+                )
+                if ids
                 else pd.DataFrame(
                     {
                         "doc_id": pd.Series(dtype="int64"),
@@ -287,37 +289,41 @@ def winnow_matches(
     n_fp2, overlap) — pairs sharing ≥ min_shared selected fingerprints,
     overlap = shared / min(|fp1|, |fp2|) (the MOSS report score).
 
-    Plan shape (r6 fast path, measured 6.9 s -> ~3.5 s at sf0.1): the
-    kernel emits per-doc DISTINCT fingerprints WITH the per-doc set size
-    carried on every row, so the only shuffles left are the df-cap
-    rollup and the pair join itself — no global distinct, no separate
-    sizes aggregation, no size rejoin (n_fp1/n_fp2 ride through the
-    groupBy as functionally-dependent keys). The ~n/4.5-row kernel
-    output is slot-persisted so the two consumers share ONE kernel run;
-    with the old RELATIONAL fingerprint input, persist materialized the
-    expensive ×W explode up front and measured SLOWER (15.1 s -> 21.0 s
-    cold) than AQE shuffle reuse — the trade flipped when the input
-    became cheap."""
-    fpd = persist_slot(
-        "winnow_matches.fpd", _winnow_doc_fps(spark, sf_dir)
-    )
-    hot = (
+    Plan shape (r7 fast path): the kernel emits per-doc DISTINCT
+    fingerprints WITH the per-doc set size carried on every row, and the
+    whole pair generation is ONE exchange — groupBy(fp_hash) collects
+    each fingerprint's sorted (doc_id, n_fp) posting list, the df cap is
+    a filter on that SAME aggregate (df == posting length, so the
+    separate hot-set rollup and its broadcast anti join disappear), and
+    pairs expand in-array exactly like the LSH bucket expansion. The r6
+    form shuffled the kernel output three times (hot rollup + both self-
+    join sides) and needed it slot-persisted; with a single consumer the
+    persist is gone too — the kernel runs once by construction."""
+    fpd = _winnow_doc_fps(spark, sf_dir)
+    groups = (
         fpd.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("fp_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_fp"))
+            ).alias("ds")
+        )
+        .where((F.size("ds") > 1) & (F.size("ds") <= max_df))
     )
-    fpf = fpd.join(F.broadcast(hot), "fp_hash", "left_anti")
-    a = fpf.select(
-        F.col("doc_id").alias("id1"), F.col("n_fp").alias("n_fp1"), "fp_hash"
-    )
-    b = fpf.select(
-        F.col("doc_id").alias("id2"), F.col("n_fp").alias("n_fp2"), "fp_hash"
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("id1"),
+        F.col("p.a.n_fp").alias("n_fp1"),
+        F.col("p.b.doc_id").alias("id2"),
+        F.col("p.b.n_fp").alias("n_fp2"),
     )
     return (
-        a.join(b, "fp_hash")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2", "n_fp1", "n_fp2")
+        pairs.groupBy("id1", "id2", "n_fp1", "n_fp2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
         .select(
