@@ -426,7 +426,15 @@ def jaccard_pairs(
     n-grams pair everything with everything — C(df,2) blows up on hot
     shingles while carrying no near-dup signal). Sizes keep counting all
     shingles, so capped Jaccard is a lower bound of exact Jaccard. Default
-    None = exact (the DuckDB-oracle-checked configuration)."""
+    None = exact (the DuckDB-oracle-checked configuration).
+
+    r7 note: two rewrites were measured and REJECTED — per-shingle
+    posting-list collection (one exchange, but string-keyed collect_list
+    costs more than the hash self-join it replaces: 2.9 s vs 1.8 s warm
+    at sf0.1) and carrying n_sh through the self-join to drop the sizes
+    rejoins (widens the corpus-sized shuffle rows for a join whose
+    post-aggregation side is small: 3.0 s vs 1.8 s). The r6 shape is
+    the measured winner and stays."""
     sh = shingle_table(spark, sf_dir)
     if max_shingle_df is not None:
         hot = (
@@ -483,25 +491,31 @@ def minhash_signatures_from(sh: DataFrame) -> DataFrame:
     return h.groupBy("doc_id").agg(*sig_cols)
 
 
-def minhash_doc_arrays(spark, sf_dir, d=None) -> DataFrame:
-    """(doc_id, lang, sh_arr, hs): each document's distinct shingles AND
-    their Mersenne-reduced md5_60 hashes as per-doc ARRAYS — the r7
-    zero-shuffle input of the MinHash family. The exploded shingle_table
-    forces a corpus-sized exchange into groupBy(doc_id) before any
-    signature exists; per-document arrays keep signature selection (a
-    per-doc min by definition) inside the scan stage. hs is materialized
-    as its own projection so the 16 permutation minima reuse ONE md5 pass
-    (CollapseProject keeps non-cheap expressions single-evaluated).
-    Exploding sh_arr reproduces shingle_table's rows exactly — consumers
-    needing the relational form derive it in-plan."""
+def _shingle_arrays(spark, sf_dir, d=None) -> DataFrame:
+    """(doc_id, lang, sh_arr): each document's distinct shingles as a
+    per-doc ARRAY — exploding sh_arr reproduces shingle_table's rows
+    exactly; keeping them doc-level lets consumers carry per-doc facts
+    (set size, hashes) as row columns instead of re-aggregating."""
     if d is None:
         d = load(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
         )
     toks = d.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
-    base = toks.select(
+    return toks.select(
         "doc_id", "lang", _shingles(F.col("toks")).alias("sh_arr")
     )
+
+
+def minhash_doc_arrays(spark, sf_dir, d=None) -> DataFrame:
+    """(doc_id, lang, sh_arr, hs): _shingle_arrays plus the
+    Mersenne-reduced md5_60 hash array — the r7 zero-shuffle input of
+    the MinHash family. The exploded shingle_table forces a corpus-sized
+    exchange into groupBy(doc_id) before any signature exists;
+    per-document arrays keep signature selection (a per-doc min by
+    definition) inside the scan stage. hs is materialized as its own
+    projection so the 16 permutation minima reuse ONE md5 pass
+    (CollapseProject keeps non-cheap expressions single-evaluated)."""
+    base = _shingle_arrays(spark, sf_dir, d=d)
     return base.select(
         "doc_id",
         "lang",

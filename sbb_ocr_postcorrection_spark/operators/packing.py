@@ -53,16 +53,26 @@ def _pack_spans(
     from ..functions.exprs import tokens_expr
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
-    # repartition before the CPU-heavy tokenize (the shingle_table rule: a
-    # single-split toy parquet must not run it single-threaded), and
+    # repartition BY BUCKET before the CPU-heavy tokenize (the
+    # shingle_table rule: a single-split toy parquet must not run it
+    # single-threaded) — hashing on bkt (r7) instead of round-robin means
+    # the bucket rollup's groupBy(bkt) and the within-bucket window both
+    # reuse the cached partitioning: two corpus exchanges gone; bkt =
+    # doc_id DIV bucket_docs is uniform by construction, so no skew.
     # persist: counts feeds BOTH the bucket rollup and the placement — the
     # corpus-wide tokenize is the dominant cost and must run once.
     # +1: the EOS slot after every document
     counts = persist_slot(
         "seq_pack_counts",
-        d.repartition(spark.sparkContext.defaultParallelism).select(
+        d.select(
             "doc_id",
             F.expr(f"doc_id DIV {int(bucket_docs)}").alias("bkt"),
+            "text",
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "bkt")
+        .select(
+            "doc_id",
+            "bkt",
             # null text ≡ empty doc (1 EOS slot): size(NULL) is NULL under
             # ANSI and a null count would silently DROP the doc from the
             # layout (null offsets explode to nothing) — every document

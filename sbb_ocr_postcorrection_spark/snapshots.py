@@ -104,18 +104,14 @@ def begin_commit(output_dir: str, reclaim_stale: bool = False) -> dict:
 
     Steal protocol for stale intents: unlink-then-exclusive-create, so
     two reclaimers racing on the same corpse still produce exactly one
-    winner (both may unlink, only one O_EXCL create succeeds)."""
+    winner (both may unlink, only one O_EXCL create succeeds).
+
+    next_id is computed AFTER the exclusive create succeeds (ADVICE r6):
+    computed before, a writer that lost time between listing and claiming
+    could carry a snapshot id another writer had already committed and
+    silently rewrite history at commit time."""
     os.makedirs(_snap_dir(output_dir), exist_ok=True)
-    snaps = list_snapshots(output_dir)
-    next_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-    ticket = {
-        "next_id": next_id,
-        "pid": os.getpid(),
-        "host": socket.gethostname(),
-        "claimed_at": time.time(),
-    }
     path = _intent_path(output_dir)
-    payload = json.dumps(ticket, sort_keys=True)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -137,13 +133,41 @@ def begin_commit(output_dir: str, reclaim_stale: bool = False) -> dict:
         except FileNotFoundError:
             pass  # a racing reclaimer got there first
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    # the claim is ours from here: the id we read now cannot be raced
+    snaps = list_snapshots(output_dir)
+    next_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+    ticket = {
+        "next_id": next_id,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "claimed_at": time.time(),
+        "nonce": f"{os.getpid():x}-{time.time_ns():x}",
+    }
     with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
+        fh.write(json.dumps(ticket, sort_keys=True))
     return ticket
 
 
+def _intent_matches(output_dir: str, ticket: dict) -> bool:
+    """True iff _intent.json exists and is THIS writer's ticket."""
+    try:
+        with open(_intent_path(output_dir)) as fh:
+            holder = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return all(
+        holder.get(k) == ticket.get(k)
+        for k in ("pid", "host", "claimed_at", "nonce")
+    )
+
+
 def abort_commit(output_dir: str, ticket: dict) -> None:
-    """Release the claim without committing (job failed before commit)."""
+    """Release the claim without committing (job failed before commit).
+    No-op when the intent on disk is not the caller's (ADVICE r6): a
+    stale-reclaimed writer must not release a lock a NEW writer now
+    holds."""
+    if not _intent_matches(output_dir, ticket):
+        return
     try:
         os.unlink(_intent_path(output_dir))
     except FileNotFoundError:
@@ -157,9 +181,20 @@ def commit_snapshot(
     op: str,
     extra: dict | None = None,
 ) -> dict:
-    """Finalize the claimed commit: write v{N}.json atomically (tmp +
-    os.replace), then release the intent. `partitions` is the table's
-    FULL visible partition set after this commit, as (dt_iso, bkt)."""
+    """Finalize the claimed commit: re-validate the intent is still ours
+    (a reclaim_stale=True steal of a live writer must surface as
+    ConcurrentWriteError here, not as silent history rewrite), write
+    v{N}.json atomically AND exclusively (tmp + os.link — link fails
+    loud if the id was somehow committed by someone else, unlike the
+    silent os.replace overwrite; ADVICE r6), then release the intent.
+    `partitions` is the table's FULL visible partition set after this
+    commit, as (dt_iso, bkt)."""
+    if not _intent_matches(output_dir, ticket):
+        raise ConcurrentWriteError(
+            f"commit intent for table {output_dir} is no longer held by "
+            f"this writer (stolen or released) — refusing to commit "
+            f"snapshot v{ticket.get('next_id')}"
+        )
     snaps = list_snapshots(output_dir)
     parent = snaps[-1]["snapshot_id"] if snaps else None
     snap = {
@@ -173,10 +208,22 @@ def commit_snapshot(
     if extra:
         snap.update(extra)
     path = _snap_path(output_dir, ticket["next_id"])
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{ticket['nonce']}"
     with open(tmp, "w") as fh:
         json.dump(snap, fh, sort_keys=True)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)  # atomic + exclusive: raises if v{N} exists
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"snapshot v{ticket['next_id']} already exists in "
+            f"{output_dir} — another writer committed this id; "
+            "append-only history preserved, this commit is void"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     abort_commit(output_dir, ticket)
     return snap
 

@@ -109,8 +109,12 @@ def cer(ocr: str, gt: str) -> float:
 # from unicodedata categories plus the spec's explicit code-point lists
 # (Prepend, Hangul L/V/T blocks, regional indicators). The one documented
 # approximation: Extended_Pictographic is the emoji BLOCKS rather than
-# the full emoji-data.txt enumeration -- identical on every sequence that
-# occurs in text corpora (all emoji live in those blocks).
+# the full emoji-data.txt enumeration. Known divergence (narrowed per
+# ADVICE r6): symbols in those blocks that emoji-data.txt excludes are
+# still treated as pictographic — visible only to GB11 joining of
+# non-emoji symbols, never to ordinary text; skin-tone modifiers are
+# correctly Extend (carved out of the block check) and GB11 arms on
+# exactly one trailing ZWJ, so all real emoji sequences are per-spec.
 
 _CR, _LF, _CONTROL = 1, 2, 3
 _EXTEND, _ZWJ_CLS, _RI, _PREPEND, _SPACING = 4, 5, 6, 7, 8
@@ -159,6 +163,11 @@ def _gcb(ch: str) -> int:
         return _EXTEND
     if cp in (0x200C, 0xFF9E, 0xFF9F) or 0xFE00 <= cp <= 0xFE0F:
         return _EXTEND  # ZWNJ, halfwidth voiced marks, variation selectors
+    if 0x1F3FB <= cp <= 0x1F3FF:
+        # emoji skin-tone modifiers have Grapheme_Cluster_Break=Extend
+        # (ADVICE r6): classifying them Extended_Pictographic via the
+        # block check below would break base+modifier into two clusters
+        return _EXTEND
     if cat == "Mc":
         return _SPACING
     if cat in ("Cc", "Zl", "Zp") or (cat == "Cf" and cp != 0x200D):
@@ -226,12 +235,15 @@ def grapheme_clusters(s: str) -> list[str]:
             cur = [ch]
         else:
             cur.append(ch)
-        # GB11 sequence state: ExtPict Extend* ZWJ x ExtPict
+        # GB11 sequence state: ExtPict Extend* ZWJ x ExtPict. Only
+        # Extend* and then exactly ONE final ZWJ may precede the joined
+        # pictographic (ADVICE r6): a second ZWJ, or Extend AFTER the
+        # joiner, leaves the regex unmatchable until a fresh ExtPict.
         if cls == _XPICTO:
             gb11_state, gb11_armed = 1, False
-        elif gb11_state == 1 and cls == _EXTEND:
-            gb11_armed = False
-        elif gb11_state == 1 and cls == _ZWJ_CLS:
+        elif gb11_state == 1 and not gb11_armed and cls == _EXTEND:
+            pass  # absorbing Extend* before the joiner
+        elif gb11_state == 1 and not gb11_armed and cls == _ZWJ_CLS:
             gb11_armed = True
         else:
             gb11_state, gb11_armed = 0, False

@@ -174,3 +174,42 @@ def test_failed_job_aborts_intent(spark, tmp_path, pages_parquet):
     good = spark.read.parquet(pages_parquet)
     r = run_extraction_job(spark, good, out)
     assert r["docs"] == 300 and current_snapshot(out)["snapshot_id"] == 1
+
+
+def test_stolen_intent_cannot_commit(tmp_path):
+    """reclaim_stale=True stealing a LIVE writer's intent must surface at
+    the victim's commit as ConcurrentWriteError — never as a silent
+    history rewrite (ADVICE r6): the thief holds the claim, the victim's
+    commit and abort are both void."""
+    out = str(tmp_path / "out")
+    victim = begin_commit(out)
+    thief = begin_commit(out, reclaim_stale=True)  # steals the live claim
+    with pytest.raises(ConcurrentWriteError):
+        commit_snapshot(out, victim, [("2024-01-01", 0)], op="append")
+    # the victim's abort must NOT release the thief's claim
+    snapshots.abort_commit(out, victim)
+    assert os.path.exists(
+        os.path.join(out, snapshots.SNAP_DIR, "_intent.json")
+    )
+    commit_snapshot(out, thief, [("2024-01-01", 0)], op="append")
+    assert current_snapshot(out)["snapshot_id"] == 1
+
+
+def test_next_id_assigned_after_claim(tmp_path):
+    """Snapshot ids are read under the claim, so a writer that waited out
+    another's commit gets the NEXT id, not a stale one, and an id
+    collision on disk fails loud instead of overwriting (ADVICE r6)."""
+    out = str(tmp_path / "out")
+    t1 = begin_commit(out)
+    commit_snapshot(out, t1, [("2024-01-01", 0)], op="append")
+    t2 = begin_commit(out)
+    assert t2["next_id"] == 2
+    # simulate a corrupted/raced log: v2 appears under someone's feet
+    forged = snapshots._snap_path(out, 2)
+    with open(forged, "w") as fh:
+        json.dump({"snapshot_id": 2, "partitions": []}, fh)
+    with pytest.raises(ConcurrentWriteError):
+        commit_snapshot(out, t2, [("2024-01-01", 0)], op="append")
+    # append-only history preserved: the forged file was not replaced
+    with open(forged) as fh:
+        assert json.load(fh)["partitions"] == []

@@ -281,3 +281,19 @@ def test_levenshtein_clusters_new_classes():
     # prepend sequence is one unit
     assert tk.levenshtein_clusters("؀١", "؀٢") == 1
     assert tk.cer_clusters("؀١", "؀١") == 0.0
+
+
+def test_grapheme_skin_tone_and_double_zwj():
+    """ADVICE r6 regressions: a skin-tone modifier (GCB=Extend) joins its
+    base into ONE cluster, and GB11 joins across exactly one trailing
+    ZWJ — a second consecutive ZWJ (or Extend after the joiner) breaks."""
+    from sbb_ocr_postcorrection_spark.textkit import grapheme_clusters as gc
+
+    wave = "\U0001F44B\U0001F3FD"          # base + medium skin tone
+    assert gc(wave) == [wave]
+    zwj = "‍"
+    fam = f"\U0001F468{zwj}\U0001F469{zwj}\U0001F467"
+    assert gc(fam) == [fam]                 # normal ZWJ sequence joins
+    assert len(gc(f"\U0001F468{zwj}{zwj}\U0001F469")) == 2
+    assert len(gc(f"\U0001F468{zwj}́{zwj}\U0001F469")) == 2
+    assert len(gc(f"a{zwj}b")) == 2         # ZWJ between letters breaks
