@@ -227,3 +227,27 @@ def test_lang_id_posterior_ambiguity_gate(spark):
     # clean probe: confident pass
     assert got[110]["pred_lang"] == "es" and got[110]["prob_pass"] == 1
     assert got[110]["gap"] > got[110]["gate"] > got[100]["gap"]
+
+
+def test_posterior_kernel_equals_relational(spark):
+    """The r7 Arrow fast path must reproduce the relational NB posterior
+    bit-for-bit — same rows, same integer log-likelihoods, same gate —
+    on the real fixture (the winnow_fingerprints_np convention: one
+    oracle certifies both forms)."""
+    from sbb_ocr_postcorrection_spark.operators import langprofile as _lp
+
+    a = sorted(
+        map(
+            tuple,
+            _lp.lang_id_posterior(spark, "/root/testdata/sf0.001").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            _lp.lang_id_posterior_relational(
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
