@@ -23,9 +23,9 @@ SHOW = [
     ("rollup_stats",
      "expand + two-phase HashAggregate for the grouping sets"),
     ("dedup_minhash_lsh",
-     "one shuffle on the band key; pair expansion in-array (no self-join)"),
+     "signatures are in-array per-doc minima (no explode->groupBy exchange); one shuffle on the band key; pair expansion in-array (no self-join)"),
     ("dedup_corpus_keep",
-     "verification Jaccard computed on LSH candidates only: every join equality-keyed (hash/broadcast); no CartesianProduct, no BroadcastNestedLoop, no rangepartitioning (global sort), no GlobalLimit"),
+     "verification Jaccard computed on LSH candidates only — candidates BROADCAST into per-pair array_intersect over the persisted doc-array relation (r7: no corpus-wide exploded-shingle join); exact losers from ONE digest aggregation (no join-back); every join equality-keyed (hash/broadcast); no CartesianProduct, no BroadcastNestedLoop, no rangepartitioning (global sort), no GlobalLimit"),
     ("dedup_minhash_lsh_salted",
      "hot-bucket pair expansion distributed: per-bucket window rank -> chunk, intra-chunk in-array expansion + inter-chunk equality self-join on the bucket key; no cross join"),
     ("extract_host_metrics",
@@ -37,15 +37,15 @@ SHOW = [
     ("asof_join",
      "union + single hashpartitioning exchange on user_id for the ordered window — no range join, no BroadcastNestedLoop"),
     ("line_dedup",
-     "line explode persisted (InMemoryTableScan feeds both consumers); hot-line removal = BroadcastHashJoin + conditional agg inside the ONE reassembly shuffle; no SortMergeJoin"),
+     "doc-level line-array base persisted (InMemoryTableScan feeds hot-set agg and reassembly); hot-line marking = BroadcastHashJoin -> covered-position rollup (scales with contaminated docs); reassembly is in-array row math — NO corpus-wide collect_list exchange"),
     ("containment_pairs",
      "shingle-equality blocking with df cap; asymmetric scores from the candidate-only intersection — no CartesianProduct, no all-pairs"),
     ("winnow_matches",
-     "fingerprint selection inside the Arrow kernel (per-doc dedup + carried set sizes: no global distinct, no sizes rejoin); df-capped fingerprint-hash equality join over the slot-persisted kernel output — no global window, no nested-loop join"),
+     "fingerprint selection inside the Arrow kernel (per-doc dedup + carried set sizes: no global distinct, no sizes rejoin); pair generation is ONE groupBy(fp_hash) posting-list aggregation with the df cap folded in (r7: no hot-set rollup, no self-join, no persist) — no global window, no nested-loop join"),
     ("winnow_fingerprints_np",
      "ZERO-shuffle kernel form: one input-spread Exchange below MapInPandas, NO HashAggregate — selection happens in NumPy per document"),
     ("passage_retrieval",
-     "probe vectors BROADCAST into the bucket-equality sparse dot product; candidate norms ride the vector rows (whole-partition window) THROUGH the dot groupBy — no corpus-embed recompute, no pair-relation norms join; top-k via probe-partitioned window — no dense arrays shuffled, no cross join"),
+     "per-chunk vectors + norms are in-array row math (r7: no explode->groupBy embed exchange, no norm window); the dimension-sized probe set collects into ONE broadcast row scored per chunk by zip_with dots gated on shared-bucket existence — no pair-relation aggregation, no cross join; top-k via probe-partitioned WindowGroupLimit"),
     ("semantic_dedup",
      "pinned-centroid assignment is plan-literal algebra; pairing joins on the cell key only (the published per-cluster cost) — no CartesianProduct"),
     ("cms_token_counts",
@@ -59,13 +59,13 @@ SHOW = [
     ("dedup_incremental",
      "two hashpartitioning exchanges on content_hash (batch + history digests); the first-occurrence Window runs on the probe join's output partitioning — no third shuffle"),
     ("seq_pack",
-     "recursive prefix sum: doc-level cumsum partitioned by bkt, bucket-level cumsum partitioned by super-bucket (both parallel); the ONLY Exchange SinglePartition is the n/bucket_docs^2-row SUPER rollup"),
+     "recursive prefix sum: doc-level cumsum partitioned by bkt, bucket-level cumsum partitioned by super-bucket (both parallel); counts cached HASH-PARTITIONED BY BKT (r7) so the rollup and the window read the cache's partitioning; the ONLY Exchange SinglePartition is the n/bucket_docs^2-row SUPER rollup"),
     ("dedup_bloom",
      "batch side is ONE narrow mapInPandas probe against the broadcast bitmap — no join, no shuffle of the batch; the only exchanges build the (bounded, m-bit) history position set"),
     ("corpus_mix",
      "doc table scanned once; per-source totals are a tiny two-phase agg rejoined via broadcast/AQE; no SortMergeJoin of the doc table against itself, no CartesianProduct (the 1-row totals crossJoin is a broadcast)"),
     ("passage_dedup",
-     "line relation + passage relation both persisted (each feeds two consumers); hot set broadcast; covered-positions join equality-keyed with NO forced broadcast (contamination-proportional size); no CartesianProduct"),
+     "ONE persisted doc-level line-array base (passages explode off the cache for both consumers — r7: no second persist, no collect_list rebuild); hot set broadcast; covered-positions join equality-keyed with NO forced broadcast (contamination-proportional size); reassembly in-array; no CartesianProduct"),
     ("crawl_schedule",
      "slot window PARTITIONED BY HOST (no Exchange SinglePartition anywhere — per-host serialization is the politeness constraint, not a global sort); the delay UDF runs over the tiny policy dimension before the join"),
     ("ann_ivf_pinned",
@@ -77,7 +77,7 @@ SHOW = [
     ("image_ahash_dedup",
      "fingerprints come from ONE zero-pre-shuffle Arrow kernel pass; the candidate join is band-bucket equality (hash join) with bit_count(xor) verify — no CartesianProduct"),
     ("lang_id_posterior",
-     "the trigram NB model broadcasts; per-(doc, lang) log-likelihood sums are one two-phase aggregation; best/runner-up is a doc-keyed window (no global sort, no SinglePartition on anything corpus-sized)"),
+     "r7 Arrow fast path: the dimension-sized NB model is collected+broadcast and scoring is ONE MapInPandas over the augmented text — zero scoring shuffle, no corpus-sized aggregation or window (the relational twin stays pytest-pinned equal)"),
     ("dedup_minhash_incremental",
      "history/batch band tables join on (band, band_hash) equality; candidate-only Jaccard verification — the shuffle carries candidate ids + shingle sets, never all-pairs"),
     ("curriculum_plan",

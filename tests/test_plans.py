@@ -384,14 +384,22 @@ def test_r6_late_ops_plan_shapes(spark):
     )
     from sbb_ocr_postcorrection_spark.operators.langprofile import (
         lang_id_posterior,
+        lang_id_posterior_relational,
     )
     from sbb_ocr_postcorrection_spark.operators.similarity import (
         triplet_mining,
     )
 
+    # r7 fast path: scoring is ONE Arrow kernel over the augmented text —
+    # no corpus-sized aggregation, window or join anywhere in the plan
     lp = plan_of(lang_id_posterior(spark, SF_DIR))
-    assert "BroadcastHashJoin" in lp, "trigram model must broadcast"
-    assert "CartesianProduct" not in lp
+    assert "MapInPandas" in lp
+    for bad in ("HashAggregate", "Window", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in lp, f"{bad} leaked into the posterior scoring:\n{lp}"
+    # the SQL-shaped twin keeps the broadcast-model contract
+    lpr = plan_of(lang_id_posterior_relational(spark, SF_DIR))
+    assert "BroadcastHashJoin" in lpr, "trigram model must broadcast"
+    assert "CartesianProduct" not in lpr
 
     ac = plan_of(anagram_candidates(spark, SF_DIR))
     assert "CartesianProduct" not in ac
