@@ -1501,26 +1501,34 @@ def minhash_incremental(spark, sf_dir, jaccard_dup: float = 0.8) -> DataFrame:
 
     Output: one row per candidate (batch_id, hist_id) with band hits,
     verified jaccard, and the dup verdict at ``jaccard_dup``. Scale
-    shape: band probe is an equality join on (band, band_hash);
-    verification shuffles only candidate ids + their shingle sets."""
+    shape (r7): band probe is an equality join on (band, band_hash);
+    signatures are zero-shuffle in-array minima over the persisted
+    doc-array relation, the candidate set is persisted (it feeds the
+    verify AND the output join), and verification is the per-pair
+    array_intersect form — no corpus-wide exploded-shingle exchange
+    anywhere."""
     from .relational import persist_slot
 
-    sh = persist_slot("mh_incr_shingles", shingle_table(spark, sf_dir))
-    bt = _band_table(minhash_signatures_from(sh))
+    base = persist_slot("mh_incr_base", minhash_doc_arrays(spark, sf_dir))
+    bt = _band_table(minhash_signatures_arr(base))
     hist = bt.where(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("hist_id"), "band", "band_hash"
     )
     batch = bt.where(F.col("doc_id") % 2 != 0).select(
         F.col("doc_id").alias("batch_id"), "band", "band_hash"
     )
-    cand = batch.join(hist, ["band", "band_hash"]).groupBy(
-        "batch_id", "hist_id"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
-    ver = candidate_jaccard(
+    cand = persist_slot(
+        "mh_incr_cand",
+        batch.join(hist, ["band", "band_hash"]).groupBy(
+            "batch_id", "hist_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_band_hits")),
+    )
+    ver = _candidate_jaccard_arr(
         cand.select(
             F.col("batch_id").alias("id1"), F.col("hist_id").alias("id2")
         ),
-        sh,
+        base,
+        max_shingle_df=None,
     ).select(
         F.col("id1").alias("batch_id"),
         F.col("id2").alias("hist_id"),
