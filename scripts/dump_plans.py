@@ -79,7 +79,7 @@ SHOW = [
     ("lang_id_posterior",
      "r7 Arrow fast path: the dimension-sized NB model is collected+broadcast and scoring is ONE MapInPandas over the augmented text — zero scoring shuffle, no corpus-sized aggregation or window (the relational twin stays pytest-pinned equal)"),
     ("dedup_minhash_incremental",
-     "history/batch band tables join on (band, band_hash) equality; candidate-only Jaccard verification — the shuffle carries candidate ids + shingle sets, never all-pairs"),
+     "history/batch band tables join on (band, band_hash) equality; candidate-only verification via broadcast candidates + per-pair array_intersect over the persisted doc-array relation (r7) — never all-pairs, no corpus-wide exploded-shingle exchange"),
     ("curriculum_plan",
      "the decile threshold is an order statistic over the distinct-score histogram dim (the ONE tiny ordered window); phase/shard/key are pure expressions — no corpus-sized sort anywhere"),
 ]
